@@ -1,0 +1,122 @@
+"""Material descriptors and XML loaders for the seven BSDF types.
+
+Parity: resource::Material (resource/material.{h,cpp}) — a tagged union
+over {Diffuse, Dielectric, RoughDielectric, Conductor, RoughConductor,
+Plastic, RoughPlastic} plus a `twosided` wrapper flag — with the same XML
+parameter names, defaults and named-IOR lookups (material.cpp:26-147).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from pupiloptixlab_tpu.scene.ior import load_conductor_ior, load_dielectric_ior
+from pupiloptixlab_tpu.scene.textures import Texture, rgb_texture
+from pupiloptixlab_tpu.utils.log import get_logger
+
+log = get_logger(__name__)
+
+
+class MatType(enum.IntEnum):
+    """Dense material type ids (order matches decl/material_decl.inl)."""
+
+    UNKNOWN = 0
+    DIFFUSE = 1
+    DIELECTRIC = 2
+    ROUGH_DIELECTRIC = 3
+    CONDUCTOR = 4
+    ROUGH_CONDUCTOR = 5
+    PLASTIC = 6
+    ROUGH_PLASTIC = 7
+
+
+@dataclass
+class Material:
+    type: MatType = MatType.UNKNOWN
+    twosided: bool = False
+
+    # diffuse
+    reflectance: Texture = field(default_factory=lambda: rgb_texture(0.5))
+    # dielectric / plastic family
+    int_ior: float = 1.5046
+    ext_ior: float = 1.000277
+    specular_reflectance: Texture = field(default_factory=lambda: rgb_texture(1.0))
+    specular_transmittance: Texture = field(default_factory=lambda: rgb_texture(1.0))
+    # conductor family
+    eta: Texture = field(default_factory=lambda: rgb_texture(0.0))
+    k: Texture = field(default_factory=lambda: rgb_texture(1.0))
+    # rough variants
+    alpha: Texture = field(default_factory=lambda: rgb_texture(0.1))
+    # plastic family
+    diffuse_reflectance: Texture = field(default_factory=lambda: rgb_texture(0.5))
+    nonlinear: bool = False
+
+
+def _texture_or_rgb(obj, scene, name: str, default) -> Texture:
+    """LoadTextureOrRGB (util_loader.cpp): nested <texture name=...> wins,
+    else an rgb/float property, else the default color."""
+    for sub in obj.sub_objects:
+        if sub.tag == "texture" and sub.var_name == name:
+            return scene.load_texture(sub)
+    value = obj.properties.get(name)
+    if value is None:
+        d = np.broadcast_to(np.asarray(default, np.float32), (3,))
+        return rgb_texture(*map(float, d))
+    parts = [p.strip() for p in value.split(",")]
+    if len(parts) == 1:
+        return rgb_texture(float(parts[0]))
+    return rgb_texture(*map(float, parts[:3]))
+
+
+def load_material_from_xml(obj, scene) -> Material:
+    """Dispatch on the bsdf `type` attribute (material.cpp loaders)."""
+    mtype = obj.type
+    if mtype == "twosided":
+        inner = None
+        for sub in obj.sub_objects:
+            if sub.tag == "bsdf":
+                inner = sub
+                break
+        if inner is None:
+            log.warning("twosided bsdf without inner bsdf")
+            return Material()
+        mat = load_material_from_xml(inner, scene)
+        mat.twosided = True
+        return mat
+
+    mat = Material()
+    if mtype == "diffuse":
+        mat.type = MatType.DIFFUSE
+        mat.reflectance = _texture_or_rgb(obj, scene, "reflectance", 0.5)
+    elif mtype in ("dielectric", "roughdielectric"):
+        mat.type = MatType.DIELECTRIC if mtype == "dielectric" else MatType.ROUGH_DIELECTRIC
+        mat.int_ior = load_dielectric_ior(obj.properties.get("int_ior"), 1.5046)
+        mat.ext_ior = load_dielectric_ior(obj.properties.get("ext_ior"), 1.000277)
+        mat.specular_reflectance = _texture_or_rgb(obj, scene, "specular_reflectance", 1.0)
+        mat.specular_transmittance = _texture_or_rgb(obj, scene, "specular_transmittance", 1.0)
+        if mtype == "roughdielectric":
+            mat.alpha = _texture_or_rgb(obj, scene, "alpha", 0.1)
+    elif mtype in ("conductor", "roughconductor"):
+        mat.type = MatType.CONDUCTOR if mtype == "conductor" else MatType.ROUGH_CONDUCTOR
+        named = load_conductor_ior(obj.properties.get("material"))
+        eta_d, k_d = named if named else (np.zeros(3, np.float32), np.ones(3, np.float32))
+        mat.eta = _texture_or_rgb(obj, scene, "eta", eta_d)
+        mat.k = _texture_or_rgb(obj, scene, "k", k_d)
+        mat.specular_reflectance = _texture_or_rgb(obj, scene, "specular_reflectance", 1.0)
+        if mtype == "roughconductor":
+            mat.alpha = _texture_or_rgb(obj, scene, "alpha", 0.1)
+    elif mtype in ("plastic", "roughplastic"):
+        mat.type = MatType.PLASTIC if mtype == "plastic" else MatType.ROUGH_PLASTIC
+        mat.int_ior = load_dielectric_ior(obj.properties.get("int_ior"), 1.49)
+        mat.ext_ior = load_dielectric_ior(obj.properties.get("ext_ior"), 1.000277)
+        mat.nonlinear = obj.properties.get("nonlinear") == "true"
+        mat.diffuse_reflectance = _texture_or_rgb(obj, scene, "diffuse_reflectance", 0.5)
+        mat.specular_reflectance = _texture_or_rgb(obj, scene, "specular_reflectance", 1.0)
+        if mtype == "roughplastic":
+            mat.alpha = _texture_or_rgb(obj, scene, "alpha", 0.1)
+    else:
+        log.warning("unknown bsdf [%s]", mtype)
+    return mat

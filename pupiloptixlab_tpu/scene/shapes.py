@@ -1,0 +1,224 @@
+"""Shapes: built-in rectangle/cube/sphere and OBJ mesh import.
+
+Parity: resource::ShapeManager (resource/shape.{h,cpp}). Built-in shapes
+use the same canonical geometry: rectangle = XY quad on [-1,1]^2 facing +Z
+(2 tris), cube = [-1,1]^3 with 24 vertices / 12 tris, sphere = analytic
+unit sphere at the origin (radius/center folded into the instance
+transform, shape.cpp:106-124 + 196-198). Mesh import replaces assimp with
+a native OBJ reader (triangulating fans, merging all groups into one mesh
+like the reference's single-mesh assimp path, shape.cpp:219-278).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from pupiloptixlab_tpu.scene.emitters import Emitter
+from pupiloptixlab_tpu.scene.materials import Material
+from pupiloptixlab_tpu.utils.log import get_logger
+from pupiloptixlab_tpu.utils.math import AABB, Transform
+
+log = get_logger(__name__)
+
+
+class ShapeType(enum.IntEnum):
+    UNKNOWN = 0
+    OBJ = 1
+    SPHERE = 2
+    CUBE = 3
+    RECTANGLE = 4
+
+
+@dataclass
+class Mesh:
+    positions: np.ndarray  # (v, 3) f32
+    normals: np.ndarray | None  # (v, 3) f32 or None -> face-normal fallback
+    texcoords: np.ndarray | None  # (v, 2) f32
+    indices: np.ndarray  # (f, 3) uint32
+
+    @property
+    def face_num(self) -> int:
+        return int(self.indices.shape[0])
+
+
+@dataclass
+class Shape:
+    type: ShapeType
+    mesh: Mesh | None = None
+    aabb: AABB = field(default_factory=AABB)
+    key: str = ""  # dedupe key (file path or builtin name)
+
+
+@dataclass
+class ShapeInstance:
+    name: str = ""
+    shape: Shape | None = None
+    material: Material = field(default_factory=Material)
+    emitter: Emitter = field(default_factory=Emitter)
+    is_emitter: bool = False
+    transform: Transform = field(default_factory=Transform)
+    flip_normals: bool = False
+    flip_tex_coords: bool = False  # OBJ XML loader defaults this to True
+    visibility_mask: int = 255
+
+
+# --- built-in canonical geometry (shape.cpp:20-66 equivalents) ------------
+
+def _rectangle_mesh() -> Mesh:
+    positions = np.array(
+        [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32
+    )
+    normals = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    texcoords = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    indices = np.array([[0, 1, 2], [0, 2, 3]], np.uint32)
+    return Mesh(positions, normals, texcoords, indices)
+
+
+def _cube_mesh() -> Mesh:
+    # 6 faces x 4 verts, outward normals, unit uv per face.
+    faces = [
+        (np.array([-1, 0, 0], np.float32),
+         [[-1, -1, -1], [-1, -1, 1], [-1, 1, 1], [-1, 1, -1]]),
+        (np.array([0, 0, -1], np.float32),
+         [[1, -1, -1], [-1, -1, -1], [-1, 1, -1], [1, 1, -1]]),
+        (np.array([1, 0, 0], np.float32),
+         [[1, -1, 1], [1, -1, -1], [1, 1, -1], [1, 1, 1]]),
+        (np.array([0, 0, 1], np.float32),
+         [[-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]]),
+        (np.array([0, 1, 0], np.float32),
+         [[-1, 1, 1], [1, 1, 1], [1, 1, -1], [-1, 1, -1]]),
+        (np.array([0, -1, 0], np.float32),
+         [[-1, -1, -1], [1, -1, -1], [1, -1, 1], [-1, -1, 1]]),
+    ]
+    positions, normals, texcoords, indices = [], [], [], []
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    for fi, (n, quad) in enumerate(faces):
+        base = 4 * fi
+        positions.extend(quad)
+        normals.extend([n] * 4)
+        texcoords.extend(uv)
+        indices.extend([[base, base + 1, base + 2], [base, base + 2, base + 3]])
+    return Mesh(
+        np.asarray(positions, np.float32),
+        np.asarray(normals, np.float32),
+        np.asarray(texcoords, np.float32),
+        np.asarray(indices, np.uint32),
+    )
+
+
+def load_obj(path: str | Path) -> Mesh:
+    """Native OBJ reader: v/vt/vn/f, fan-triangulated, corner-deduped."""
+    positions, texcoords, normals = [], [], []
+    out_pos, out_uv, out_n, out_idx = [], [], [], []
+    corner_map: dict[tuple[int, int, int], int] = {}
+    has_uv = has_n = False
+
+    def corner(spec: str) -> int:
+        nonlocal has_uv, has_n
+        parts = spec.split("/")
+        vi = int(parts[0])
+        ti = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+        ni = int(parts[2]) if len(parts) > 2 and parts[2] else 0
+        vi = vi - 1 if vi > 0 else len(positions) + vi
+        ti = ti - 1 if ti > 0 else (len(texcoords) + ti if ti else -1)
+        ni = ni - 1 if ni > 0 else (len(normals) + ni if ni else -1)
+        key = (vi, ti, ni)
+        if key in corner_map:
+            return corner_map[key]
+        idx = len(out_pos)
+        corner_map[key] = idx
+        out_pos.append(positions[vi])
+        if ti >= 0:
+            has_uv = True
+            out_uv.append(texcoords[ti])
+        else:
+            out_uv.append((0.0, 0.0))
+        if ni >= 0:
+            has_n = True
+            out_n.append(normals[ni])
+        else:
+            out_n.append((0.0, 0.0, 0.0))
+        return idx
+
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            if line.startswith("v "):
+                p = line.split()
+                positions.append((float(p[1]), float(p[2]), float(p[3])))
+            elif line.startswith("vt "):
+                p = line.split()
+                positions_uv = (float(p[1]), float(p[2]) if len(p) > 2 else 0.0)
+                texcoords.append(positions_uv)
+            elif line.startswith("vn "):
+                p = line.split()
+                normals.append((float(p[1]), float(p[2]), float(p[3])))
+            elif line.startswith("f "):
+                specs = line.split()[1:]
+                ids = [corner(s) for s in specs]
+                for k in range(1, len(ids) - 1):
+                    out_idx.append((ids[0], ids[k], ids[k + 1]))
+
+    return Mesh(
+        np.asarray(out_pos, np.float32),
+        np.asarray(out_n, np.float32) if has_n else None,
+        np.asarray(out_uv, np.float32) if has_uv else None,
+        np.asarray(out_idx, np.uint32),
+    )
+
+
+class ShapeManager:
+    """Shape registry deduping built-ins and mesh files by key."""
+
+    def __init__(self):
+        self._cache: dict[str, Shape] = {}
+
+    def _get(self, key: str, builder) -> Shape:
+        if key not in self._cache:
+            shape = builder()
+            shape.key = key
+            self._cache[key] = shape
+        return self._cache[key]
+
+    def load_rectangle(self) -> Shape:
+        def build():
+            mesh = _rectangle_mesh()
+            s = Shape(ShapeType.RECTANGLE, mesh)
+            s.aabb.merge_points(mesh.positions)
+            return s
+
+        return self._get("builtin/rectangle", build)
+
+    def load_cube(self) -> Shape:
+        def build():
+            mesh = _cube_mesh()
+            s = Shape(ShapeType.CUBE, mesh)
+            s.aabb.merge_points(mesh.positions)
+            return s
+
+        return self._get("builtin/cube", build)
+
+    def load_sphere(self) -> Shape:
+        def build():
+            s = Shape(ShapeType.SPHERE, None)
+            s.aabb.merge_point([-1.0, -1.0, -1.0]).merge_point([1.0, 1.0, 1.0])
+            return s
+
+        return self._get("builtin/sphere", build)
+
+    def load_mesh(self, path: str | Path) -> Shape:
+        key = str(Path(path))
+
+        def build():
+            mesh = load_obj(key)
+            s = Shape(ShapeType.OBJ, mesh)
+            s.aabb.merge_points(mesh.positions)
+            return s
+
+        return self._get(key, build)
+
+    def clear(self) -> None:
+        self._cache.clear()
