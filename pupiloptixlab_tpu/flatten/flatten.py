@@ -1,0 +1,561 @@
+"""Scene -> SceneData: host-side flattening to device SoA buffers.
+
+Replaces the reference's upload pipeline (world/RenderObject +
+CudaTextureManager + EmitterHelper + GAS/IAS build) with a single pass
+producing world-space primitive soup, dense material/texture tables and
+the flattened emitter list:
+
+* mesh instances are transformed to world space (normals by
+  inverse-transpose, world/emitter.cpp:169-199); spheres keep their
+  instance transform (unit sphere in object space) so non-uniform scales
+  yield ellipsoids, like OptiX sphere primitives under an IAS transform.
+* area emitters flatten one entry per triangle with weight =
+  max_channel(radiance) * area (world/emitter.cpp:169-243), and selection
+  probabilities are normalized exactly as EmitterHelper::ComputeProbability
+  (emitter.cpp:321-337).
+* env-map CDF tables follow BuildEnvMapCdfTable (emitter.cpp:107-149):
+  per-row column CDFs, sin-weighted row CDF, normalization
+  1/(row_sum * (2pi/w) * (pi/h)).
+* plastic materials precompute specular_sampling_weight and the internal
+  diffuse Fresnel reflectance (optix_material.cpp:87-118).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from pupiloptixlab_tpu.flatten.types import (
+    N_SLOTS,
+    SLOT_ALPHA,
+    SLOT_ETA,
+    SLOT_K,
+    SLOT_REFLECTANCE,
+    SLOT_SPECULAR,
+    SLOT_TRANSMITTANCE,
+    CameraBlock,
+    EmitterTable,
+    MaterialTable,
+    RenderConfig,
+    SceneData,
+    Spheres,
+    TextureTable,
+    TriSoup,
+)
+from pupiloptixlab_tpu.scene.emitters import EmitterType
+from pupiloptixlab_tpu.scene.materials import Material, MatType
+from pupiloptixlab_tpu.scene.scene import Scene
+from pupiloptixlab_tpu.scene.shapes import ShapeType
+from pupiloptixlab_tpu.scene.textures import Texture, TextureType
+from pupiloptixlab_tpu.utils.camera import Camera, CameraDesc
+from pupiloptixlab_tpu.utils.math import transform_normals, transform_points
+
+
+def _luminance(c) -> float:
+    return float(0.2126 * c[0] + 0.7152 * c[1] + 0.0722 * c[2])
+
+
+def _diffuse_fresnel_reflectance(eta: float) -> float:
+    """Hemispherical diffuse Fresnel reflectance fits
+    (render/material/fresnel.h:58-85: Egan-Hilgeman / d'Eon-Irving)."""
+    if eta < 1.0:
+        return -1.4399 * eta * eta + 0.7099 * eta + 0.6681 + 0.0636 / eta
+    ie = 1.0 / eta
+    return (
+        0.919317
+        - 3.4793 * ie
+        + 6.75335 * ie**2
+        - 7.80989 * ie**3
+        + 4.98554 * ie**4
+        - 1.36881 * ie**5
+    )
+
+
+class _TextureBuilder:
+    def __init__(self):
+        self.kind: list[int] = []
+        self.rgb: list[np.ndarray] = []
+        self.patch2: list[np.ndarray] = []
+        self.uvt: list[np.ndarray] = []
+        self.offset: list[int] = []
+        self.width: list[int] = []
+        self.height: list[int] = []
+        self.filter: list[int] = []
+        self.address: list[int] = []
+        self.pool: list[np.ndarray] = []
+        self._pool_size = 0
+        self._bitmap_cache: dict[int, int] = {}  # id(data) -> pool offset
+
+    def add(self, tex: Texture) -> int:
+        idx = len(self.kind)
+        self.kind.append(int(tex.type))
+        uvt = np.zeros((2, 3), np.float32)
+        uvt[:, :2] = tex.transform.matrix[:2, :2]
+        uvt[:, 2] = tex.transform.matrix[:2, 3]
+        self.uvt.append(uvt)
+        if tex.type == TextureType.RGB:
+            self.rgb.append(np.asarray(tex.rgb, np.float32))
+            self.patch2.append(np.zeros(3, np.float32))
+            self.offset.append(0)
+            self.width.append(0)
+            self.height.append(0)
+            self.filter.append(0)
+            self.address.append(0)
+        elif tex.type == TextureType.CHECKERBOARD:
+            self.rgb.append(np.asarray(tex.patch1, np.float32))
+            self.patch2.append(np.asarray(tex.patch2, np.float32))
+            self.offset.append(0)
+            self.width.append(0)
+            self.height.append(0)
+            self.filter.append(0)
+            self.address.append(0)
+        else:  # bitmap: dedupe pixel blocks by array identity
+            key = id(tex.data)
+            if key not in self._bitmap_cache:
+                self._bitmap_cache[key] = self._pool_size
+                pixels = np.ascontiguousarray(tex.data[..., :3], np.float32)
+                self.pool.append(pixels.reshape(-1, 3))
+                self._pool_size += pixels.shape[0] * pixels.shape[1]
+            self.rgb.append(np.zeros(3, np.float32))
+            self.patch2.append(np.zeros(3, np.float32))
+            self.offset.append(self._bitmap_cache[key])
+            self.width.append(tex.width)
+            self.height.append(tex.height)
+            self.filter.append(int(tex.filter_mode))
+            self.address.append(int(tex.address_mode))
+        return idx
+
+    def build(self) -> TextureTable:
+        n = max(len(self.kind), 1)
+        if not self.kind:
+            self.add(Texture())
+        pool = (
+            np.concatenate(self.pool, axis=0)
+            if self.pool
+            else np.zeros((1, 3), np.float32)
+        )
+        return TextureTable(
+            kind=jnp.asarray(self.kind, jnp.int32),
+            rgb=jnp.asarray(np.stack(self.rgb), jnp.float32),
+            patch2=jnp.asarray(np.stack(self.patch2), jnp.float32),
+            uv_transform=jnp.asarray(np.stack(self.uvt), jnp.float32),
+            offset=jnp.asarray(self.offset, jnp.int32),
+            width=jnp.asarray(self.width, jnp.int32),
+            height=jnp.asarray(self.height, jnp.int32),
+            filter_mode=jnp.asarray(self.filter, jnp.int32),
+            address_mode=jnp.asarray(self.address, jnp.int32),
+            pool=jnp.asarray(pool, jnp.float32),
+        )
+
+
+class _MaterialBuilder:
+    def __init__(self, textures: _TextureBuilder):
+        self.textures = textures
+        self.mtype: list[int] = []
+        self.twosided: list[bool] = []
+        self.tex: list[list[int]] = []
+        self.eta: list[float] = []
+        self.int_fdr: list[float] = []
+        self.ssw: list[float] = []
+        self.nonlinear: list[bool] = []
+
+    def add(self, mat: Material) -> int:
+        idx = len(self.mtype)
+        slots = [0] * N_SLOTS
+        eta = 1.0
+        int_fdr = 0.0
+        ssw = 0.0
+        t = self.textures
+        if mat.type == MatType.DIFFUSE:
+            slots[SLOT_REFLECTANCE] = t.add(mat.reflectance)
+        elif mat.type in (MatType.DIELECTRIC, MatType.ROUGH_DIELECTRIC):
+            eta = mat.int_ior / mat.ext_ior
+            slots[SLOT_SPECULAR] = t.add(mat.specular_reflectance)
+            slots[SLOT_TRANSMITTANCE] = t.add(mat.specular_transmittance)
+            if mat.type == MatType.ROUGH_DIELECTRIC:
+                slots[SLOT_ALPHA] = t.add(mat.alpha)
+        elif mat.type in (MatType.CONDUCTOR, MatType.ROUGH_CONDUCTOR):
+            slots[SLOT_ETA] = t.add(mat.eta)
+            slots[SLOT_K] = t.add(mat.k)
+            slots[SLOT_SPECULAR] = t.add(mat.specular_reflectance)
+            if mat.type == MatType.ROUGH_CONDUCTOR:
+                slots[SLOT_ALPHA] = t.add(mat.alpha)
+        elif mat.type in (MatType.PLASTIC, MatType.ROUGH_PLASTIC):
+            eta = mat.int_ior / mat.ext_ior
+            slots[SLOT_REFLECTANCE] = t.add(mat.diffuse_reflectance)
+            slots[SLOT_SPECULAR] = t.add(mat.specular_reflectance)
+            if mat.type == MatType.ROUGH_PLASTIC:
+                slots[SLOT_ALPHA] = t.add(mat.alpha)
+            # Precompute (optix_material.cpp:87-118).
+            dl = _luminance(mat.diffuse_reflectance.average_rgb())
+            sl = _luminance(mat.specular_reflectance.average_rgb())
+            ssw = sl / (sl + dl) if (sl + dl) > 0 else 0.0
+            int_fdr = _diffuse_fresnel_reflectance(1.0 / eta)
+        self.mtype.append(int(mat.type))
+        self.twosided.append(bool(mat.twosided))
+        self.tex.append(slots)
+        self.eta.append(eta)
+        self.int_fdr.append(int_fdr)
+        self.ssw.append(ssw)
+        self.nonlinear.append(bool(mat.nonlinear))
+        return idx
+
+    def build(self) -> MaterialTable:
+        if not self.mtype:
+            self.add(Material(type=MatType.DIFFUSE))
+        return MaterialTable(
+            mtype=jnp.asarray(self.mtype, jnp.int32),
+            twosided=jnp.asarray(self.twosided, bool),
+            tex=jnp.asarray(self.tex, jnp.int32),
+            eta=jnp.asarray(self.eta, jnp.float32),
+            int_fdr=jnp.asarray(self.int_fdr, jnp.float32),
+            ssw=jnp.asarray(self.ssw, jnp.float32),
+            nonlinear=jnp.asarray(self.nonlinear, bool),
+        )
+
+
+def _round_up(n: int, m: int) -> int:
+    return max(((n + m - 1) // m) * m, m)
+
+
+def flatten_scene(scene: Scene, pad_tris_to: int = 8) -> tuple[SceneData, RenderConfig]:
+    textures = _TextureBuilder()
+    materials = _MaterialBuilder(textures)
+
+    # triangle soup accumulators
+    tp = {k: [] for k in ("p0", "p1", "p2", "n0", "n1", "n2", "uv0", "uv1", "uv2")}
+    t_mat: list[int] = []
+    t_emit: list[int] = []
+    # spheres
+    s_o2w, s_w2o, s_mat, s_emit, s_flip = [], [], [], [], []
+    # emitters
+    e = {
+        k: []
+        for k in (
+            "etype", "v0p", "v1p", "v2p", "v0n", "v1n", "v2n",
+            "v0t", "v1t", "v2t", "radius", "area", "weight", "rad_tex",
+        )
+    }
+
+    def add_area_tri_emitters(world_p, world_n, uv, idx, radiance_tex_id, weight_scale):
+        """Per-triangle flatten (world/emitter.cpp:169-222)."""
+        base = len(e["etype"])
+        for f in range(idx.shape[0]):
+            i0, i1, i2 = idx[f]
+            p0, p1, p2 = world_p[i0], world_p[i1], world_p[i2]
+            area = 0.5 * float(np.linalg.norm(np.cross(p1 - p0, p2 - p0)))
+            e["etype"].append(0)
+            e["v0p"].append(p0); e["v1p"].append(p1); e["v2p"].append(p2)
+            e["v0n"].append(world_n[i0]); e["v1n"].append(world_n[i1]); e["v2n"].append(world_n[i2])
+            e["v0t"].append(uv[i0]); e["v1t"].append(uv[i1]); e["v2t"].append(uv[i2])
+            e["radius"].append(0.0)
+            e["area"].append(area)
+            e["weight"].append(weight_scale * area)
+            e["rad_tex"].append(radiance_tex_id)
+        return base
+
+    for ins in scene.shape_instances:
+        if ins.shape is None or ins.shape.type == ShapeType.UNKNOWN:
+            continue
+        mat_id = materials.add(ins.material)
+        m = ins.transform.matrix
+
+        if ins.shape.type == ShapeType.SPHERE:
+            emitter_id = -1
+            if ins.is_emitter:
+                # Sphere area emitter (world/emitter.cpp:224-243): world
+                # center + radius from a transformed surface point.
+                rad_tex = textures.add(ins.emitter.radiance)
+                c = transform_points(np.zeros((1, 3), np.float32), m)[0]
+                p = transform_points(np.array([[1.0, 0, 0]], np.float32), m)[0]
+                radius = float(np.linalg.norm(c - p))
+                area = 4.0 * np.pi * radius * radius
+                weight = ins.emitter.radiance.max_channel_weight() * area
+                emitter_id = len(e["etype"])
+                e["etype"].append(1)
+                e["v0p"].append(c)
+                for k in ("v1p", "v2p", "v0n", "v1n", "v2n"):
+                    e[k].append(np.zeros(3, np.float32))
+                for k in ("v0t", "v1t", "v2t"):
+                    e[k].append(np.zeros(2, np.float32))
+                e["radius"].append(radius)
+                e["area"].append(area)
+                e["weight"].append(weight)
+                e["rad_tex"].append(rad_tex)
+            s_o2w.append(m[:3, :4])
+            s_w2o.append(np.linalg.inv(m)[:3, :4].astype(np.float32))
+            s_mat.append(mat_id)
+            s_emit.append(emitter_id)
+            s_flip.append(bool(ins.flip_normals))
+            continue
+
+        mesh = ins.shape.mesh
+        world_p = transform_points(mesh.positions, m).astype(np.float32)
+        if mesh.normals is not None and len(mesh.normals):
+            obj_n = mesh.normals
+        else:
+            # Face-normal fallback (render/geometry.h:66-69), splatted to
+            # vertices per-face below via indexing of a per-face array.
+            obj_n = None
+        if obj_n is not None:
+            world_n = transform_normals(obj_n, m).astype(np.float32)
+        if ins.flip_normals and obj_n is not None:
+            world_n = -world_n
+
+        uv = (
+            mesh.texcoords.astype(np.float32)
+            if mesh.texcoords is not None
+            else np.zeros((len(world_p), 2), np.float32)
+        )
+        if ins.flip_tex_coords and mesh.texcoords is not None:
+            uv = uv.copy()
+            uv[:, 1] = 1.0 - uv[:, 1]
+
+        idx = mesh.indices.astype(np.int64)
+        emitter_base = -1
+        if ins.is_emitter:
+            rad_tex = textures.add(ins.emitter.radiance)
+            weight_scale = ins.emitter.radiance.max_channel_weight()
+            if obj_n is None:
+                fn = np.cross(
+                    world_p[idx[:, 1]] - world_p[idx[:, 0]],
+                    world_p[idx[:, 2]] - world_p[idx[:, 0]],
+                )
+                fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+                wn_for_emit = np.zeros_like(world_p)
+                wn_for_emit[idx[:, 0]] = fn
+                wn_for_emit[idx[:, 1]] = fn
+                wn_for_emit[idx[:, 2]] = fn
+            else:
+                wn_for_emit = world_n
+            emitter_base = add_area_tri_emitters(
+                world_p, wn_for_emit, uv, idx, rad_tex, weight_scale
+            )
+
+        f0, f1, f2 = idx[:, 0], idx[:, 1], idx[:, 2]
+        tp["p0"].append(world_p[f0]); tp["p1"].append(world_p[f1]); tp["p2"].append(world_p[f2])
+        if obj_n is not None:
+            tp["n0"].append(world_n[f0]); tp["n1"].append(world_n[f1]); tp["n2"].append(world_n[f2])
+        else:
+            fn = np.cross(world_p[f1] - world_p[f0], world_p[f2] - world_p[f0])
+            fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+            if ins.flip_normals:
+                fn = -fn
+            tp["n0"].append(fn); tp["n1"].append(fn); tp["n2"].append(fn)
+        tp["uv0"].append(uv[f0]); tp["uv1"].append(uv[f1]); tp["uv2"].append(uv[f2])
+        nf = idx.shape[0]
+        t_mat.extend([mat_id] * nf)
+        if emitter_base >= 0:
+            t_emit.extend(range(emitter_base, emitter_base + nf))
+        else:
+            t_emit.extend([-1] * nf)
+
+    # -- selection probabilities (emitter.cpp:321-337) ----------------------
+    n_area = len(e["etype"])
+    weights = np.asarray(e["weight"], np.float32)
+    env = next(
+        (em for em in scene.emitters if em.type in (EmitterType.CONST_ENV, EmitterType.ENV_MAP)),
+        None,
+    )
+    emitter_num = n_area + (1 if env is not None else 0)
+    if n_area > 0 and weights.sum() > 0:
+        probs = weights / weights.sum() * n_area / max(emitter_num, 1)
+    else:
+        probs = np.zeros(n_area, np.float32)
+    env_prob = 1.0 / emitter_num if env is not None else 0.0
+
+    # -- environment emitter -------------------------------------------------
+    aabb = scene.aabb
+    center = aabb.center if aabb.valid else np.zeros(3, np.float32)
+    env_type = 0
+    env_color = np.zeros(3, np.float32)
+    env_to_world = np.eye(3, dtype=np.float32)
+    env_to_local = np.eye(3, dtype=np.float32)
+    env_rad_tex = 0
+    env_row_cdf = np.zeros(1, np.float32)
+    env_col_cdf = np.zeros((1, 1), np.float32)
+    env_row_weight = np.zeros(1, np.float32)
+    env_norm = 0.0
+    env_scale = 1.0
+    env_size = (0, 0)
+    if env is not None and env.type == EmitterType.CONST_ENV:
+        env_type = 1
+        env_color = np.asarray(env.color, np.float32)
+    elif env is not None:
+        env_type = 2
+        env_rad_tex = textures.add(env.radiance)
+        env_scale = float(env.scale)
+        env_to_world = env.transform.matrix[:3, :3].astype(np.float32)
+        env_to_local = np.linalg.inv(env.transform.matrix)[:3, :3].astype(np.float32)
+        data = env.radiance.data
+        h, w = data.shape[:2]
+        env_size = (w, h)
+        lum = (
+            0.2126 * data[..., 0] + 0.7152 * data[..., 1] + 0.0722 * data[..., 2]
+        ).astype(np.float64)
+        # Per-row column CDF over (w+1) entries starting at 0
+        # (emitter.cpp:113-131).
+        col_sums = lum.sum(axis=1)  # (h,)
+        col_cdf = np.zeros((h, w + 1), np.float64)
+        col_cdf[:, 1:] = np.cumsum(lum, axis=1)
+        safe = np.maximum(col_sums, 1e-30)[:, None]
+        col_cdf[:, 1:-1] /= safe  # last entry forced to 1
+        col_cdf[:, -1] = 1.0
+        row_weight = np.sin((np.arange(h) + 0.5) * np.pi / h)
+        row_vals = col_sums * row_weight
+        row_sum = row_vals.sum()
+        row_cdf = np.zeros(h + 1, np.float64)
+        row_cdf[1:] = np.cumsum(row_vals)
+        row_cdf[1:-1] /= max(row_sum, 1e-30)
+        row_cdf[-1] = 1.0
+        env_row_cdf = row_cdf.astype(np.float32)
+        env_col_cdf = col_cdf.astype(np.float32)
+        env_row_weight = row_weight.astype(np.float32)
+        env_norm = float(1.0 / (row_sum * (2.0 * np.pi / w) * (np.pi / h)))
+
+    # -- pad + pack ----------------------------------------------------------
+    def cat3(key):
+        return (
+            np.concatenate(tp[key], axis=0)
+            if tp[key]
+            else np.zeros((0, 3 if not key.startswith("uv") else 2), np.float32)
+        )
+
+    tri_count = len(t_mat)
+    t_pad = _round_up(tri_count, pad_tris_to)
+
+    def pad_rows(a, n, width):
+        out = np.zeros((n, width), np.float32)
+        out[: a.shape[0]] = a
+        return out
+
+    tris = TriSoup(
+        p0=jnp.asarray(pad_rows(cat3("p0"), t_pad, 3)),
+        p1=jnp.asarray(pad_rows(cat3("p1"), t_pad, 3)),
+        p2=jnp.asarray(pad_rows(cat3("p2"), t_pad, 3)),
+        n0=jnp.asarray(pad_rows(cat3("n0"), t_pad, 3)),
+        n1=jnp.asarray(pad_rows(cat3("n1"), t_pad, 3)),
+        n2=jnp.asarray(pad_rows(cat3("n2"), t_pad, 3)),
+        uv0=jnp.asarray(pad_rows(cat3("uv0"), t_pad, 2)),
+        uv1=jnp.asarray(pad_rows(cat3("uv1"), t_pad, 2)),
+        uv2=jnp.asarray(pad_rows(cat3("uv2"), t_pad, 2)),
+        mat_id=jnp.asarray(np.pad(t_mat, (0, t_pad - tri_count)), jnp.int32),
+        emitter_id=jnp.asarray(
+            np.pad(t_emit, (0, t_pad - tri_count), constant_values=-1), jnp.int32
+        ),
+    )
+
+    sphere_count = len(s_mat)
+    s_pad = max(sphere_count, 1)
+    o2w = np.zeros((s_pad, 3, 4), np.float32)
+    w2o = np.zeros((s_pad, 3, 4), np.float32)
+    if sphere_count:
+        o2w[:sphere_count] = np.stack(s_o2w)
+        w2o[:sphere_count] = np.stack(s_w2o)
+    spheres = Spheres(
+        o2w=jnp.asarray(o2w),
+        w2o=jnp.asarray(w2o),
+        mat_id=jnp.asarray(np.pad(s_mat, (0, s_pad - sphere_count)), jnp.int32),
+        emitter_id=jnp.asarray(
+            np.pad(s_emit, (0, s_pad - sphere_count), constant_values=-1), jnp.int32
+        ),
+        flip_normal=jnp.asarray(
+            np.pad(s_flip, (0, s_pad - sphere_count)).astype(bool)
+        ),
+    )
+
+    e_pad = max(n_area, 1)
+
+    def epack(key, width=None):
+        rows = e[key]
+        if width is None:
+            arr = np.zeros(e_pad, np.float32)
+            if rows:
+                arr[:n_area] = np.asarray(rows, np.float32)
+            return arr
+        arr = np.zeros((e_pad, width), np.float32)
+        if rows:
+            arr[:n_area] = np.stack(rows)
+        return arr
+
+    select_prob = np.zeros(e_pad, np.float32)
+    select_prob[:n_area] = probs
+    select_cdf = np.cumsum(select_prob).astype(np.float32)
+
+    emitters = EmitterTable(
+        etype=jnp.asarray(
+            np.pad(e["etype"], (0, e_pad - n_area)) if n_area else np.zeros(e_pad),
+            jnp.int32,
+        ),
+        v0p=jnp.asarray(epack("v0p", 3)),
+        v1p=jnp.asarray(epack("v1p", 3)),
+        v2p=jnp.asarray(epack("v2p", 3)),
+        v0n=jnp.asarray(epack("v0n", 3)),
+        v1n=jnp.asarray(epack("v1n", 3)),
+        v2n=jnp.asarray(epack("v2n", 3)),
+        v0t=jnp.asarray(epack("v0t", 2)),
+        v1t=jnp.asarray(epack("v1t", 2)),
+        v2t=jnp.asarray(epack("v2t", 2)),
+        radius=jnp.asarray(epack("radius")),
+        area=jnp.asarray(epack("area")),
+        select_prob=jnp.asarray(select_prob),
+        select_cdf=jnp.asarray(select_cdf),
+        radiance_tex=jnp.asarray(
+            np.pad(e["rad_tex"], (0, e_pad - n_area)) if n_area else np.zeros(e_pad),
+            jnp.int32,
+        ),
+        env_type=jnp.asarray(env_type, jnp.int32),
+        env_color=jnp.asarray(env_color),
+        env_center=jnp.asarray(center, jnp.float32),
+        env_to_world=jnp.asarray(env_to_world),
+        env_to_local=jnp.asarray(env_to_local),
+        env_radiance_tex=jnp.asarray(env_rad_tex, jnp.int32),
+        env_row_cdf=jnp.asarray(env_row_cdf),
+        env_col_cdf=jnp.asarray(env_col_cdf),
+        env_row_weight=jnp.asarray(env_row_weight),
+        env_normalization=jnp.asarray(env_norm, jnp.float32),
+        env_scale=jnp.asarray(env_scale, jnp.float32),
+        env_select_prob=jnp.asarray(env_prob, jnp.float32),
+    )
+
+    data = SceneData(
+        tris=tris,
+        spheres=spheres,
+        materials=materials.build(),
+        textures=textures.build(),
+        emitters=emitters,
+    )
+    config = RenderConfig(
+        width=scene.sensor.film.w,
+        height=scene.sensor.film.h,
+        max_depth=scene.integrator.max_depth,
+        tri_count=tri_count,
+        sphere_count=sphere_count,
+        emitter_count=n_area,
+        has_env=env is not None,
+        env_size=env_size,
+    )
+    return data, config
+
+
+def camera_block_from_scene(scene: Scene) -> CameraBlock:
+    """Build the device camera uniform from the scene sensor."""
+    from pupiloptixlab_tpu.utils.math import Transform
+
+    cam = Camera(
+        CameraDesc(
+            fov_y=scene.sensor.fov,
+            aspect_ratio=scene.sensor.film.w / scene.sensor.film.h,
+            near_clip=scene.sensor.near_clip,
+            far_clip=scene.sensor.far_clip,
+            to_world=Transform(scene.sensor.transform.matrix),
+        )
+    )
+    return camera_block(cam)
+
+
+def camera_block(cam: Camera) -> CameraBlock:
+    return CameraBlock(
+        sample_to_camera=jnp.asarray(cam.sample_to_camera),
+        camera_to_world=jnp.asarray(cam.to_world),
+    )

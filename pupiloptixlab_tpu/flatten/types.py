@@ -1,0 +1,165 @@
+"""Device-side scene data model: static-shape structure-of-arrays pytrees.
+
+This is the TPU replacement for the reference's GPU-resident objects:
+
+* ``TextureTable``  <- cuda::Texture / CudaTextureManager (cuda/texture.h):
+  a dense descriptor table + one flat pixel pool (software sampling
+  replaces hardware texture units).
+* ``MaterialTable`` <- optix::material::Material + the SBT direct-callable
+  dispatch (render/material/optix_material.h): dense per-material params
+  with texture-slot ids; shading dispatches branchlessly on ``mtype``.
+* ``TriSoup`` / ``Spheres`` <- GAS/IAS + per-RenderObject HitGroupData:
+  world-space flattened primitives with per-primitive material/emitter ids
+  (instead of instance transforms + SBT record offsets).
+* ``EmitterTable`` <- optix::EmitterGroup (render/emitter.h) with the same
+  per-triangle area-light flattening and selection CDF.
+* ``CameraBlock``  <- optix::Camera (render/camera.h).
+
+All leaves are jnp arrays with shapes fixed per scene (padded), so one jit
+trace serves every frame. Static metadata lives in ``RenderConfig``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+
+import jax
+import jax.numpy as jnp
+
+
+def _register(cls):
+    data = [f.name for f in fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=data, meta_fields=[])
+    return cls
+
+
+# Texture slot assignments within MaterialTable.tex (column index):
+SLOT_REFLECTANCE = 0        # diffuse reflectance / plastic diffuse
+SLOT_SPECULAR = 1           # specular reflectance
+SLOT_TRANSMITTANCE = 2      # specular transmittance
+SLOT_ETA = 3                # conductor eta (rgb)
+SLOT_K = 4                  # conductor k (rgb)
+SLOT_ALPHA = 5              # roughness
+N_SLOTS = 6
+
+
+@_register
+@dataclass
+class TextureTable:
+    kind: jnp.ndarray          # (K,) i32: 0 rgb, 1 checkerboard, 2 bitmap
+    rgb: jnp.ndarray           # (K,3) f32: rgb color / checker patch1
+    patch2: jnp.ndarray        # (K,3) f32: checker patch2
+    uv_transform: jnp.ndarray  # (K,2,3) f32: [u';v'] = M @ [u,v,1]
+    offset: jnp.ndarray        # (K,) i32 into pool
+    width: jnp.ndarray         # (K,) i32
+    height: jnp.ndarray        # (K,) i32
+    filter_mode: jnp.ndarray   # (K,) i32: 0 point, 1 linear
+    address_mode: jnp.ndarray  # (K,) i32: 0 wrap, 1 clamp, 2 mirror
+    pool: jnp.ndarray          # (P,3) f32 pixel pool (row-major per image)
+
+
+@_register
+@dataclass
+class MaterialTable:
+    mtype: jnp.ndarray      # (M,) i32 (MatType)
+    twosided: jnp.ndarray   # (M,) bool
+    tex: jnp.ndarray        # (M, N_SLOTS) i32 texture ids
+    eta: jnp.ndarray        # (M,) f32 int_ior/ext_ior
+    int_fdr: jnp.ndarray    # (M,) f32 internal diffuse fresnel reflectance
+    ssw: jnp.ndarray        # (M,) f32 specular sampling weight
+    nonlinear: jnp.ndarray  # (M,) bool
+
+
+@_register
+@dataclass
+class TriSoup:
+    p0: jnp.ndarray  # (T,3) world-space positions
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+    n0: jnp.ndarray  # (T,3) world-space shading normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray  # (T,2)
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    mat_id: jnp.ndarray      # (T,) i32
+    emitter_id: jnp.ndarray  # (T,) i32; -1 = not an emitter
+
+
+@_register
+@dataclass
+class Spheres:
+    o2w: jnp.ndarray  # (S,3,4) object(unit sphere)->world
+    w2o: jnp.ndarray  # (S,3,4)
+    mat_id: jnp.ndarray
+    emitter_id: jnp.ndarray
+    flip_normal: jnp.ndarray  # (S,) bool
+
+
+@_register
+@dataclass
+class EmitterTable:
+    """Area emitters (triangles + spheres) + the environment emitter."""
+
+    etype: jnp.ndarray    # (E,) i32: 0 tri-area, 1 sphere
+    v0p: jnp.ndarray      # (E,3); sphere: world center
+    v1p: jnp.ndarray
+    v2p: jnp.ndarray
+    v0n: jnp.ndarray      # (E,3)
+    v1n: jnp.ndarray
+    v2n: jnp.ndarray
+    v0t: jnp.ndarray      # (E,2)
+    v1t: jnp.ndarray
+    v2t: jnp.ndarray
+    radius: jnp.ndarray        # (E,) sphere radius
+    area: jnp.ndarray          # (E,)
+    select_prob: jnp.ndarray   # (E,)
+    select_cdf: jnp.ndarray    # (E,) inclusive cumsum of select_prob
+    radiance_tex: jnp.ndarray  # (E,) i32
+
+    # environment emitter (scalars / small arrays; zero-size if none)
+    env_type: jnp.ndarray       # () i32: 0 none, 1 const, 2 envmap
+    env_color: jnp.ndarray      # (3,)
+    env_center: jnp.ndarray     # (3,) scene aabb center
+    env_to_world: jnp.ndarray   # (3,3)
+    env_to_local: jnp.ndarray   # (3,3)
+    env_radiance_tex: jnp.ndarray  # () i32
+    env_row_cdf: jnp.ndarray    # (H+1,)
+    env_col_cdf: jnp.ndarray    # (H, W+1)
+    env_row_weight: jnp.ndarray  # (H,)
+    env_normalization: jnp.ndarray  # () f32
+    env_scale: jnp.ndarray      # () f32
+    env_select_prob: jnp.ndarray  # () f32
+
+
+@_register
+@dataclass
+class CameraBlock:
+    sample_to_camera: jnp.ndarray  # (4,4)
+    camera_to_world: jnp.ndarray   # (4,4)
+
+
+@_register
+@dataclass
+class SceneData:
+    tris: TriSoup
+    spheres: Spheres
+    materials: MaterialTable
+    textures: TextureTable
+    emitters: EmitterTable
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static (trace-time) render settings — hashable jit companion."""
+
+    width: int
+    height: int
+    max_depth: int = 2
+    accumulate: bool = True
+    spp_per_pass: int = 1
+    tri_count: int = 0       # valid (unpadded) triangle count
+    sphere_count: int = 0
+    emitter_count: int = 0
+    has_env: bool = False
+    env_size: tuple[int, int] = (0, 0)  # (w, h) of the env map

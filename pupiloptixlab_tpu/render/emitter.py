@@ -1,0 +1,258 @@
+"""Device emitter sampling/eval over the flattened EmitterTable.
+
+Parity: render/emitter.h + emitter/{area,sphere,env}.h —
+
+* selection by per-emitter probability CDF with environment fallback
+  (EmitterGroup::SelectOneEmiiter, emitter.h:104-137) as a searchsorted,
+* TriArea / Sphere SampleDirect & Eval with solid-angle pdf
+  d^2 / (cos_theta_L * A) (area.h / sphere.h),
+* env-map importance sampling over row/col CDFs (env.h:24-64) with the
+  linear scans replaced by vectorized searchsorted, and ConstEnv uniform-
+  hemisphere sampling (env.h:67-86).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+
+import jax
+import jax.numpy as jnp
+
+from pupiloptixlab_tpu.flatten.types import EmitterTable, RenderConfig, TextureTable
+from pupiloptixlab_tpu.render.sampling import (
+    MAX_DISTANCE,
+    dot,
+    length,
+    luminance,
+    normalize,
+    sphere_texcoord,
+    to_world,
+    uniform_hemisphere_pdf,
+    uniform_sample_hemisphere,
+    uniform_sample_sphere,
+    uniform_sample_triangle,
+)
+from pupiloptixlab_tpu.render.texture import sample_texture
+
+
+def _register(cls):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=[f.name for f in fields(cls)], meta_fields=[]
+    )
+    return cls
+
+
+@_register
+@dataclass
+class EmitterSample:
+    """EmitterSampleRecord analog (per-lane)."""
+
+    wi: jnp.ndarray        # (N,3) direction toward the light
+    distance: jnp.ndarray  # (N,)
+    radiance: jnp.ndarray  # (N,3)
+    pdf: jnp.ndarray       # (N,) solid-angle pdf (0 when invalid)
+    select_prob: jnp.ndarray  # (N,)
+    is_delta: jnp.ndarray  # (N,) bool
+
+
+def select_emitter(em: EmitterTable, config: RenderConfig, u: jnp.ndarray):
+    """CDF walk: first i with u <= cdf[i]; env if beyond all areas.
+
+    Returns (index (N,) into areas, use_env (N,) bool, select_prob (N,)).
+    """
+    n_area = config.emitter_count
+    if n_area == 0:
+        idx = jnp.zeros_like(u, jnp.int32)
+        use_env = jnp.ones_like(u, bool) if config.has_env else jnp.zeros_like(u, bool)
+        prob = jnp.broadcast_to(em.env_select_prob, u.shape)
+        return idx, use_env, prob
+    cdf = em.select_cdf[:n_area]
+    idx = jnp.searchsorted(cdf, u, side="left").astype(jnp.int32)
+    overflow = idx >= n_area
+    if config.has_env:
+        use_env = overflow
+        idx = jnp.minimum(idx, n_area - 1)
+        prob = jnp.where(use_env, em.env_select_prob, em.select_prob[idx])
+    else:
+        use_env = jnp.zeros_like(overflow)
+        idx = jnp.minimum(idx, n_area - 1)
+        prob = em.select_prob[idx]
+    return idx, use_env, prob
+
+
+def sample_direct(
+    em: EmitterTable,
+    tex: TextureTable,
+    config: RenderConfig,
+    idx: jnp.ndarray,
+    use_env: jnp.ndarray,
+    select_prob: jnp.ndarray,
+    hit_pos: jnp.ndarray,
+    hit_normal: jnp.ndarray,
+    u1: jnp.ndarray,
+    u2: jnp.ndarray,
+) -> EmitterSample:
+    n = hit_pos.shape[0]
+    etype = em.etype[idx]
+
+    # --- triangle area emitter (area.h:17-35) -------------------------------
+    bary = uniform_sample_triangle(u1, u2)
+    pos_tri = (
+        em.v0p[idx] * bary[:, 0:1]
+        + em.v1p[idx] * bary[:, 1:2]
+        + em.v2p[idx] * bary[:, 2:3]
+    )
+    nrm_tri = normalize(
+        em.v0n[idx] * bary[:, 0:1]
+        + em.v1n[idx] * bary[:, 1:2]
+        + em.v2n[idx] * bary[:, 2:3]
+    )
+    uv_tri = (
+        em.v0t[idx] * bary[:, 0:1]
+        + em.v1t[idx] * bary[:, 1:2]
+        + em.v2t[idx] * bary[:, 2:3]
+    )
+
+    # --- sphere emitter (sphere.h:15-33) -------------------------------------
+    sph_dir = uniform_sample_sphere(u1, u2)
+    pos_sph = sph_dir * em.radius[idx][:, None] + em.v0p[idx]
+    nrm_sph = sph_dir
+    uv_sph = sphere_texcoord(sph_dir)
+
+    pos = jnp.where((etype == 0)[:, None], pos_tri, pos_sph)
+    nrm = jnp.where((etype == 0)[:, None], nrm_tri, nrm_sph)
+    uv = jnp.where((etype == 0)[:, None], uv_tri, uv_sph)
+
+    radiance = sample_texture(tex, em.radiance_tex[idx], uv)
+    delta = pos - hit_pos
+    dist = length(delta)
+    wi = delta / jnp.maximum(dist, 1e-20)[:, None]
+    nol = dot(hit_normal, wi)
+    lnol = dot(nrm, -wi)
+    valid = (nol > 0.0) & (lnol > 0.0)
+    pdf = jnp.where(
+        valid,
+        dist * dist / jnp.maximum(lnol * em.area[idx], 1e-20),
+        0.0,
+    )
+
+    # --- environment ----------------------------------------------------------
+    if config.has_env:
+        env = _env_sample_direct(em, tex, config, hit_pos, hit_normal, u1, u2)
+        use = use_env[:, None]
+        wi = jnp.where(use, env["wi"], wi)
+        dist = jnp.where(use_env, env["distance"], dist)
+        radiance = jnp.where(use, env["radiance"], radiance)
+        pdf = jnp.where(use_env, env["pdf"], pdf)
+
+    return EmitterSample(
+        wi=wi,
+        distance=dist,
+        radiance=radiance,
+        pdf=pdf,
+        select_prob=select_prob,
+        is_delta=jnp.zeros(n, bool),
+    )
+
+
+def _env_sample_direct(em, tex, config, hit_pos, hit_normal, u1, u2):
+    w, h = config.env_size
+    if w == 0:  # const env (env.h:69-79)
+        local = uniform_sample_hemisphere(u1, u2)
+        wi = to_world(local, hit_normal)
+        return {
+            "wi": wi,
+            "distance": jnp.full(u1.shape, MAX_DISTANCE, jnp.float32),
+            "radiance": jnp.broadcast_to(em.env_color, (u1.shape[0], 3)),
+            "pdf": uniform_hemisphere_pdf(local),
+        }
+    # env-map (env.h:24-48): CDF walks -> searchsorted
+    row = jnp.searchsorted(em.env_row_cdf, u1, side="left").astype(jnp.int32)
+    row = jnp.clip(row, 0, h)  # reference loop can land on h
+    row_c = jnp.clip(row, 0, h - 1)
+    col = jax.vmap(
+        lambda r, x: jnp.searchsorted(em.env_col_cdf[r], x, side="left")
+    )(row_c, u2).astype(jnp.int32)
+    col = jnp.clip(col, 0, w - 1)
+
+    phi = col.astype(jnp.float32) * (2.0 * jnp.pi / w)
+    theta = row.astype(jnp.float32) * (jnp.pi / h)
+    sin_t = jnp.sin(theta)
+    local_wi = jnp.stack(
+        [sin_t * jnp.sin(jnp.pi - phi), jnp.cos(theta), sin_t * jnp.cos(jnp.pi - phi)],
+        axis=-1,
+    )
+    wi = local_wi @ em.env_to_world.T
+    uv = jnp.stack([phi * 0.5 / jnp.pi, theta / jnp.pi], axis=-1)
+    rad_id = jnp.broadcast_to(em.env_radiance_tex, u1.shape).astype(jnp.int32)
+    radiance = sample_texture(tex, rad_id, uv) * em.env_scale
+    pdf = (
+        luminance(radiance)
+        * em.env_row_weight[row_c]
+        * em.env_normalization
+        / jnp.maximum(jnp.abs(sin_t), 1e-4)
+    )
+    pdf = jnp.maximum(pdf, 0.0)
+    return {
+        "wi": wi,
+        "distance": jnp.full(u1.shape, MAX_DISTANCE, jnp.float32),
+        "radiance": radiance,
+        "pdf": pdf,
+    }
+
+
+def eval_hit_emitter(
+    em: EmitterTable,
+    tex: TextureTable,
+    emitter_id: jnp.ndarray,
+    hit_pos: jnp.ndarray,
+    hit_normal: jnp.ndarray,
+    hit_uv: jnp.ndarray,
+    scatter_pos: jnp.ndarray,
+):
+    """Area-emitter Eval at a BSDF-sampled hit (area.h:37-46 dispatch);
+    returns (radiance (N,3), pdf (N,)). Valid only where emitter_id >= 0."""
+    idx = jnp.maximum(emitter_id, 0)
+    dir_to_scatter = normalize(scatter_pos - hit_pos)
+    lnol = dot(hit_normal, dir_to_scatter)
+    dist = length(scatter_pos - hit_pos)
+    pdf = jnp.where(
+        lnol > 0.0, dist * dist / jnp.maximum(lnol * em.area[idx], 1e-20), 0.0
+    )
+    radiance = sample_texture(tex, em.radiance_tex[idx], hit_uv)
+    ok = emitter_id >= 0
+    return jnp.where(ok[:, None], radiance, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+def eval_env(
+    em: EmitterTable,
+    tex: TextureTable,
+    config: RenderConfig,
+    ray_dir: jnp.ndarray,
+):
+    """Environment Eval along escaped rays (env.h:51-64 / env.h:81-85);
+    returns (radiance (N,3), pdf (N,))."""
+    n = ray_dir.shape[0]
+    if not config.has_env:
+        return jnp.zeros((n, 3), jnp.float32), jnp.zeros(n, jnp.float32)
+    w, h = config.env_size
+    if w == 0:  # const env
+        rad = jnp.broadcast_to(em.env_color, (n, 3))
+        return rad, jnp.full(n, 0.25 / jnp.pi, jnp.float32)
+    d = ray_dir @ em.env_to_local.T
+    phi = jnp.pi - jnp.arctan2(d[:, 0], d[:, 2])
+    theta = jnp.arccos(jnp.clip(d[:, 1], -1.0, 1.0))
+    uv = jnp.stack([phi * 0.5 / jnp.pi, theta / jnp.pi], axis=-1)
+    rad_id = jnp.broadcast_to(em.env_radiance_tex, (n,)).astype(jnp.int32)
+    radiance = sample_texture(tex, rad_id, uv) * em.env_scale
+    rowf = uv[:, 1] * h
+    row = jnp.clip(rowf.astype(jnp.int32), 0, h - 2)
+    frac = rowf - row.astype(jnp.float32)
+    weight = em.env_row_weight[row] * (1.0 - frac) + em.env_row_weight[row + 1] * frac
+    pdf = (
+        luminance(radiance)
+        * weight
+        * em.env_normalization
+        / jnp.maximum(jnp.abs(jnp.sin(theta)), 1e-4)
+    )
+    return radiance, pdf

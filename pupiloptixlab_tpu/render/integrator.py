@@ -1,0 +1,240 @@
+"""Progressive path tracer with NEE + balance-heuristic MIS.
+
+Parity target: the flagship PT integrator of the reference
+(example/path_tracer/main.cu), re-architected from a divergent per-pixel
+megakernel into a masked fixed-stage wavefront program under one jit:
+
+generate -> intersect -> [shade + NEE shadow + bounce] x depth -> accumulate
+
+Semantics preserved exactly:
+
+* depth loop: first hit traced outside; each iteration does RR
+  (p=0.95 after depth 2, main.cu:108-111), NEE with balance MIS weighted
+  *before* multiplying in the selection probability (main.cu:113-141),
+  BSDF sampling with throughput *= f |wi.z| / pdf (main.cu:142-160),
+  env-escape MIS (main.cu:166-169) and hit-emitter MIS with delta-lobe
+  override (main.cu:171-183).
+* primary-ray env hits add un-weighted env radiance (main.cu:84, 186).
+* first-hit emission + albedo/normal AOVs (main.cu:87-99).
+* progressive accumulation lerp 1/(n+1) (main.cu:187-193).
+* per-pixel RNG: TEA(4)-scrambled LCG streams (cuda/random.h), a fixed
+  7-draw budget per bounce so lanes advance in lockstep.
+
+Every lane carries an ``active`` mask instead of branching; dead lanes are
+masked out of contributions. The bounce loop is unrolled at trace time
+(max_depth is static), letting XLA fuse shading into the intersection
+sweeps.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pupiloptixlab_tpu.accel.intersect import intersect_any, intersect_closest
+from pupiloptixlab_tpu.flatten.types import CameraBlock, RenderConfig, SceneData
+from pupiloptixlab_tpu.render import bsdf as bsdf_mod
+from pupiloptixlab_tpu.render import emitter as emitter_mod
+from pupiloptixlab_tpu.render import rng
+from pupiloptixlab_tpu.render.camera import generate_rays
+from pupiloptixlab_tpu.render.geometry import get_local_geometry
+from pupiloptixlab_tpu.render.sampling import (
+    MAX_DISTANCE,
+    RAY_OFFSET,
+    dot,
+    is_zero,
+    mis_weight,
+    to_local,
+    to_world,
+)
+from pupiloptixlab_tpu.render.texture import sample_texture
+
+_TINY = 1e-12
+
+
+def render_sample(
+    scene: SceneData,
+    camera: CameraBlock,
+    seed: jnp.ndarray,
+    config: RenderConfig,
+):
+    """Trace one sample per pixel; returns dict of flat (N,*) buffers:
+    radiance, albedo, normal, test."""
+    w, h = config.width, config.height
+    n = w * h
+    tex = scene.textures
+    em = scene.emitters
+
+    state = rng.tea_init(jnp.arange(n, dtype=jnp.uint32), seed)
+    state, (jx, jy) = rng.next_floats(state, 2)
+    ro, rd = generate_rays(camera, w, h, jx, jy)
+
+    tmin = jnp.full(n, RAY_OFFSET, jnp.float32)
+    tmax = jnp.full(n, MAX_DISTANCE, jnp.float32)
+    hit = intersect_closest(ro, rd, tmin, tmax, scene, config)
+    geo = get_local_geometry(scene, hit, ro, rd)
+    local = bsdf_mod.get_local_bsdf(scene.materials, tex, geo.mat_id, geo.uv)
+
+    active = hit.hit_mask
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    throughput = jnp.ones((n, 3), jnp.float32)
+
+    # Primary miss -> un-weighted environment radiance (main.cu:84,196-212).
+    env_rad0, _ = emitter_mod.eval_env(em, tex, config, rd)
+    radiance = radiance + jnp.where((~active)[:, None], env_rad0, 0.0)
+
+    # First-hit emission (main.cu:87-92): GetRadiance at the hit uv.
+    is_emitter = active & (geo.emitter_id >= 0)
+    emit0 = sample_texture(
+        tex, em.radiance_tex[jnp.maximum(geo.emitter_id, 0)], geo.uv
+    )
+    radiance = radiance + jnp.where(is_emitter[:, None], emit0, 0.0)
+
+    # AOVs from the first hit (main.cu:94-99).
+    albedo_aov = jnp.where(active[:, None], bsdf_mod.albedo(local), 0.0)
+    normal_aov = jnp.where(active[:, None], geo.normal, 0.0)
+
+    # The reference writes one RNG draw to the debug AOV (main.cu:101).
+    state, test_aov = rng.next_float(state)
+
+    wo_world = -rd
+
+    for depth in range(1, config.max_depth):
+        state, us = rng.next_floats(state, 7)
+        u_rr, u_sel, u_l1, u_l2, u_b0, u_b1, u_b2 = us
+
+        # Russian roulette (main.cu:108-111).
+        rr = 0.95 if depth > 2 else 1.0
+        active = active & (u_rr <= rr)
+        throughput = jnp.where(active[:, None], throughput / rr, throughput)
+
+        # --- next-event estimation (main.cu:113-141) ------------------------
+        idx, use_env, sel_prob = emitter_mod.select_emitter(em, config, u_sel)
+        es = emitter_mod.sample_direct(
+            em, tex, config, idx, use_env, sel_prob,
+            geo.position, geo.normal, u_l1, u_l2,
+        )
+        occluded = intersect_any(
+            geo.position,
+            es.wi,
+            jnp.full(n, RAY_OFFSET, jnp.float32),
+            es.distance - RAY_OFFSET,
+            scene,
+            config,
+        )
+        wo_local = to_local(wo_world, geo.normal)
+        wi_local = to_local(es.wi, geo.normal)
+        f_nee, pdf_bsdf = bsdf_mod.evaluate(local, wo_local, wi_local)
+        nol = dot(geo.normal, es.wi)
+        nonzero = ~is_zero(f_nee * es.pdf[:, None])
+        mis = jnp.where(es.is_delta, 1.0, mis_weight(es.pdf, pdf_bsdf))
+        pdf_light = es.pdf * es.select_prob
+        contrib = (
+            throughput
+            * es.radiance
+            * f_nee
+            * (nol * mis / jnp.maximum(pdf_light, _TINY))[:, None]
+        )
+        take = active & (~occluded) & nonzero & (nol > 0.0)
+        radiance = radiance + jnp.where(take[:, None], contrib, 0.0)
+
+        # --- BSDF sampling + bounce (main.cu:142-183) -----------------------
+        wi_s, f_s, pdf_s, lobe = bsdf_mod.sample(local, wo_local, u_b0, u_b1, u_b2)
+        cos_term = jnp.abs(wi_s[:, 2])
+        bad = is_zero(f_s * cos_term[:, None]) | is_zero(pdf_s)
+        active = active & ~bad
+        weight = f_s * (cos_term / jnp.maximum(pdf_s, _TINY))[:, None]
+        throughput = jnp.where(active[:, None], throughput * weight, throughput)
+
+        new_rd = to_world(wi_s, geo.normal)
+        new_ro = geo.position
+        hit = intersect_closest(
+            new_ro, new_rd, tmin, tmax, scene, config
+        )
+        # escape -> environment MIS (main.cu:166-169)
+        env_rad, env_pdf = emitter_mod.eval_env(em, tex, config, new_rd)
+        escaped = active & ~hit.hit_mask
+        mis_env = mis_weight(pdf_s, env_pdf)
+        radiance = radiance + jnp.where(
+            escaped[:, None], throughput * env_rad * mis_env[:, None], 0.0
+        )
+        active = active & hit.hit_mask
+
+        geo = get_local_geometry(scene, hit, new_ro, new_rd)
+        local = bsdf_mod.get_local_bsdf(scene.materials, tex, geo.mat_id, geo.uv)
+        wo_world = -new_rd
+
+        # hit an emitter -> MIS-weighted emission (main.cu:171-183)
+        emit_rad, emit_pdf = emitter_mod.eval_hit_emitter(
+            em, tex, geo.emitter_id, geo.position, geo.normal, geo.uv, new_ro
+        )
+        hit_sel_prob = em.select_prob[jnp.maximum(geo.emitter_id, 0)]
+        is_delta = (lobe & bsdf_mod.LOBE_DELTA) != 0
+        mis_hit = jnp.where(
+            is_delta, 1.0, mis_weight(pdf_s, emit_pdf * hit_sel_prob)
+        )
+        take_e = active & (geo.emitter_id >= 0) & ~is_zero(emit_pdf)
+        radiance = radiance + jnp.where(
+            take_e[:, None], throughput * emit_rad * mis_hit[:, None], 0.0
+        )
+
+    return {
+        "radiance": radiance,
+        "albedo": albedo_aov,
+        "normal": normal_aov,
+        "test": test_aov,
+    }
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnames=("accum",))
+def render_frame(
+    scene: SceneData,
+    camera: CameraBlock,
+    seed: jnp.ndarray,
+    sample_cnt: jnp.ndarray,
+    accum: jnp.ndarray,
+    config: RenderConfig,
+):
+    """One progressive frame: trace + accumulate (main.cu:187-193).
+
+    Returns (accum', buffers) where buffers holds the displayable AOVs.
+    """
+    out = render_sample(scene, camera, seed, config)
+    radiance = out["radiance"]
+    if config.accumulate:
+        t = 1.0 / (sample_cnt.astype(jnp.float32) + 1.0)
+        blended = accum + (radiance - accum) * t
+        new_accum = jnp.where(sample_cnt > 0, blended, radiance)
+    else:
+        new_accum = radiance
+    buffers = {
+        "frame": new_accum,
+        "albedo": out["albedo"],
+        "normal": out["normal"],
+        "test": out["test"],
+    }
+    return new_accum, buffers
+
+
+def render(
+    scene: SceneData,
+    camera: CameraBlock,
+    config: RenderConfig,
+    spp: int,
+    seed0: int = 0,
+):
+    """Render ``spp`` progressive samples; returns (h, w, 3) radiance."""
+    n = config.width * config.height
+    accum = jnp.zeros((n, 3), jnp.float32)
+    for s in range(spp):
+        accum, _ = render_frame(
+            scene,
+            camera,
+            jnp.uint32(seed0 + s),
+            jnp.int32(s),
+            accum,
+            config,
+        )
+    return accum.reshape(config.height, config.width, 3)
