@@ -238,7 +238,12 @@ def eval_env(
     w, h = config.env_size
     if w == 0:  # const env
         rad = jnp.broadcast_to(em.env_color, (n, 3))
-        return rad, jnp.full(n, 0.25 / jnp.pi, jnp.float32)
+        # Deviation from the reference: env.h:81-85 reports 1/4pi here while
+        # SampleDirect draws from the cosine-hemisphere's uniform half (1/2pi,
+        # env.h:69-79). The mismatch makes balance-MIS weights sum to >1
+        # (white furnace converges to ~1.15). We report the true sampling
+        # density so the estimator is energy-conserving.
+        return rad, jnp.full(n, 0.5 / jnp.pi, jnp.float32)
     d = ray_dir @ em.env_to_local.T
     phi = jnp.pi - jnp.arctan2(d[:, 0], d[:, 2])
     theta = jnp.arccos(jnp.clip(d[:, 1], -1.0, 1.0))
