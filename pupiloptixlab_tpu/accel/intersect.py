@@ -138,6 +138,51 @@ def _sphere_tests(ro, rd, scene: SceneData, tmin, tmax):
     return jnp.where(hit, t, MAX_DISTANCE), hit
 
 
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _recompute_barycentrics(ro, rd, idx, scene: SceneData):
+    """One Moller-Trumbore re-test of the winning triangle per ray —
+    cheaper than carrying u/v through the sweep."""
+    safe = jnp.maximum(idx, 0)
+    row = scene.tris.packed[safe]  # (N,12)
+    p0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+    pvec = jnp.cross(rd, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv = 1.0 / jnp.where(jnp.abs(det) < _DET_EPS, _DET_EPS, det)
+    tvec = ro - p0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(rd * qvec, axis=-1) * inv
+    return u, v
+
+
+def _sweep_tris_pallas(ro, rd, tmin, tmax, scene: SceneData):
+    from pupiloptixlab_tpu.accel.pallas_intersect import LANES, sweep_triangles
+
+    n = ro.shape[0]
+    block = LANES * 8
+    pad = (-n) % block
+    if pad:
+        zero3 = jnp.zeros((pad, 3), jnp.float32)
+        ro = jnp.concatenate([ro, zero3], 0)
+        rd = jnp.concatenate([rd, zero3], 0)
+        tmin = jnp.concatenate([tmin, jnp.zeros(pad, jnp.float32)], 0)
+        tmax = jnp.concatenate([tmax, jnp.zeros(pad, jnp.float32)], 0)
+    t, idx = sweep_triangles(ro, rd, tmin, tmax, scene.tris.packed, tc=64)
+    t, idx = t[:n], idx[:n]
+    u, v = _recompute_barycentrics(ro[:n], rd[:n], idx, scene)
+    hit = idx >= 0
+    return (
+        jnp.where(hit, t, MAX_DISTANCE),
+        jnp.where(hit, idx, 0),
+        jnp.where(hit, 0, -1),
+        jnp.where(hit, u, 0.0),
+        jnp.where(hit, v, 0.0),
+    )
+
+
 def intersect_closest(
     ro: jnp.ndarray,
     rd: jnp.ndarray,
@@ -153,7 +198,11 @@ def intersect_closest(
     best_u = jnp.zeros(n, jnp.float32)
     best_v = jnp.zeros(n, jnp.float32)
 
-    if config.tri_count > 0:
+    if config.tri_count > 0 and _use_pallas():
+        best_t, best_prim, best_kind, best_u, best_v = _sweep_tris_pallas(
+            ro, rd, tmin, tmax, scene
+        )
+    elif config.tri_count > 0:
         best_t, best_prim, best_kind, best_u, best_v = _sweep_tris(
             ro, rd, tmin, tmax, scene, best_t, best_prim, best_kind, best_u, best_v
         )

@@ -218,7 +218,7 @@ def _round_up(n: int, m: int) -> int:
     return max(((n + m - 1) // m) * m, m)
 
 
-def flatten_scene(scene: Scene, pad_tris_to: int = 8) -> tuple[SceneData, RenderConfig]:
+def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, RenderConfig]:
     textures = _TextureBuilder()
     materials = _MaterialBuilder(textures)
 
@@ -429,7 +429,15 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 8) -> tuple[SceneData, Render
         out[: a.shape[0]] = a
         return out
 
+    p0_np = pad_rows(cat3("p0"), t_pad, 3)
+    p1_np = pad_rows(cat3("p1"), t_pad, 3)
+    p2_np = pad_rows(cat3("p2"), t_pad, 3)
+    packed = np.concatenate(
+        [p0_np, p1_np - p0_np, p2_np - p0_np, np.zeros((t_pad, 3), np.float32)],
+        axis=1,
+    )
     tris = TriSoup(
+        packed=jnp.asarray(packed),
         p0=jnp.asarray(pad_rows(cat3("p0"), t_pad, 3)),
         p1=jnp.asarray(pad_rows(cat3("p1"), t_pad, 3)),
         p2=jnp.asarray(pad_rows(cat3("p2"), t_pad, 3)),
@@ -534,6 +542,9 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 8) -> tuple[SceneData, Render
         emitter_count=n_area,
         has_env=env is not None,
         env_size=env_size,
+        mat_types=tuple(sorted(set(materials.mtype))),
+        tex_kinds=tuple(sorted(set(textures.kind))),
+        has_sphere_emitter=any(t == 1 for t in e["etype"]),
     )
     return data, config
 

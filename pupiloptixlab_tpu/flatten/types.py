@@ -73,6 +73,7 @@ class MaterialTable:
 @_register
 @dataclass
 class TriSoup:
+    packed: jnp.ndarray  # (T,12) [p0, e1, e2, pad] rows for the Pallas sweep
     p0: jnp.ndarray  # (T,3) world-space positions
     p1: jnp.ndarray
     p2: jnp.ndarray
@@ -163,3 +164,9 @@ class RenderConfig:
     emitter_count: int = 0
     has_env: bool = False
     env_size: tuple[int, int] = (0, 0)  # (w, h) of the env map
+    # Scene-specialization sets: the integrator only emits code for the
+    # material types / texture kinds that actually occur, which shrinks
+    # the compiled program dramatically (the SBT-specialization analog).
+    mat_types: tuple[int, ...] = tuple(range(1, 8))
+    tex_kinds: tuple[int, ...] = (0, 1, 2)
+    has_sphere_emitter: bool = True

@@ -2,11 +2,15 @@
 
 Parity: render/material/bsdf/*.h + optix_material.h in the reference, with
 the OptiX SBT/direct-callable dispatch (``optixDirectCall`` per material)
-replaced by masked evaluation over the material-type lanes — every BSDF is
-evaluated on the VPU and the per-lane result selected by ``mtype``. The
-convention matches bsdf/bsdf.h:7-43: local shading frame (z-up),
-``wo`` = toward viewer, ``wi`` = sampled/incident, ``f`` excludes the
-cosine (the integrator multiplies by |wi.z|).
+replaced by masked evaluation over the material-type lanes — every present
+BSDF is evaluated on the VPU and the per-lane result selected by
+``mtype``. The convention matches bsdf/bsdf.h:7-43: local shading frame
+(z-up), ``wo`` = toward viewer, ``wi`` = sampled/incident, ``f`` excludes
+the cosine (the integrator multiplies by |wi.z|).
+
+Scene specialization (the SBT analog): ``mat_types`` — recorded by the
+flattener — restricts code generation to the material types that occur,
+so a diffuse-only scene compiles no GGX/Fresnel code at all.
 
 Sampling draws a fixed budget of 3 uniforms per lane (u_lobe, u1, u2) so
 all lanes advance their RNG streams in lockstep.
@@ -31,7 +35,6 @@ from pupiloptixlab_tpu.flatten.types import (
 )
 from pupiloptixlab_tpu.render import fresnel, ggx
 from pupiloptixlab_tpu.render.sampling import (
-    cosine_hemisphere_pdf,
     cosine_sample_hemisphere,
     dot,
     normalize,
@@ -45,6 +48,7 @@ from pupiloptixlab_tpu.render.texture import sample_texture
 # Material type ids (must match scene.materials.MatType).
 DIFFUSE, DIELECTRIC, ROUGH_DIELECTRIC = 1, 2, 3
 CONDUCTOR, ROUGH_CONDUCTOR, PLASTIC, ROUGH_PLASTIC = 4, 5, 6, 7
+ALL_TYPES = (1, 2, 3, 4, 5, 6, 7)
 
 # Lobe flags (bsdf/bsdf.h EBsdfLobeType).
 LOBE_NONE = 0
@@ -87,18 +91,36 @@ class LocalBsdf:
 
 
 def get_local_bsdf(
-    materials: MaterialTable, textures: TextureTable, mat_id: jnp.ndarray, uv: jnp.ndarray
+    materials: MaterialTable,
+    textures: TextureTable,
+    mat_id: jnp.ndarray,
+    uv: jnp.ndarray,
+    mat_types: tuple[int, ...] = ALL_TYPES,
+    tex_kinds: tuple[int, ...] = (0, 1, 2),
 ) -> LocalBsdf:
+    n = mat_id.shape[0]
     tex_ids = materials.tex[mat_id]  # (N, N_SLOTS)
+    zeros3 = jnp.zeros((n, 3), jnp.float32)
+
+    def slot(idx, needed_by):
+        if any(t in mat_types for t in needed_by):
+            return sample_texture(textures, tex_ids[:, idx], uv, tex_kinds)
+        return zeros3
+
+    need_alpha = (ROUGH_DIELECTRIC, ROUGH_CONDUCTOR, ROUGH_PLASTIC)
     return LocalBsdf(
         mtype=materials.mtype[mat_id],
         twosided=materials.twosided[mat_id],
-        reflectance=sample_texture(textures, tex_ids[:, SLOT_REFLECTANCE], uv),
-        specular=sample_texture(textures, tex_ids[:, SLOT_SPECULAR], uv),
-        transmittance=sample_texture(textures, tex_ids[:, SLOT_TRANSMITTANCE], uv),
-        eta3=sample_texture(textures, tex_ids[:, SLOT_ETA], uv),
-        k3=sample_texture(textures, tex_ids[:, SLOT_K], uv),
-        alpha=sample_texture(textures, tex_ids[:, SLOT_ALPHA], uv)[:, 0],
+        reflectance=slot(SLOT_REFLECTANCE, (DIFFUSE, PLASTIC, ROUGH_PLASTIC)),
+        specular=slot(SLOT_SPECULAR, ALL_TYPES),
+        transmittance=slot(SLOT_TRANSMITTANCE, (DIELECTRIC, ROUGH_DIELECTRIC)),
+        eta3=slot(SLOT_ETA, (CONDUCTOR, ROUGH_CONDUCTOR)),
+        k3=slot(SLOT_K, (CONDUCTOR, ROUGH_CONDUCTOR)),
+        alpha=(
+            sample_texture(textures, tex_ids[:, SLOT_ALPHA], uv, tex_kinds)[:, 0]
+            if any(t in mat_types for t in need_alpha)
+            else jnp.zeros(n, jnp.float32)
+        ),
         eta=materials.eta[mat_id],
         int_fdr=materials.int_fdr[mat_id],
         ssw=materials.ssw[mat_id],
@@ -121,6 +143,10 @@ def _safe_div(a, d):
     return a / jnp.where(jnp.abs(d) < _TINY, jnp.where(d < 0, -_TINY, _TINY), d)
 
 
+def _cos_pdf(wi_z):
+    return jnp.where(wi_z > 0.0, wi_z / jnp.pi, 0.0)
+
+
 def _spec_prob(b: LocalBsdf, f_o):
     """Plastic lobe-selection probability (plastic.h:47-51)."""
     num = f_o * b.ssw
@@ -130,62 +156,64 @@ def _spec_prob(b: LocalBsdf, f_o):
 
 def _plastic_diff(b: LocalBsdf, f_i, f_o, wi_z):
     """Plastic diffuse term with internal-scattering compensation
-    (plastic.h:38-39); includes cosine-pdf/ wi.z = 1/pi factor."""
+    (plastic.h:38-39); includes the cosine-pdf/wi.z = 1/pi factor."""
     denom = 1.0 - jnp.where(
         b.nonlinear[:, None], b.reflectance * b.int_fdr[:, None], b.int_fdr[:, None]
     )
     diff = b.reflectance / jnp.maximum(denom, _TINY)
-    scale = (1.0 - f_i) * (1.0 - f_o) * cosine_hemisphere_pdf_safe(wi_z) / (
+    scale = (1.0 - f_i) * (1.0 - f_o) * _cos_pdf(wi_z) / (
         jnp.maximum(b.eta, _TINY) ** 2 * jnp.maximum(wi_z, _TINY)
     )
     return diff * scale[:, None]
 
 
-def cosine_hemisphere_pdf_safe(wi_z):
-    return jnp.where(wi_z > 0.0, wi_z / jnp.pi, 0.0)
-
-
 # ---------------------------------------------------------------------------
-# eval: f(wo, wi) and pdf(wo, wi) for NEE (GetBsdf + GetPdf per material)
+# per-type eval: f(wo, wi) and pdf(wo, wi) — GetBsdf + GetPdf
 # ---------------------------------------------------------------------------
 
-def evaluate(b: LocalBsdf, wo: jnp.ndarray, wi: jnp.ndarray):
-    """Returns (f (N,3), pdf (N,)). Delta materials return zeros."""
+def _eval_diffuse(b, wo, wi):
+    upper = (wi[:, 2] > 0.0) & (wo[:, 2] > 0.0)
+    f = jnp.where(upper[:, None], b.reflectance / jnp.pi, 0.0)
+    pdf = jnp.where(upper, _cos_pdf(wi[:, 2]), 0.0)
+    return f, pdf
+
+
+def _eval_rough_conductor(b, wo, wi):
+    """rough_conductor.h:20-38."""
     wiz, woz = wi[:, 2], wo[:, 2]
     upper = (wiz > 0.0) & (woz > 0.0)
-
-    # diffuse (diffuse.h:14-27)
-    f_diffuse = jnp.where(upper[:, None], b.reflectance / jnp.pi, 0.0)
-    pdf_diffuse = jnp.where(upper, cosine_hemisphere_pdf_safe(wiz), 0.0)
-
-    # rough conductor (rough_conductor.h:20-38)
     wh = normalize(wi + wo)
-    fr_cond = fresnel.conductor_reflectance_rgb(b.eta3, b.k3, dot(wo, wh))
-    d_val = ggx.d(wh, b.alpha)
-    g_val = ggx.g(wi, wo, b.alpha)
-    f_rc = b.specular * (d_val * g_val)[:, None] * fr_cond / jnp.maximum(
-        4.0 * wiz * woz, _TINY
-    )[:, None]
-    pdf_rc = ggx.pdf(wo, wh, b.alpha) / jnp.maximum(4.0 * dot(wo, wh), _TINY)
-    f_rc = jnp.where(upper[:, None], f_rc, 0.0)
-    pdf_rc = jnp.where(upper, pdf_rc, 0.0)
+    fr = fresnel.conductor_reflectance_rgb(b.eta3, b.k3, dot(wo, wh))
+    f = b.specular * (ggx.d(wh, b.alpha) * ggx.g(wi, wo, b.alpha))[:, None] * fr
+    f = f / jnp.maximum(4.0 * wiz * woz, _TINY)[:, None]
+    pdf = ggx.pdf(wo, wh, b.alpha) / jnp.maximum(4.0 * dot(wo, wh), _TINY)
+    return jnp.where(upper[:, None], f, 0.0), jnp.where(upper, pdf, 0.0)
 
-    # rough dielectric (rough_dielectric.h:21-72)
-    f_rd, pdf_rd = _rough_dielectric_eval(b, wo, wi)
 
-    # plastic (plastic.h:32-54)
+def _eval_plastic(b, wo, wi):
+    """plastic.h:32-54."""
+    wiz, woz = wi[:, 2], wo[:, 2]
+    upper = (wiz > 0.0) & (woz > 0.0)
     f_o, _ = fresnel.dielectric_reflectance(b.eta, woz)
     f_i, _ = fresnel.dielectric_reflectance(b.eta, wiz)
-    f_pl = jnp.where(upper[:, None], _plastic_diff(b, f_i, f_o, wiz), 0.0)
+    f = jnp.where(upper[:, None], _plastic_diff(b, f_i, f_o, wiz), 0.0)
     sp = _spec_prob(b, f_o)
-    pdf_pl = jnp.where(upper, cosine_hemisphere_pdf_safe(wiz) * (1.0 - sp), 0.0)
+    pdf = jnp.where(upper, _cos_pdf(wiz) * (1.0 - sp), 0.0)
+    return f, pdf
 
-    # rough plastic (rough_plastic.h:30-61)
-    fr_rp = fresnel.dielectric_reflectance(b.eta, dot(wh, wo))[0]
-    spec_rp = b.specular * (fr_rp * d_val * g_val)[:, None] / jnp.maximum(
-        4.0 * woz * wiz, _TINY
-    )[:, None]
-    diff_rp = (
+
+def _eval_rough_plastic(b, wo, wi):
+    """rough_plastic.h:30-61."""
+    wiz, woz = wi[:, 2], wo[:, 2]
+    upper = (wiz > 0.0) & (woz > 0.0)
+    f_o, _ = fresnel.dielectric_reflectance(b.eta, woz)
+    f_i, _ = fresnel.dielectric_reflectance(b.eta, wiz)
+    wh = normalize(wi + wo)
+    fr = fresnel.dielectric_reflectance(b.eta, dot(wh, wo))[0]
+    spec = b.specular * (
+        fr * ggx.d(wh, b.alpha) * ggx.g(wi, wo, b.alpha)
+    )[:, None] / jnp.maximum(4.0 * woz * wiz, _TINY)[:, None]
+    diff = (
         b.reflectance
         / jnp.maximum(
             1.0
@@ -198,26 +226,11 @@ def evaluate(b: LocalBsdf, wo: jnp.ndarray, wi: jnp.ndarray):
         )
         * ((1.0 - f_i) * (1.0 - f_o) / jnp.pi / jnp.maximum(b.eta**2, _TINY))[:, None]
     )
-    f_rp = jnp.where(upper[:, None], spec_rp + diff_rp, 0.0)
-    pdf_rp = sp * ggx.pdf(wo, wh, b.alpha) / jnp.maximum(4.0 * dot(wi, wh), _TINY)
-    pdf_rp = pdf_rp + (1.0 - sp) * cosine_hemisphere_pdf_safe(wiz)
-    pdf_rp = jnp.where(upper, pdf_rp, 0.0)
-
-    zero3 = jnp.zeros_like(f_diffuse)
-    zero = jnp.zeros_like(pdf_diffuse)
-    t = b.mtype
-    f = jnp.where((t == DIFFUSE)[:, None], f_diffuse, zero3)
-    f = jnp.where((t == ROUGH_CONDUCTOR)[:, None], f_rc, f)
-    f = jnp.where((t == ROUGH_DIELECTRIC)[:, None], f_rd, f)
-    f = jnp.where((t == PLASTIC)[:, None], f_pl, f)
-    f = jnp.where((t == ROUGH_PLASTIC)[:, None], f_rp, f)
-    pdf = jnp.where(t == DIFFUSE, pdf_diffuse, zero)
-    pdf = jnp.where(t == ROUGH_CONDUCTOR, pdf_rc, pdf)
-    pdf = jnp.where(t == ROUGH_DIELECTRIC, pdf_rd, pdf)
-    pdf = jnp.where(t == PLASTIC, pdf_pl, pdf)
-    pdf = jnp.where(t == ROUGH_PLASTIC, pdf_rp, pdf)
-    # conductor / dielectric: delta lobes -> f = 0, pdf = 0
-    return f, pdf
+    f = jnp.where(upper[:, None], spec + diff, 0.0)
+    sp = _spec_prob(b, f_o)
+    pdf = sp * ggx.pdf(wo, wh, b.alpha) / jnp.maximum(4.0 * dot(wi, wh), _TINY)
+    pdf = pdf + (1.0 - sp) * _cos_pdf(wiz)
+    return f, jnp.where(upper, pdf, 0.0)
 
 
 def _rough_dielectric_wh(b, wo, wi):
@@ -230,7 +243,8 @@ def _rough_dielectric_wh(b, wo, wi):
     return wh, reflect_side, eta_w
 
 
-def _rough_dielectric_eval(b, wo, wi):
+def _eval_rough_dielectric(b, wo, wi):
+    """rough_dielectric.h:21-72."""
     wiz, woz = wi[:, 2], wo[:, 2]
     wh, reflect_side, eta_w = _rough_dielectric_wh(b, wo, wi)
 
@@ -257,7 +271,6 @@ def _rough_dielectric_eval(b, wo, wi):
     f = jnp.where(reflect_side[:, None], f_reflect, f_transmit)
     f = jnp.where((jnp.abs(woz) < 1e-6)[:, None], 0.0, f)
 
-    # pdf (rough_dielectric.h:51-72)
     dwh_dwo_r = 1.0 / jnp.where(jnp.abs(4.0 * idoth) < _TINY, _TINY, 4.0 * idoth)
     dwh_dwo_t = (eta_w**2 * idoth) / jnp.where(
         sqrt_denom**2 < _TINY, _TINY, sqrt_denom**2
@@ -272,202 +285,162 @@ def _rough_dielectric_eval(b, wo, wi):
     return f, pdf
 
 
-# ---------------------------------------------------------------------------
-# sample: (wi, f, pdf, lobe) given 3 uniforms
-# ---------------------------------------------------------------------------
+_EVAL_FNS = {
+    DIFFUSE: _eval_diffuse,
+    ROUGH_CONDUCTOR: _eval_rough_conductor,
+    ROUGH_DIELECTRIC: _eval_rough_dielectric,
+    PLASTIC: _eval_plastic,
+    ROUGH_PLASTIC: _eval_rough_plastic,
+    # conductor / dielectric: delta lobes -> f = 0, pdf = 0 (no entry)
+}
 
-def sample(b: LocalBsdf, wo: jnp.ndarray, u_lobe, u1, u2):
-    """Returns (wi (N,3), f (N,3), pdf (N,), lobe (N,) i32)."""
-    woz = wo[:, 2]
+
+def evaluate(b: LocalBsdf, wo, wi, mat_types: tuple[int, ...] = ALL_TYPES):
+    """Returns (f (N,3), pdf (N,)). Delta materials return zeros."""
     n = wo.shape[0]
-    t = b.mtype
+    f = jnp.zeros((n, 3), jnp.float32)
+    pdf = jnp.zeros(n, jnp.float32)
+    present = [t for t in mat_types if t in _EVAL_FNS]
+    if len(present) == 1 and len(mat_types) == 1:
+        return _EVAL_FNS[present[0]](b, wo, wi)
+    for t in present:
+        ft, pt = _EVAL_FNS[t](b, wo, wi)
+        sel = b.mtype == t
+        f = jnp.where(sel[:, None], ft, f)
+        pdf = jnp.where(sel, pt, pdf)
+    return f, pdf
 
-    # --- diffuse -----------------------------------------------------------
-    wi_dif = cosine_sample_hemisphere(u1, u2)
-    f_dif, pdf_dif = _masked_eval_single(b, wo, wi_dif, DIFFUSE)
-    lobe_dif = jnp.full(n, LOBE_DIFFUSE_REFL, jnp.int32)
 
-    # --- conductor (conductor.h:27-35) --------------------------------------
-    wi_con = reflect_z(wo)
-    fr = fresnel.conductor_reflectance_rgb(b.eta3, b.k3, woz)
-    f_con = b.specular * fr / jnp.maximum(jnp.abs(wi_con[:, 2]), _TINY)[:, None]
-    pdf_con = jnp.ones(n, jnp.float32)
-    lobe_con = jnp.full(n, LOBE_DELTA_REFL, jnp.int32)
+# ---------------------------------------------------------------------------
+# per-type sample: (wi, f, pdf, lobe) from 3 uniforms
+# ---------------------------------------------------------------------------
 
-    # --- dielectric (dielectric.h:28-44) -------------------------------------
-    f_term, cos_t = fresnel.dielectric_reflectance(b.eta, woz)
-    take_refl = u_lobe < f_term
-    wi_refl = reflect_z(wo)
-    wi_refr = refract_z(wo, cos_t, b.eta)
-    wi_die = jnp.where(take_refl[:, None], wi_refl, wi_refr)
-    factor = jnp.where(cos_t < 0.0, 1.0 / jnp.maximum(b.eta, _TINY), b.eta)
-    f_die = jnp.where(
-        take_refl[:, None],
-        b.specular * f_term[:, None],
-        b.transmittance * ((1.0 - f_term) * factor * factor)[:, None],
-    ) / jnp.maximum(jnp.abs(wi_die[:, 2]), _TINY)[:, None]
-    pdf_die = jnp.where(take_refl, f_term, 1.0 - f_term)
-    lobe_die = jnp.where(take_refl, LOBE_DELTA_REFL, LOBE_DELTA_TRANS).astype(jnp.int32)
-
-    # --- rough conductor -----------------------------------------------------
-    wh_rc = ggx.sample(wo, b.alpha, u1, u2)
-    wi_rc = reflect(wo, wh_rc)
-    f_rc, pdf_rc = _masked_eval_single(b, wo, wi_rc, ROUGH_CONDUCTOR)
-    lobe_rc = jnp.full(n, LOBE_GLOSSY_REFL, jnp.int32)
-
-    # --- rough dielectric (rough_dielectric.h:74-97) -------------------------
-    wo_up = wo * jnp.where(woz > 0.0, 1.0, -1.0)[:, None]
-    wh_rd = ggx.sample(wo_up, b.alpha, u1, u2)
-    f_rd_term, cos_t_rd = fresnel.dielectric_reflectance(b.eta, dot(wo, wh_rd))
-    take_refl_rd = u_lobe < f_rd_term
-    wi_rd_refl = reflect(wo, wh_rd)
-    wi_rd_refr = refract(wo, wh_rd, cos_t_rd, b.eta)
-    wi_rd = jnp.where(take_refl_rd[:, None], wi_rd_refl, wi_rd_refr)
-    valid_rd = jnp.where(
-        take_refl_rd,
-        True,
-        (jnp.abs(cos_t_rd) > 1e-6) & (wi_rd[:, 2] * woz < 0.0),
-    )
-    f_rd, pdf_rd = _rough_dielectric_eval(b, wo, wi_rd)
-    f_rd = jnp.where(valid_rd[:, None], f_rd, 0.0)
-    pdf_rd = jnp.where(valid_rd, pdf_rd, 0.0)
-    lobe_rd = jnp.where(take_refl_rd, LOBE_GLOSSY_REFL, LOBE_GLOSSY_TRANS).astype(
-        jnp.int32
-    )
-
-    # --- plastic (plastic.h:56-85) -------------------------------------------
-    f_o, _ = fresnel.dielectric_reflectance(b.eta, woz)
-    sp = _spec_prob(b, f_o)
-    take_spec_pl = u_lobe < sp
-    wi_pl = jnp.where(take_spec_pl[:, None], reflect_z(wo), wi_dif)
-    f_i_pl, _ = fresnel.dielectric_reflectance(b.eta, wi_pl[:, 2])
-    f_pl_spec = b.specular * f_o[:, None] / jnp.maximum(wi_pl[:, 2], _TINY)[:, None]
-    f_pl_diff = _plastic_diff(b, f_i_pl, f_o, wi_pl[:, 2])
-    f_pl = jnp.where(take_spec_pl[:, None], f_pl_spec, f_pl_diff)
-    pdf_pl = jnp.where(
-        take_spec_pl, sp, cosine_hemisphere_pdf_safe(wi_pl[:, 2]) * (1.0 - sp)
-    )
-    invalid_pl = woz <= 0.0
-    f_pl = jnp.where(invalid_pl[:, None], 0.0, f_pl)
-    pdf_pl = jnp.where(invalid_pl, 0.0, pdf_pl)
-    lobe_pl = jnp.where(take_spec_pl, LOBE_DELTA_REFL, LOBE_DIFFUSE_REFL).astype(
-        jnp.int32
-    )
-
-    # --- rough plastic (rough_plastic.h:63-86) --------------------------------
-    take_spec_rp = u_lobe < sp
-    wh_rp = ggx.sample(wo, b.alpha, u1, u2)
-    wi_rp = jnp.where(take_spec_rp[:, None], reflect(wo, wh_rp), wi_dif)
-    f_rp, pdf_rp = _masked_eval_single(b, wo, wi_rp, ROUGH_PLASTIC)
-    invalid_rp = woz <= 0.0
-    f_rp = jnp.where(invalid_rp[:, None], 0.0, f_rp)
-    pdf_rp = jnp.where(invalid_rp, 0.0, pdf_rp)
-    lobe_rp = jnp.where(take_spec_rp, LOBE_GLOSSY_REFL, LOBE_DIFFUSE_REFL).astype(
-        jnp.int32
-    )
-
-    # --- select by material type ---------------------------------------------
-    def sel(vals, default):
-        out = default
-        for mt, v in vals:
-            cond = (t == mt)
-            if out.ndim == 2:
-                cond = cond[:, None]
-            out = jnp.where(cond, v, out)
-        return out
-
-    wi = sel(
-        [
-            (DIFFUSE, wi_dif),
-            (CONDUCTOR, wi_con),
-            (DIELECTRIC, wi_die),
-            (ROUGH_CONDUCTOR, wi_rc),
-            (ROUGH_DIELECTRIC, wi_rd),
-            (PLASTIC, wi_pl),
-            (ROUGH_PLASTIC, wi_rp),
-        ],
-        jnp.zeros_like(wo),
-    )
-    f = sel(
-        [
-            (DIFFUSE, f_dif),
-            (CONDUCTOR, f_con),
-            (DIELECTRIC, f_die),
-            (ROUGH_CONDUCTOR, f_rc),
-            (ROUGH_DIELECTRIC, f_rd),
-            (PLASTIC, f_pl),
-            (ROUGH_PLASTIC, f_rp),
-        ],
-        jnp.zeros_like(wo),
-    )
-    pdf = sel(
-        [
-            (DIFFUSE, pdf_dif),
-            (CONDUCTOR, pdf_con),
-            (DIELECTRIC, pdf_die),
-            (ROUGH_CONDUCTOR, pdf_rc),
-            (ROUGH_DIELECTRIC, pdf_rd),
-            (PLASTIC, pdf_pl),
-            (ROUGH_PLASTIC, pdf_rp),
-        ],
-        jnp.zeros(n, jnp.float32),
-    )
-    lobe = sel(
-        [
-            (DIFFUSE, lobe_dif),
-            (CONDUCTOR, lobe_con),
-            (DIELECTRIC, lobe_die),
-            (ROUGH_CONDUCTOR, lobe_rc),
-            (ROUGH_DIELECTRIC, lobe_rd),
-            (PLASTIC, lobe_pl),
-            (ROUGH_PLASTIC, lobe_rp),
-        ],
-        jnp.zeros(n, jnp.int32),
-    )
+def _sample_diffuse(b, wo, u_lobe, u1, u2):
+    wi = cosine_sample_hemisphere(u1, u2)
+    f, pdf = _eval_diffuse(b, wo, wi)
+    lobe = jnp.full(wo.shape[0], LOBE_DIFFUSE_REFL, jnp.int32)
     return wi, f, pdf, lobe
 
 
-def _masked_eval_single(b: LocalBsdf, wo, wi, mtype: int):
-    """Evaluate one material's f/pdf formulas (used inside sample())."""
-    wiz, woz = wi[:, 2], wo[:, 2]
-    upper = (wiz > 0.0) & (woz > 0.0)
-    if mtype == DIFFUSE:
-        f = jnp.where(upper[:, None], b.reflectance / jnp.pi, 0.0)
-        pdf = jnp.where(upper, cosine_hemisphere_pdf_safe(wiz), 0.0)
-        return f, pdf
-    if mtype == ROUGH_CONDUCTOR:
-        wh = normalize(wi + wo)
-        fr = fresnel.conductor_reflectance_rgb(b.eta3, b.k3, dot(wo, wh))
-        f = b.specular * (ggx.d(wh, b.alpha) * ggx.g(wi, wo, b.alpha))[:, None] * fr
-        f = f / jnp.maximum(4.0 * wiz * woz, _TINY)[:, None]
-        pdf = ggx.pdf(wo, wh, b.alpha) / jnp.maximum(4.0 * dot(wo, wh), _TINY)
-        return jnp.where(upper[:, None], f, 0.0), jnp.where(upper, pdf, 0.0)
-    if mtype == ROUGH_PLASTIC:
-        f_o, _ = fresnel.dielectric_reflectance(b.eta, woz)
-        f_i, _ = fresnel.dielectric_reflectance(b.eta, wiz)
-        wh = normalize(wi + wo)
-        fr = fresnel.dielectric_reflectance(b.eta, dot(wh, wo))[0]
-        spec = b.specular * (
-            fr * ggx.d(wh, b.alpha) * ggx.g(wi, wo, b.alpha)
-        )[:, None] / jnp.maximum(4.0 * woz * wiz, _TINY)[:, None]
-        diff = (
-            b.reflectance
-            / jnp.maximum(
-                1.0
-                - jnp.where(
-                    b.nonlinear[:, None],
-                    b.reflectance * b.int_fdr[:, None],
-                    b.int_fdr[:, None],
-                ),
-                _TINY,
-            )
-            * ((1.0 - f_i) * (1.0 - f_o) / jnp.pi / jnp.maximum(b.eta**2, _TINY))[
-                :, None
-            ]
-        )
-        f = jnp.where(upper[:, None], spec + diff, 0.0)
-        sp = _spec_prob(b, f_o)
-        pdf = sp * ggx.pdf(wo, wh, b.alpha) / jnp.maximum(4.0 * dot(wi, wh), _TINY)
-        pdf = pdf + (1.0 - sp) * cosine_hemisphere_pdf_safe(wiz)
-        return f, jnp.where(upper, pdf, 0.0)
-    raise ValueError(mtype)
+def _sample_conductor(b, wo, u_lobe, u1, u2):
+    """conductor.h:27-35 (perfect mirror, delta)."""
+    wi = reflect_z(wo)
+    fr = fresnel.conductor_reflectance_rgb(b.eta3, b.k3, wo[:, 2])
+    f = b.specular * fr / jnp.maximum(jnp.abs(wi[:, 2]), _TINY)[:, None]
+    pdf = jnp.ones(wo.shape[0], jnp.float32)
+    lobe = jnp.full(wo.shape[0], LOBE_DELTA_REFL, jnp.int32)
+    return wi, f, pdf, lobe
+
+
+def _sample_dielectric(b, wo, u_lobe, u1, u2):
+    """dielectric.h:28-44 (smooth glass, Fresnel lobe choice)."""
+    f_term, cos_t = fresnel.dielectric_reflectance(b.eta, wo[:, 2])
+    take_refl = u_lobe < f_term
+    wi = jnp.where(take_refl[:, None], reflect_z(wo), refract_z(wo, cos_t, b.eta))
+    factor = jnp.where(cos_t < 0.0, 1.0 / jnp.maximum(b.eta, _TINY), b.eta)
+    f = jnp.where(
+        take_refl[:, None],
+        b.specular * f_term[:, None],
+        b.transmittance * ((1.0 - f_term) * factor * factor)[:, None],
+    ) / jnp.maximum(jnp.abs(wi[:, 2]), _TINY)[:, None]
+    pdf = jnp.where(take_refl, f_term, 1.0 - f_term)
+    lobe = jnp.where(take_refl, LOBE_DELTA_REFL, LOBE_DELTA_TRANS).astype(jnp.int32)
+    return wi, f, pdf, lobe
+
+
+def _sample_rough_conductor(b, wo, u_lobe, u1, u2):
+    wh = ggx.sample(wo, b.alpha, u1, u2)
+    wi = reflect(wo, wh)
+    f, pdf = _eval_rough_conductor(b, wo, wi)
+    lobe = jnp.full(wo.shape[0], LOBE_GLOSSY_REFL, jnp.int32)
+    return wi, f, pdf, lobe
+
+
+def _sample_rough_dielectric(b, wo, u_lobe, u1, u2):
+    """rough_dielectric.h:74-97."""
+    woz = wo[:, 2]
+    wo_up = wo * jnp.where(woz > 0.0, 1.0, -1.0)[:, None]
+    wh = ggx.sample(wo_up, b.alpha, u1, u2)
+    f_term, cos_t = fresnel.dielectric_reflectance(b.eta, dot(wo, wh))
+    take_refl = u_lobe < f_term
+    wi = jnp.where(
+        take_refl[:, None], reflect(wo, wh), refract(wo, wh, cos_t, b.eta)
+    )
+    valid = jnp.where(
+        take_refl, True, (jnp.abs(cos_t) > 1e-6) & (wi[:, 2] * woz < 0.0)
+    )
+    f, pdf = _eval_rough_dielectric(b, wo, wi)
+    f = jnp.where(valid[:, None], f, 0.0)
+    pdf = jnp.where(valid, pdf, 0.0)
+    lobe = jnp.where(take_refl, LOBE_GLOSSY_REFL, LOBE_GLOSSY_TRANS).astype(jnp.int32)
+    return wi, f, pdf, lobe
+
+
+def _sample_plastic(b, wo, u_lobe, u1, u2):
+    """plastic.h:56-85."""
+    woz = wo[:, 2]
+    f_o, _ = fresnel.dielectric_reflectance(b.eta, woz)
+    sp = _spec_prob(b, f_o)
+    take_spec = u_lobe < sp
+    wi = jnp.where(take_spec[:, None], reflect_z(wo), cosine_sample_hemisphere(u1, u2))
+    f_i, _ = fresnel.dielectric_reflectance(b.eta, wi[:, 2])
+    f_spec = b.specular * f_o[:, None] / jnp.maximum(wi[:, 2], _TINY)[:, None]
+    f_diff = _plastic_diff(b, f_i, f_o, wi[:, 2])
+    f = jnp.where(take_spec[:, None], f_spec, f_diff)
+    pdf = jnp.where(take_spec, sp, _cos_pdf(wi[:, 2]) * (1.0 - sp))
+    invalid = woz <= 0.0
+    f = jnp.where(invalid[:, None], 0.0, f)
+    pdf = jnp.where(invalid, 0.0, pdf)
+    lobe = jnp.where(take_spec, LOBE_DELTA_REFL, LOBE_DIFFUSE_REFL).astype(jnp.int32)
+    return wi, f, pdf, lobe
+
+
+def _sample_rough_plastic(b, wo, u_lobe, u1, u2):
+    """rough_plastic.h:63-86."""
+    woz = wo[:, 2]
+    f_o, _ = fresnel.dielectric_reflectance(b.eta, woz)
+    sp = _spec_prob(b, f_o)
+    take_spec = u_lobe < sp
+    wh = ggx.sample(wo, b.alpha, u1, u2)
+    wi = jnp.where(
+        take_spec[:, None], reflect(wo, wh), cosine_sample_hemisphere(u1, u2)
+    )
+    f, pdf = _eval_rough_plastic(b, wo, wi)
+    invalid = woz <= 0.0
+    f = jnp.where(invalid[:, None], 0.0, f)
+    pdf = jnp.where(invalid, 0.0, pdf)
+    lobe = jnp.where(take_spec, LOBE_GLOSSY_REFL, LOBE_DIFFUSE_REFL).astype(jnp.int32)
+    return wi, f, pdf, lobe
+
+
+_SAMPLE_FNS = {
+    DIFFUSE: _sample_diffuse,
+    CONDUCTOR: _sample_conductor,
+    DIELECTRIC: _sample_dielectric,
+    ROUGH_CONDUCTOR: _sample_rough_conductor,
+    ROUGH_DIELECTRIC: _sample_rough_dielectric,
+    PLASTIC: _sample_plastic,
+    ROUGH_PLASTIC: _sample_rough_plastic,
+}
+
+
+def sample(
+    b: LocalBsdf, wo, u_lobe, u1, u2, mat_types: tuple[int, ...] = ALL_TYPES
+):
+    """Returns (wi (N,3), f (N,3), pdf (N,), lobe (N,) i32)."""
+    n = wo.shape[0]
+    present = [t for t in mat_types if t in _SAMPLE_FNS]
+    if len(present) == 1:
+        return _SAMPLE_FNS[present[0]](b, wo, u_lobe, u1, u2)
+    wi = jnp.zeros((n, 3), jnp.float32)
+    f = jnp.zeros((n, 3), jnp.float32)
+    pdf = jnp.zeros(n, jnp.float32)
+    lobe = jnp.zeros(n, jnp.int32)
+    for t in present:
+        wit, ft, pt, lt = _SAMPLE_FNS[t](b, wo, u_lobe, u1, u2)
+        sel = b.mtype == t
+        wi = jnp.where(sel[:, None], wit, wi)
+        f = jnp.where(sel[:, None], ft, f)
+        pdf = jnp.where(sel, pt, pdf)
+        lobe = jnp.where(sel, lt, lobe)
+    return wi, f, pdf, lobe

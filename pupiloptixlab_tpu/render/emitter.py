@@ -93,37 +93,36 @@ def sample_direct(
     u2: jnp.ndarray,
 ) -> EmitterSample:
     n = hit_pos.shape[0]
-    etype = em.etype[idx]
 
     # --- triangle area emitter (area.h:17-35) -------------------------------
     bary = uniform_sample_triangle(u1, u2)
-    pos_tri = (
+    pos = (
         em.v0p[idx] * bary[:, 0:1]
         + em.v1p[idx] * bary[:, 1:2]
         + em.v2p[idx] * bary[:, 2:3]
     )
-    nrm_tri = normalize(
+    nrm = normalize(
         em.v0n[idx] * bary[:, 0:1]
         + em.v1n[idx] * bary[:, 1:2]
         + em.v2n[idx] * bary[:, 2:3]
     )
-    uv_tri = (
+    uv = (
         em.v0t[idx] * bary[:, 0:1]
         + em.v1t[idx] * bary[:, 1:2]
         + em.v2t[idx] * bary[:, 2:3]
     )
 
-    # --- sphere emitter (sphere.h:15-33) -------------------------------------
-    sph_dir = uniform_sample_sphere(u1, u2)
-    pos_sph = sph_dir * em.radius[idx][:, None] + em.v0p[idx]
-    nrm_sph = sph_dir
-    uv_sph = sphere_texcoord(sph_dir)
+    if config.has_sphere_emitter:
+        # --- sphere emitter (sphere.h:15-33) ---------------------------------
+        etype = em.etype[idx]
+        sph_dir = uniform_sample_sphere(u1, u2)
+        pos_sph = sph_dir * em.radius[idx][:, None] + em.v0p[idx]
+        uv_sph = sphere_texcoord(sph_dir)
+        pos = jnp.where((etype == 0)[:, None], pos, pos_sph)
+        nrm = jnp.where((etype == 0)[:, None], nrm, sph_dir)
+        uv = jnp.where((etype == 0)[:, None], uv, uv_sph)
 
-    pos = jnp.where((etype == 0)[:, None], pos_tri, pos_sph)
-    nrm = jnp.where((etype == 0)[:, None], nrm_tri, nrm_sph)
-    uv = jnp.where((etype == 0)[:, None], uv_tri, uv_sph)
-
-    radiance = sample_texture(tex, em.radiance_tex[idx], uv)
+    radiance = sample_texture(tex, em.radiance_tex[idx], uv, config.tex_kinds)
     delta = pos - hit_pos
     dist = length(delta)
     wi = delta / jnp.maximum(dist, 1e-20)[:, None]
@@ -185,7 +184,7 @@ def _env_sample_direct(em, tex, config, hit_pos, hit_normal, u1, u2):
     wi = local_wi @ em.env_to_world.T
     uv = jnp.stack([phi * 0.5 / jnp.pi, theta / jnp.pi], axis=-1)
     rad_id = jnp.broadcast_to(em.env_radiance_tex, u1.shape).astype(jnp.int32)
-    radiance = sample_texture(tex, rad_id, uv) * em.env_scale
+    radiance = sample_texture(tex, rad_id, uv, config.tex_kinds) * em.env_scale
     pdf = (
         luminance(radiance)
         * em.env_row_weight[row_c]
@@ -204,6 +203,7 @@ def _env_sample_direct(em, tex, config, hit_pos, hit_normal, u1, u2):
 def eval_hit_emitter(
     em: EmitterTable,
     tex: TextureTable,
+    config: RenderConfig,
     emitter_id: jnp.ndarray,
     hit_pos: jnp.ndarray,
     hit_normal: jnp.ndarray,
@@ -219,7 +219,7 @@ def eval_hit_emitter(
     pdf = jnp.where(
         lnol > 0.0, dist * dist / jnp.maximum(lnol * em.area[idx], 1e-20), 0.0
     )
-    radiance = sample_texture(tex, em.radiance_tex[idx], hit_uv)
+    radiance = sample_texture(tex, em.radiance_tex[idx], hit_uv, config.tex_kinds)
     ok = emitter_id >= 0
     return jnp.where(ok[:, None], radiance, 0.0), jnp.where(ok, pdf, 0.0)
 

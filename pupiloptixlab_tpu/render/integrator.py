@@ -75,7 +75,9 @@ def render_sample(
     tmax = jnp.full(n, MAX_DISTANCE, jnp.float32)
     hit = intersect_closest(ro, rd, tmin, tmax, scene, config)
     geo = get_local_geometry(scene, hit, ro, rd)
-    local = bsdf_mod.get_local_bsdf(scene.materials, tex, geo.mat_id, geo.uv)
+    local = bsdf_mod.get_local_bsdf(
+        scene.materials, tex, geo.mat_id, geo.uv, config.mat_types, config.tex_kinds
+    )
 
     active = hit.hit_mask
     radiance = jnp.zeros((n, 3), jnp.float32)
@@ -88,7 +90,7 @@ def render_sample(
     # First-hit emission (main.cu:87-92): GetRadiance at the hit uv.
     is_emitter = active & (geo.emitter_id >= 0)
     emit0 = sample_texture(
-        tex, em.radiance_tex[jnp.maximum(geo.emitter_id, 0)], geo.uv
+        tex, em.radiance_tex[jnp.maximum(geo.emitter_id, 0)], geo.uv, config.tex_kinds
     )
     radiance = radiance + jnp.where(is_emitter[:, None], emit0, 0.0)
 
@@ -126,7 +128,7 @@ def render_sample(
         )
         wo_local = to_local(wo_world, geo.normal)
         wi_local = to_local(es.wi, geo.normal)
-        f_nee, pdf_bsdf = bsdf_mod.evaluate(local, wo_local, wi_local)
+        f_nee, pdf_bsdf = bsdf_mod.evaluate(local, wo_local, wi_local, config.mat_types)
         nol = dot(geo.normal, es.wi)
         nonzero = ~is_zero(f_nee * es.pdf[:, None])
         mis = jnp.where(es.is_delta, 1.0, mis_weight(es.pdf, pdf_bsdf))
@@ -141,7 +143,9 @@ def render_sample(
         radiance = radiance + jnp.where(take[:, None], contrib, 0.0)
 
         # --- BSDF sampling + bounce (main.cu:142-183) -----------------------
-        wi_s, f_s, pdf_s, lobe = bsdf_mod.sample(local, wo_local, u_b0, u_b1, u_b2)
+        wi_s, f_s, pdf_s, lobe = bsdf_mod.sample(
+            local, wo_local, u_b0, u_b1, u_b2, config.mat_types
+        )
         cos_term = jnp.abs(wi_s[:, 2])
         bad = is_zero(f_s * cos_term[:, None]) | is_zero(pdf_s)
         active = active & ~bad
@@ -163,12 +167,14 @@ def render_sample(
         active = active & hit.hit_mask
 
         geo = get_local_geometry(scene, hit, new_ro, new_rd)
-        local = bsdf_mod.get_local_bsdf(scene.materials, tex, geo.mat_id, geo.uv)
+        local = bsdf_mod.get_local_bsdf(
+            scene.materials, tex, geo.mat_id, geo.uv, config.mat_types, config.tex_kinds
+        )
         wo_world = -new_rd
 
         # hit an emitter -> MIS-weighted emission (main.cu:171-183)
         emit_rad, emit_pdf = emitter_mod.eval_hit_emitter(
-            em, tex, geo.emitter_id, geo.position, geo.normal, geo.uv, new_ro
+            em, tex, config, geo.emitter_id, geo.position, geo.normal, geo.uv, new_ro
         )
         hit_sel_prob = em.select_prob[jnp.maximum(geo.emitter_id, 0)]
         is_delta = (lobe & bsdf_mod.LOBE_DELTA) != 0

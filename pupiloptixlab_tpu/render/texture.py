@@ -5,6 +5,10 @@ pixel pool. Semantics parity: cuda::Texture::Sample (cuda/texture.h:33-57)
 — uv transform applied as [u,v,0,1] through two transform rows, RGB
 passthrough, the reference's exact checkerboard fract logic, and bitmap
 fetch with wrap/clamp/mirror addressing and point/bilinear filtering.
+
+``kinds`` specializes the emitted program to the texture kinds present in
+the scene (recorded by the flattener in RenderConfig.tex_kinds): an
+RGB-only scene compiles to a single table gather with no pool traffic.
 """
 
 from __future__ import annotations
@@ -13,6 +17,8 @@ import jax.numpy as jnp
 
 from pupiloptixlab_tpu.flatten.types import TextureTable
 
+ALL_KINDS = (0, 1, 2)  # rgb, checkerboard, bitmap
+
 
 def _address(coord, mode):
     """Normalized-coordinate addressing: 0 wrap, 1 clamp, 2 mirror."""
@@ -20,8 +26,7 @@ def _address(coord, mode):
     clamped = jnp.clip(coord, 0.0, 1.0)
     m = coord - 2.0 * jnp.floor(coord * 0.5)  # period-2 sawtooth in [0,2)
     mirrored = jnp.where(m > 1.0, 2.0 - m, m)
-    out = jnp.where(mode == 0, wrapped, jnp.where(mode == 1, clamped, mirrored))
-    return out
+    return jnp.where(mode == 0, wrapped, jnp.where(mode == 1, clamped, mirrored))
 
 
 def _fetch(pool, offset, w, h, ix, iy):
@@ -30,63 +35,69 @@ def _fetch(pool, offset, w, h, ix, iy):
     return pool[offset + iy * w + ix]
 
 
-def sample_texture(tex: TextureTable, tex_id: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+def sample_texture(
+    tex: TextureTable,
+    tex_id: jnp.ndarray,
+    uv: jnp.ndarray,
+    kinds: tuple[int, ...] = ALL_KINDS,
+) -> jnp.ndarray:
     """Sample texture ``tex_id`` (N,) at ``uv`` (N,2) -> (N,3) linear rgb."""
-    kind = tex.kind[tex_id]
-    m = tex.uv_transform[tex_id]  # (N,2,3)
-    u = m[:, 0, 0] * uv[:, 0] + m[:, 0, 1] * uv[:, 1] + m[:, 0, 2]
-    v = m[:, 1, 0] * uv[:, 0] + m[:, 1, 1] * uv[:, 1] + m[:, 1, 2]
-
     rgb = tex.rgb[tex_id]
+    if kinds == (0,):
+        return rgb  # constant-color-only scene: one gather
 
-    # checkerboard (cuda/texture.h:42-50): truncate toward zero, then wrap
-    fu = u - jnp.where(u > 0.0, jnp.floor(u), jnp.ceil(u))
-    fv = v - jnp.where(v > 0.0, jnp.floor(v), jnp.ceil(v))
-    fu = jnp.where(fu < 0.0, fu + 1.0, fu)
-    fv = jnp.where(fv < 0.0, fv + 1.0, fv)
-    patch1 = tex.rgb[tex_id]
-    patch2 = tex.patch2[tex_id]
-    checker = jnp.where(
-        ((fu > 0.5) == (fv > 0.5))[:, None], patch1, patch2
-    )
+    kind = tex.kind[tex_id]
+    need_uv = any(k in kinds for k in (1, 2))
+    if need_uv:
+        m = tex.uv_transform[tex_id]  # (N,2,3)
+        u = m[:, 0, 0] * uv[:, 0] + m[:, 0, 1] * uv[:, 1] + m[:, 0, 2]
+        v = m[:, 1, 0] * uv[:, 0] + m[:, 1, 1] * uv[:, 1] + m[:, 1, 2]
 
-    # bitmap
-    w = tex.width[tex_id]
-    h = tex.height[tex_id]
-    mode = tex.address_mode[tex_id]
-    offset = tex.offset[tex_id]
-    au = _address(u, mode)
-    av = _address(v, mode)
-    wf = jnp.maximum(w, 1).astype(jnp.float32)
-    hf = jnp.maximum(h, 1).astype(jnp.float32)
+    out = rgb
+    if 1 in kinds:
+        # checkerboard (cuda/texture.h:42-50): truncate toward 0, wrap
+        fu = u - jnp.where(u > 0.0, jnp.floor(u), jnp.ceil(u))
+        fv = v - jnp.where(v > 0.0, jnp.floor(v), jnp.ceil(v))
+        fu = jnp.where(fu < 0.0, fu + 1.0, fu)
+        fv = jnp.where(fv < 0.0, fv + 1.0, fv)
+        checker = jnp.where(
+            ((fu > 0.5) == (fv > 0.5))[:, None], tex.rgb[tex_id], tex.patch2[tex_id]
+        )
+        out = jnp.where((kind == 1)[:, None], checker, out)
 
-    # point filtering
-    ix = jnp.floor(au * wf).astype(jnp.int32)
-    iy = jnp.floor(av * hf).astype(jnp.int32)
-    point = _fetch(tex.pool, offset, w, h, ix, iy)
+    if 2 in kinds:
+        w = tex.width[tex_id]
+        h = tex.height[tex_id]
+        mode = tex.address_mode[tex_id]
+        offset = tex.offset[tex_id]
+        au = _address(u, mode)
+        av = _address(v, mode)
+        wf = jnp.maximum(w, 1).astype(jnp.float32)
+        hf = jnp.maximum(h, 1).astype(jnp.float32)
 
-    # bilinear filtering (half-texel centered)
-    x = au * wf - 0.5
-    y = av * hf - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = (x - x0)[:, None]
-    fy = (y - y0)[:, None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    c00 = _fetch(tex.pool, offset, w, h, x0i, y0i)
-    c10 = _fetch(tex.pool, offset, w, h, x0i + 1, y0i)
-    c01 = _fetch(tex.pool, offset, w, h, x0i, y0i + 1)
-    c11 = _fetch(tex.pool, offset, w, h, x0i + 1, y0i + 1)
-    linear = (
-        c00 * (1 - fx) * (1 - fy)
-        + c10 * fx * (1 - fy)
-        + c01 * (1 - fx) * fy
-        + c11 * fx * fy
-    )
-    bitmap = jnp.where((tex.filter_mode[tex_id] == 1)[:, None], linear, point)
+        ix = jnp.floor(au * wf).astype(jnp.int32)
+        iy = jnp.floor(av * hf).astype(jnp.int32)
+        point = _fetch(tex.pool, offset, w, h, ix, iy)
 
-    out = jnp.where(
-        (kind == 0)[:, None], rgb, jnp.where((kind == 1)[:, None], checker, bitmap)
-    )
+        x = au * wf - 0.5
+        y = av * hf - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        c00 = _fetch(tex.pool, offset, w, h, x0i, y0i)
+        c10 = _fetch(tex.pool, offset, w, h, x0i + 1, y0i)
+        c01 = _fetch(tex.pool, offset, w, h, x0i, y0i + 1)
+        c11 = _fetch(tex.pool, offset, w, h, x0i + 1, y0i + 1)
+        linear = (
+            c00 * (1 - fx) * (1 - fy)
+            + c10 * fx * (1 - fy)
+            + c01 * (1 - fx) * fy
+            + c11 * fx * fy
+        )
+        bitmap = jnp.where((tex.filter_mode[tex_id] == 1)[:, None], linear, point)
+        out = jnp.where((kind == 2)[:, None], bitmap, out)
+
     return out
