@@ -138,6 +138,12 @@ def _sphere_tests(ro, rd, scene: SceneData, tmin, tmax):
     return jnp.where(hit, t, MAX_DISTANCE), hit
 
 
+# Tunables for the Pallas sweep (read at trace time; retracing picks up
+# changes). Defaults chosen by on-chip frame-level sweeps.
+PALLAS_RB = 8
+PALLAS_UNROLLED = False
+
+
 def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -162,7 +168,7 @@ def _sweep_tris_pallas(ro, rd, tmin, tmax, scene: SceneData):
     from pupiloptixlab_tpu.accel.pallas_intersect import LANES, sweep_triangles
 
     n = ro.shape[0]
-    block = LANES * 8
+    block = LANES * PALLAS_RB
     pad = (-n) % block
     if pad:
         zero3 = jnp.zeros((pad, 3), jnp.float32)
@@ -170,7 +176,10 @@ def _sweep_tris_pallas(ro, rd, tmin, tmax, scene: SceneData):
         rd = jnp.concatenate([rd, zero3], 0)
         tmin = jnp.concatenate([tmin, jnp.zeros(pad, jnp.float32)], 0)
         tmax = jnp.concatenate([tmax, jnp.zeros(pad, jnp.float32)], 0)
-    t, idx = sweep_triangles(ro, rd, tmin, tmax, scene.tris.packed, tc=64)
+    t, idx = sweep_triangles(
+        ro, rd, tmin, tmax, scene.tris.packed,
+        rb=PALLAS_RB, tc=64, unrolled=PALLAS_UNROLLED,
+    )
     t, idx = t[:n], idx[:n]
     u, v = _recompute_barycentrics(ro[:n], rd[:n], idx, scene)
     hit = idx >= 0

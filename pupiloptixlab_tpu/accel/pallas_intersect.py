@@ -91,8 +91,61 @@ def _kernel(tri_ref, rox, roy, roz, rdx, rdy, rdz, tmn, tmx, tbest, ibest):
     ibest[:] = jnp.where(better, c * tri_ref.shape[0] + jmin, ibest[:])
 
 
+def _kernel_unrolled(tri_ref, rox, roy, roz, rdx, rdy, rdz, tmn, tmx, tbest, ibest):
+    """Variant: unrolled python loop over the chunk's triangles with 2D
+    (RB, 128) ops — fewer live VMEM temps than the 3D broadcast form."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        tbest[:] = jnp.full_like(tbest[:], MAX_DISTANCE)
+        ibest[:] = jnp.full_like(ibest[:], -1)
+
+    ox, oy, oz = rox[:], roy[:], roz[:]
+    dx, dy, dz = rdx[:], rdy[:], rdz[:]
+    tmn_v, tmx_v = tmn[:], tmx[:]
+    tc = tri_ref.shape[0]
+    base = c * tc
+
+    best_t = tbest[:]
+    best_i = ibest[:]
+    for j in range(tc):
+        p0x, p0y, p0z = tri_ref[j, 0], tri_ref[j, 1], tri_ref[j, 2]
+        e1x, e1y, e1z = tri_ref[j, 3], tri_ref[j, 4], tri_ref[j, 5]
+        e2x, e2y, e2z = tri_ref[j, 6], tri_ref[j, 7], tri_ref[j, 8]
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        det_safe = jnp.where(jnp.abs(det) < _DET_EPS, _DET_EPS, det)
+        r = pl.reciprocal(det_safe, approx=True)
+        inv = r * (2.0 - det_safe * r)
+        tvx = ox - p0x
+        tvy = oy - p0y
+        tvz = oz - p0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+        ok = (
+            (jnp.abs(det) >= _DET_EPS)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > tmn_v)
+            & (t < tmx_v)
+            & (t < best_t)
+        )
+        best_t = jnp.where(ok, t, best_t)
+        best_i = jnp.where(ok, base + j, best_i)
+    tbest[:] = best_t
+    ibest[:] = best_i
+
+
 @functools.partial(
-    jax.jit, static_argnames=("rb", "tc", "interpret")
+    jax.jit, static_argnames=("rb", "tc", "interpret", "unrolled")
 )
 def sweep_triangles(
     ro: jnp.ndarray,
@@ -103,6 +156,7 @@ def sweep_triangles(
     rb: int = DEFAULT_RB,
     tc: int = DEFAULT_TC,
     interpret: bool = False,
+    unrolled: bool = False,
 ):
     """Closest-hit sweep. Returns (t (N,), idx (N,) i32; idx<0 = miss).
 
@@ -130,7 +184,7 @@ def sweep_triangles(
     )
 
     tbest, ibest = pl.pallas_call(
-        _kernel,
+        _kernel_unrolled if unrolled else _kernel,
         grid=grid,
         in_specs=[tri_spec] + [ray_spec] * 8,
         out_specs=(out_spec, out_spec),

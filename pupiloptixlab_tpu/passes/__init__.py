@@ -1,0 +1,2 @@
+from pupiloptixlab_tpu.passes.pt import PTPass  # noqa: F401
+from pupiloptixlab_tpu.passes.compute import ComputePass  # noqa: F401
