@@ -134,7 +134,24 @@ class _TextureBuilder:
             if self.pool
             else np.zeros((1, 3), np.float32)
         )
+        from pupiloptixlab_tpu.flatten.types import (
+            TEX_ADDRESS, TEX_COLS, TEX_FILTER, TEX_H, TEX_KIND, TEX_OFFSET,
+            TEX_PATCH2, TEX_RGB, TEX_UVT, TEX_W,
+        )
+
+        k = len(self.kind)
+        packed = np.zeros((k, TEX_COLS), np.float32)
+        packed[:, TEX_KIND] = self.kind
+        packed[:, TEX_RGB] = np.stack(self.rgb)
+        packed[:, TEX_PATCH2] = np.stack(self.patch2)
+        packed[:, TEX_UVT] = np.stack(self.uvt).reshape(k, 6)
+        packed[:, TEX_OFFSET] = self.offset
+        packed[:, TEX_W] = self.width
+        packed[:, TEX_H] = self.height
+        packed[:, TEX_FILTER] = self.filter
+        packed[:, TEX_ADDRESS] = self.address
         return TextureTable(
+            packed=jnp.asarray(packed),
             kind=jnp.asarray(self.kind, jnp.int32),
             rgb=jnp.asarray(np.stack(self.rgb), jnp.float32),
             patch2=jnp.asarray(np.stack(self.patch2), jnp.float32),
@@ -203,7 +220,22 @@ class _MaterialBuilder:
     def build(self) -> MaterialTable:
         if not self.mtype:
             self.add(Material(type=MatType.DIFFUSE))
+        from pupiloptixlab_tpu.flatten.types import (
+            MAT_COLS, MAT_ETA, MAT_INT_FDR, MAT_NONLINEAR, MAT_SSW,
+            MAT_TEX0, MAT_TWOSIDED, MAT_TYPE,
+        )
+
+        m = len(self.mtype)
+        packed = np.zeros((m, MAT_COLS), np.float32)
+        packed[:, MAT_TYPE] = self.mtype
+        packed[:, MAT_TWOSIDED] = self.twosided
+        packed[:, MAT_ETA] = self.eta
+        packed[:, MAT_INT_FDR] = self.int_fdr
+        packed[:, MAT_SSW] = self.ssw
+        packed[:, MAT_NONLINEAR] = self.nonlinear
+        packed[:, MAT_TEX0 : MAT_TEX0 + 6] = self.tex
         return MaterialTable(
+            packed=jnp.asarray(packed),
             mtype=jnp.asarray(self.mtype, jnp.int32),
             twosided=jnp.asarray(self.twosided, bool),
             tex=jnp.asarray(self.tex, jnp.int32),
@@ -436,8 +468,25 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
         [p0_np, p1_np - p0_np, p2_np - p0_np, np.zeros((t_pad, 3), np.float32)],
         axis=1,
     )
+    from pupiloptixlab_tpu.flatten.types import (
+        TRI_ATTR_COLS, TRI_EMITTER, TRI_MAT,
+        TRI_N0, TRI_N1, TRI_N2, TRI_UV0, TRI_UV1, TRI_UV2,
+    )
+
+    attrs = np.zeros((t_pad, TRI_ATTR_COLS), np.float32)
+    attrs[:, TRI_N0] = pad_rows(cat3("n0"), t_pad, 3)
+    attrs[:, TRI_N1] = pad_rows(cat3("n1"), t_pad, 3)
+    attrs[:, TRI_N2] = pad_rows(cat3("n2"), t_pad, 3)
+    attrs[:, TRI_UV0] = pad_rows(cat3("uv0"), t_pad, 2)
+    attrs[:, TRI_UV1] = pad_rows(cat3("uv1"), t_pad, 2)
+    attrs[:, TRI_UV2] = pad_rows(cat3("uv2"), t_pad, 2)
+    attrs[:, TRI_MAT] = np.pad(t_mat, (0, t_pad - tri_count))
+    attrs[:, TRI_EMITTER] = np.pad(
+        t_emit, (0, t_pad - tri_count), constant_values=-1
+    )
     tris = TriSoup(
         packed=jnp.asarray(packed),
+        attrs=jnp.asarray(attrs),
         p0=jnp.asarray(pad_rows(cat3("p0"), t_pad, 3)),
         p1=jnp.asarray(pad_rows(cat3("p1"), t_pad, 3)),
         p2=jnp.asarray(pad_rows(cat3("p2"), t_pad, 3)),
@@ -490,7 +539,30 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
     select_prob[:n_area] = probs
     select_cdf = np.cumsum(select_prob).astype(np.float32)
 
+    from pupiloptixlab_tpu.flatten.types import (
+        EM_AREA, EM_COLS, EM_ETYPE, EM_RAD_TEX, EM_RADIUS, EM_SELECT_PROB,
+        EM_V0N, EM_V0P, EM_V0T, EM_V1N, EM_V1P, EM_V1T, EM_V2N, EM_V2P, EM_V2T,
+    )
+
+    em_packed = np.zeros((e_pad, EM_COLS), np.float32)
+    em_packed[:, EM_V0P] = epack("v0p", 3)
+    em_packed[:, EM_V1P] = epack("v1p", 3)
+    em_packed[:, EM_V2P] = epack("v2p", 3)
+    em_packed[:, EM_V0N] = epack("v0n", 3)
+    em_packed[:, EM_V1N] = epack("v1n", 3)
+    em_packed[:, EM_V2N] = epack("v2n", 3)
+    em_packed[:, EM_V0T] = epack("v0t", 2)
+    em_packed[:, EM_V1T] = epack("v1t", 2)
+    em_packed[:, EM_V2T] = epack("v2t", 2)
+    em_packed[:, EM_RADIUS] = epack("radius")
+    em_packed[:, EM_AREA] = epack("area")
+    em_packed[:, EM_SELECT_PROB] = select_prob
+    if n_area:
+        em_packed[:n_area, EM_RAD_TEX] = e["rad_tex"]
+        em_packed[:n_area, EM_ETYPE] = e["etype"]
+
     emitters = EmitterTable(
+        packed=jnp.asarray(em_packed),
         etype=jnp.asarray(
             np.pad(e["etype"], (0, e_pad - n_area)) if n_area else np.zeros(e_pad),
             jnp.int32,

@@ -33,6 +33,32 @@ def _register(cls):
     return cls
 
 
+# --- packed-row column layouts (for one-hot matmul gathers) ---------------
+# TriSoup.attrs (T, 24): per-hit attributes fetched in one gather.
+TRI_N0, TRI_N1, TRI_N2 = slice(0, 3), slice(3, 6), slice(6, 9)
+TRI_UV0, TRI_UV1, TRI_UV2 = slice(9, 11), slice(11, 13), slice(13, 15)
+TRI_MAT, TRI_EMITTER = 15, 16
+TRI_ATTR_COLS = 24
+
+# MaterialTable.packed (M, 16)
+MAT_TYPE, MAT_TWOSIDED, MAT_ETA, MAT_INT_FDR, MAT_SSW, MAT_NONLINEAR = range(6)
+MAT_TEX0 = 6  # 6 texture-slot ids follow
+MAT_COLS = 16
+
+# TextureTable.packed (K, 24)
+TEX_KIND = 0
+TEX_RGB, TEX_PATCH2 = slice(1, 4), slice(4, 7)
+TEX_UVT = slice(7, 13)  # row-major (2,3)
+TEX_OFFSET, TEX_W, TEX_H, TEX_FILTER, TEX_ADDRESS = 13, 14, 15, 16, 17
+TEX_COLS = 24
+
+# EmitterTable.packed (E, 32)
+EM_V0P, EM_V1P, EM_V2P = slice(0, 3), slice(3, 6), slice(6, 9)
+EM_V0N, EM_V1N, EM_V2N = slice(9, 12), slice(12, 15), slice(15, 18)
+EM_V0T, EM_V1T, EM_V2T = slice(18, 20), slice(20, 22), slice(22, 24)
+EM_RADIUS, EM_AREA, EM_SELECT_PROB, EM_RAD_TEX, EM_ETYPE = 24, 25, 26, 27, 28
+EM_COLS = 32
+
 # Texture slot assignments within MaterialTable.tex (column index):
 SLOT_REFLECTANCE = 0        # diffuse reflectance / plastic diffuse
 SLOT_SPECULAR = 1           # specular reflectance
@@ -46,6 +72,7 @@ N_SLOTS = 6
 @_register
 @dataclass
 class TextureTable:
+    packed: jnp.ndarray        # (K, TEX_COLS) f32 packed descriptors
     kind: jnp.ndarray          # (K,) i32: 0 rgb, 1 checkerboard, 2 bitmap
     rgb: jnp.ndarray           # (K,3) f32: rgb color / checker patch1
     patch2: jnp.ndarray        # (K,3) f32: checker patch2
@@ -61,6 +88,7 @@ class TextureTable:
 @_register
 @dataclass
 class MaterialTable:
+    packed: jnp.ndarray     # (M, MAT_COLS) f32 packed params
     mtype: jnp.ndarray      # (M,) i32 (MatType)
     twosided: jnp.ndarray   # (M,) bool
     tex: jnp.ndarray        # (M, N_SLOTS) i32 texture ids
@@ -74,6 +102,7 @@ class MaterialTable:
 @dataclass
 class TriSoup:
     packed: jnp.ndarray  # (T,12) [p0, e1, e2, pad] rows for the Pallas sweep
+    attrs: jnp.ndarray   # (T, TRI_ATTR_COLS) hit attributes (see layout above)
     p0: jnp.ndarray  # (T,3) world-space positions
     p1: jnp.ndarray
     p2: jnp.ndarray
@@ -102,6 +131,7 @@ class Spheres:
 class EmitterTable:
     """Area emitters (triangles + spheres) + the environment emitter."""
 
+    packed: jnp.ndarray   # (E, EM_COLS) f32 packed emitter rows
     etype: jnp.ndarray    # (E,) i32: 0 tri-area, 1 sphere
     v0p: jnp.ndarray      # (E,3); sphere: world center
     v1p: jnp.ndarray

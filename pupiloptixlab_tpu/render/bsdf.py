@@ -98,33 +98,47 @@ def get_local_bsdf(
     mat_types: tuple[int, ...] = ALL_TYPES,
     tex_kinds: tuple[int, ...] = (0, 1, 2),
 ) -> LocalBsdf:
+    from pupiloptixlab_tpu.accel.gather import gather_rows
+    from pupiloptixlab_tpu.flatten.types import (
+        MAT_ETA,
+        MAT_INT_FDR,
+        MAT_NONLINEAR,
+        MAT_SSW,
+        MAT_TEX0,
+        MAT_TWOSIDED,
+        MAT_TYPE,
+    )
+    from pupiloptixlab_tpu.render.texture import sample_texture_rows
+
     n = mat_id.shape[0]
-    tex_ids = materials.tex[mat_id]  # (N, N_SLOTS)
+    mrow = gather_rows(materials.packed, mat_id)  # one gather for all params
     zeros3 = jnp.zeros((n, 3), jnp.float32)
 
     def slot(idx, needed_by):
         if any(t in mat_types for t in needed_by):
-            return sample_texture(textures, tex_ids[:, idx], uv, tex_kinds)
+            tex_id = mrow[:, MAT_TEX0 + idx].astype(jnp.int32)
+            rows = gather_rows(textures.packed, tex_id)
+            return sample_texture_rows(rows, textures.pool, uv, tex_kinds)
         return zeros3
 
     need_alpha = (ROUGH_DIELECTRIC, ROUGH_CONDUCTOR, ROUGH_PLASTIC)
     return LocalBsdf(
-        mtype=materials.mtype[mat_id],
-        twosided=materials.twosided[mat_id],
+        mtype=mrow[:, MAT_TYPE].astype(jnp.int32),
+        twosided=mrow[:, MAT_TWOSIDED] > 0.5,
         reflectance=slot(SLOT_REFLECTANCE, (DIFFUSE, PLASTIC, ROUGH_PLASTIC)),
         specular=slot(SLOT_SPECULAR, ALL_TYPES),
         transmittance=slot(SLOT_TRANSMITTANCE, (DIELECTRIC, ROUGH_DIELECTRIC)),
         eta3=slot(SLOT_ETA, (CONDUCTOR, ROUGH_CONDUCTOR)),
         k3=slot(SLOT_K, (CONDUCTOR, ROUGH_CONDUCTOR)),
         alpha=(
-            sample_texture(textures, tex_ids[:, SLOT_ALPHA], uv, tex_kinds)[:, 0]
+            slot(SLOT_ALPHA, need_alpha)[:, 0]
             if any(t in mat_types for t in need_alpha)
             else jnp.zeros(n, jnp.float32)
         ),
-        eta=materials.eta[mat_id],
-        int_fdr=materials.int_fdr[mat_id],
-        ssw=materials.ssw[mat_id],
-        nonlinear=materials.nonlinear[mat_id],
+        eta=mrow[:, MAT_ETA],
+        int_fdr=mrow[:, MAT_INT_FDR],
+        ssw=mrow[:, MAT_SSW],
+        nonlinear=mrow[:, MAT_NONLINEAR] > 0.5,
     )
 
 

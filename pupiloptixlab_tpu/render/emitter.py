@@ -92,37 +92,47 @@ def sample_direct(
     u1: jnp.ndarray,
     u2: jnp.ndarray,
 ) -> EmitterSample:
+    from pupiloptixlab_tpu.accel.gather import gather_rows
+    from pupiloptixlab_tpu.flatten.types import (
+        EM_AREA, EM_ETYPE, EM_RAD_TEX, EM_RADIUS,
+        EM_V0N, EM_V0P, EM_V0T, EM_V1N, EM_V1P, EM_V1T,
+        EM_V2N, EM_V2P, EM_V2T,
+    )
+    from pupiloptixlab_tpu.render.texture import sample_texture_rows
+
     n = hit_pos.shape[0]
+    row = gather_rows(em.packed, idx)  # one gather for the emitter record
 
     # --- triangle area emitter (area.h:17-35) -------------------------------
     bary = uniform_sample_triangle(u1, u2)
     pos = (
-        em.v0p[idx] * bary[:, 0:1]
-        + em.v1p[idx] * bary[:, 1:2]
-        + em.v2p[idx] * bary[:, 2:3]
+        row[:, EM_V0P] * bary[:, 0:1]
+        + row[:, EM_V1P] * bary[:, 1:2]
+        + row[:, EM_V2P] * bary[:, 2:3]
     )
     nrm = normalize(
-        em.v0n[idx] * bary[:, 0:1]
-        + em.v1n[idx] * bary[:, 1:2]
-        + em.v2n[idx] * bary[:, 2:3]
+        row[:, EM_V0N] * bary[:, 0:1]
+        + row[:, EM_V1N] * bary[:, 1:2]
+        + row[:, EM_V2N] * bary[:, 2:3]
     )
     uv = (
-        em.v0t[idx] * bary[:, 0:1]
-        + em.v1t[idx] * bary[:, 1:2]
-        + em.v2t[idx] * bary[:, 2:3]
+        row[:, EM_V0T] * bary[:, 0:1]
+        + row[:, EM_V1T] * bary[:, 1:2]
+        + row[:, EM_V2T] * bary[:, 2:3]
     )
 
     if config.has_sphere_emitter:
         # --- sphere emitter (sphere.h:15-33) ---------------------------------
-        etype = em.etype[idx]
+        is_tri = (row[:, EM_ETYPE] == 0.0)[:, None]
         sph_dir = uniform_sample_sphere(u1, u2)
-        pos_sph = sph_dir * em.radius[idx][:, None] + em.v0p[idx]
+        pos_sph = sph_dir * row[:, EM_RADIUS][:, None] + row[:, EM_V0P]
         uv_sph = sphere_texcoord(sph_dir)
-        pos = jnp.where((etype == 0)[:, None], pos, pos_sph)
-        nrm = jnp.where((etype == 0)[:, None], nrm, sph_dir)
-        uv = jnp.where((etype == 0)[:, None], uv, uv_sph)
+        pos = jnp.where(is_tri, pos, pos_sph)
+        nrm = jnp.where(is_tri, nrm, sph_dir)
+        uv = jnp.where(is_tri, uv, uv_sph)
 
-    radiance = sample_texture(tex, em.radiance_tex[idx], uv, config.tex_kinds)
+    tex_rows = gather_rows(tex.packed, row[:, EM_RAD_TEX].astype(jnp.int32))
+    radiance = sample_texture_rows(tex_rows, tex.pool, uv, config.tex_kinds)
     delta = pos - hit_pos
     dist = length(delta)
     wi = delta / jnp.maximum(dist, 1e-20)[:, None]
@@ -131,7 +141,7 @@ def sample_direct(
     valid = (nol > 0.0) & (lnol > 0.0)
     pdf = jnp.where(
         valid,
-        dist * dist / jnp.maximum(lnol * em.area[idx], 1e-20),
+        dist * dist / jnp.maximum(lnol * row[:, EM_AREA], 1e-20),
         0.0,
     )
 
@@ -211,17 +221,28 @@ def eval_hit_emitter(
     scatter_pos: jnp.ndarray,
 ):
     """Area-emitter Eval at a BSDF-sampled hit (area.h:37-46 dispatch);
-    returns (radiance (N,3), pdf (N,)). Valid only where emitter_id >= 0."""
+    returns (radiance (N,3), pdf (N,), select_prob (N,)).
+    Valid only where emitter_id >= 0."""
+    from pupiloptixlab_tpu.accel.gather import gather_rows
+    from pupiloptixlab_tpu.flatten.types import EM_AREA, EM_RAD_TEX, EM_SELECT_PROB
+    from pupiloptixlab_tpu.render.texture import sample_texture_rows
+
     idx = jnp.maximum(emitter_id, 0)
+    row = gather_rows(em.packed, idx)
     dir_to_scatter = normalize(scatter_pos - hit_pos)
     lnol = dot(hit_normal, dir_to_scatter)
     dist = length(scatter_pos - hit_pos)
     pdf = jnp.where(
-        lnol > 0.0, dist * dist / jnp.maximum(lnol * em.area[idx], 1e-20), 0.0
+        lnol > 0.0, dist * dist / jnp.maximum(lnol * row[:, EM_AREA], 1e-20), 0.0
     )
-    radiance = sample_texture(tex, em.radiance_tex[idx], hit_uv, config.tex_kinds)
+    tex_rows = gather_rows(tex.packed, row[:, EM_RAD_TEX].astype(jnp.int32))
+    radiance = sample_texture_rows(tex_rows, tex.pool, hit_uv, config.tex_kinds)
     ok = emitter_id >= 0
-    return jnp.where(ok[:, None], radiance, 0.0), jnp.where(ok, pdf, 0.0)
+    return (
+        jnp.where(ok[:, None], radiance, 0.0),
+        jnp.where(ok, pdf, 0.0),
+        row[:, EM_SELECT_PROB],
+    )
 
 
 def eval_env(

@@ -21,9 +21,9 @@ Semantics preserved exactly:
   7-draw budget per bounce so lanes advance in lockstep.
 
 Every lane carries an ``active`` mask instead of branching; dead lanes are
-masked out of contributions. The bounce loop is unrolled at trace time
-(max_depth is static), letting XLA fuse shading into the intersection
-sweeps.
+masked out of contributions. The bounce loop is a ``lax.scan`` so device
+memory and compile time stay bounded at one bounce regardless of
+max_depth (the reference allows up to 128).
 """
 
 from __future__ import annotations
@@ -33,8 +33,14 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from pupiloptixlab_tpu.accel.gather import gather_rows
 from pupiloptixlab_tpu.accel.intersect import intersect_any, intersect_closest
-from pupiloptixlab_tpu.flatten.types import CameraBlock, RenderConfig, SceneData
+from pupiloptixlab_tpu.flatten.types import (
+    EM_RAD_TEX,
+    CameraBlock,
+    RenderConfig,
+    SceneData,
+)
 from pupiloptixlab_tpu.render import bsdf as bsdf_mod
 from pupiloptixlab_tpu.render import emitter as emitter_mod
 from pupiloptixlab_tpu.render import rng
@@ -49,9 +55,100 @@ from pupiloptixlab_tpu.render.sampling import (
     to_local,
     to_world,
 )
-from pupiloptixlab_tpu.render.texture import sample_texture
+from pupiloptixlab_tpu.render.texture import sample_texture_rows
 
 _TINY = 1e-12
+
+
+def _first_hit_emission(scene, config, geo):
+    """GetRadiance at the hit uv (main.cu:87-92)."""
+    em, tex = scene.emitters, scene.textures
+    erow = gather_rows(em.packed, jnp.maximum(geo.emitter_id, 0))
+    trow = gather_rows(tex.packed, erow[:, EM_RAD_TEX].astype(jnp.int32))
+    return sample_texture_rows(trow, tex.pool, geo.uv, config.tex_kinds)
+
+
+def _bounce(scene, config, n, carry, depth):
+    """One NEE + BSDF-bounce iteration (the body of main.cu:103-184)."""
+    state, active, radiance, throughput, wo_world, geo, local = carry
+    em, tex = scene.emitters, scene.textures
+    tmin = jnp.full(n, RAY_OFFSET, jnp.float32)
+    tmax = jnp.full(n, MAX_DISTANCE, jnp.float32)
+
+    state, us = rng.next_floats(state, 7)
+    u_rr, u_sel, u_l1, u_l2, u_b0, u_b1, u_b2 = us
+
+    # Russian roulette (main.cu:108-111).
+    rr = jnp.where(depth > 2, 0.95, 1.0)
+    active = active & (u_rr <= rr)
+    throughput = jnp.where(active[:, None], throughput / rr, throughput)
+
+    # --- next-event estimation (main.cu:113-141) ----------------------------
+    idx, use_env, sel_prob = emitter_mod.select_emitter(em, config, u_sel)
+    es = emitter_mod.sample_direct(
+        em, tex, config, idx, use_env, sel_prob,
+        geo.position, geo.normal, u_l1, u_l2,
+    )
+    occluded = intersect_any(
+        geo.position, es.wi, tmin, es.distance - RAY_OFFSET, scene, config
+    )
+    wo_local = to_local(wo_world, geo.normal)
+    wi_local = to_local(es.wi, geo.normal)
+    f_nee, pdf_bsdf = bsdf_mod.evaluate(local, wo_local, wi_local, config.mat_types)
+    nol = dot(geo.normal, es.wi)
+    nonzero = ~is_zero(f_nee * es.pdf[:, None])
+    mis = jnp.where(es.is_delta, 1.0, mis_weight(es.pdf, pdf_bsdf))
+    pdf_light = es.pdf * es.select_prob
+    contrib = (
+        throughput
+        * es.radiance
+        * f_nee
+        * (nol * mis / jnp.maximum(pdf_light, _TINY))[:, None]
+    )
+    take = active & (~occluded) & nonzero & (nol > 0.0)
+    radiance = radiance + jnp.where(take[:, None], contrib, 0.0)
+
+    # --- BSDF sampling + bounce (main.cu:142-183) ----------------------------
+    wi_s, f_s, pdf_s, lobe = bsdf_mod.sample(
+        local, wo_local, u_b0, u_b1, u_b2, config.mat_types
+    )
+    cos_term = jnp.abs(wi_s[:, 2])
+    bad = is_zero(f_s * cos_term[:, None]) | is_zero(pdf_s)
+    active = active & ~bad
+    weight = f_s * (cos_term / jnp.maximum(pdf_s, _TINY))[:, None]
+    throughput = jnp.where(active[:, None], throughput * weight, throughput)
+
+    new_rd = to_world(wi_s, geo.normal)
+    new_ro = geo.position
+    hit = intersect_closest(new_ro, new_rd, tmin, tmax, scene, config)
+
+    # escape -> environment MIS (main.cu:166-169)
+    env_rad, env_pdf = emitter_mod.eval_env(em, tex, config, new_rd)
+    escaped = active & ~hit.hit_mask
+    mis_env = mis_weight(pdf_s, env_pdf)
+    radiance = radiance + jnp.where(
+        escaped[:, None], throughput * env_rad * mis_env[:, None], 0.0
+    )
+    active = active & hit.hit_mask
+
+    geo = get_local_geometry(scene, hit, new_ro, new_rd, config.sphere_count)
+    local = bsdf_mod.get_local_bsdf(
+        scene.materials, tex, geo.mat_id, geo.uv, config.mat_types, config.tex_kinds
+    )
+    wo_world = -new_rd
+
+    # hit an emitter -> MIS-weighted emission (main.cu:171-183)
+    emit_rad, emit_pdf, hit_sel_prob = emitter_mod.eval_hit_emitter(
+        em, tex, config, geo.emitter_id, geo.position, geo.normal, geo.uv, new_ro
+    )
+    is_delta = (lobe & bsdf_mod.LOBE_DELTA) != 0
+    mis_hit = jnp.where(is_delta, 1.0, mis_weight(pdf_s, emit_pdf * hit_sel_prob))
+    take_e = active & (geo.emitter_id >= 0) & ~is_zero(emit_pdf)
+    radiance = radiance + jnp.where(
+        take_e[:, None], throughput * emit_rad * mis_hit[:, None], 0.0
+    )
+
+    return (state, active, radiance, throughput, wo_world, geo, local)
 
 
 def render_sample(
@@ -64,8 +161,7 @@ def render_sample(
     radiance, albedo, normal, test."""
     w, h = config.width, config.height
     n = w * h
-    tex = scene.textures
-    em = scene.emitters
+    em, tex = scene.emitters, scene.textures
 
     state = rng.tea_init(jnp.arange(n, dtype=jnp.uint32), seed)
     state, (jx, jy) = rng.next_floats(state, 2)
@@ -74,7 +170,7 @@ def render_sample(
     tmin = jnp.full(n, RAY_OFFSET, jnp.float32)
     tmax = jnp.full(n, MAX_DISTANCE, jnp.float32)
     hit = intersect_closest(ro, rd, tmin, tmax, scene, config)
-    geo = get_local_geometry(scene, hit, ro, rd)
+    geo = get_local_geometry(scene, hit, ro, rd, config.sphere_count)
     local = bsdf_mod.get_local_bsdf(
         scene.materials, tex, geo.mat_id, geo.uv, config.mat_types, config.tex_kinds
     )
@@ -87,11 +183,9 @@ def render_sample(
     env_rad0, _ = emitter_mod.eval_env(em, tex, config, rd)
     radiance = radiance + jnp.where((~active)[:, None], env_rad0, 0.0)
 
-    # First-hit emission (main.cu:87-92): GetRadiance at the hit uv.
+    # First-hit emission (main.cu:87-92).
     is_emitter = active & (geo.emitter_id >= 0)
-    emit0 = sample_texture(
-        tex, em.radiance_tex[jnp.maximum(geo.emitter_id, 0)], geo.uv, config.tex_kinds
-    )
+    emit0 = _first_hit_emission(scene, config, geo)
     radiance = radiance + jnp.where(is_emitter[:, None], emit0, 0.0)
 
     # AOVs from the first hit (main.cu:94-99).
@@ -101,90 +195,13 @@ def render_sample(
     # The reference writes one RNG draw to the debug AOV (main.cu:101).
     state, test_aov = rng.next_float(state)
 
-    wo_world = -rd
-
-    for depth in range(1, config.max_depth):
-        state, us = rng.next_floats(state, 7)
-        u_rr, u_sel, u_l1, u_l2, u_b0, u_b1, u_b2 = us
-
-        # Russian roulette (main.cu:108-111).
-        rr = 0.95 if depth > 2 else 1.0
-        active = active & (u_rr <= rr)
-        throughput = jnp.where(active[:, None], throughput / rr, throughput)
-
-        # --- next-event estimation (main.cu:113-141) ------------------------
-        idx, use_env, sel_prob = emitter_mod.select_emitter(em, config, u_sel)
-        es = emitter_mod.sample_direct(
-            em, tex, config, idx, use_env, sel_prob,
-            geo.position, geo.normal, u_l1, u_l2,
+    carry = (state, active, radiance, throughput, -rd, geo, local)
+    if config.max_depth > 1:
+        depths = jnp.arange(1, config.max_depth, dtype=jnp.int32)
+        carry, _ = jax.lax.scan(
+            lambda c, d: (_bounce(scene, config, n, c, d), None), carry, depths
         )
-        occluded = intersect_any(
-            geo.position,
-            es.wi,
-            jnp.full(n, RAY_OFFSET, jnp.float32),
-            es.distance - RAY_OFFSET,
-            scene,
-            config,
-        )
-        wo_local = to_local(wo_world, geo.normal)
-        wi_local = to_local(es.wi, geo.normal)
-        f_nee, pdf_bsdf = bsdf_mod.evaluate(local, wo_local, wi_local, config.mat_types)
-        nol = dot(geo.normal, es.wi)
-        nonzero = ~is_zero(f_nee * es.pdf[:, None])
-        mis = jnp.where(es.is_delta, 1.0, mis_weight(es.pdf, pdf_bsdf))
-        pdf_light = es.pdf * es.select_prob
-        contrib = (
-            throughput
-            * es.radiance
-            * f_nee
-            * (nol * mis / jnp.maximum(pdf_light, _TINY))[:, None]
-        )
-        take = active & (~occluded) & nonzero & (nol > 0.0)
-        radiance = radiance + jnp.where(take[:, None], contrib, 0.0)
-
-        # --- BSDF sampling + bounce (main.cu:142-183) -----------------------
-        wi_s, f_s, pdf_s, lobe = bsdf_mod.sample(
-            local, wo_local, u_b0, u_b1, u_b2, config.mat_types
-        )
-        cos_term = jnp.abs(wi_s[:, 2])
-        bad = is_zero(f_s * cos_term[:, None]) | is_zero(pdf_s)
-        active = active & ~bad
-        weight = f_s * (cos_term / jnp.maximum(pdf_s, _TINY))[:, None]
-        throughput = jnp.where(active[:, None], throughput * weight, throughput)
-
-        new_rd = to_world(wi_s, geo.normal)
-        new_ro = geo.position
-        hit = intersect_closest(
-            new_ro, new_rd, tmin, tmax, scene, config
-        )
-        # escape -> environment MIS (main.cu:166-169)
-        env_rad, env_pdf = emitter_mod.eval_env(em, tex, config, new_rd)
-        escaped = active & ~hit.hit_mask
-        mis_env = mis_weight(pdf_s, env_pdf)
-        radiance = radiance + jnp.where(
-            escaped[:, None], throughput * env_rad * mis_env[:, None], 0.0
-        )
-        active = active & hit.hit_mask
-
-        geo = get_local_geometry(scene, hit, new_ro, new_rd)
-        local = bsdf_mod.get_local_bsdf(
-            scene.materials, tex, geo.mat_id, geo.uv, config.mat_types, config.tex_kinds
-        )
-        wo_world = -new_rd
-
-        # hit an emitter -> MIS-weighted emission (main.cu:171-183)
-        emit_rad, emit_pdf = emitter_mod.eval_hit_emitter(
-            em, tex, config, geo.emitter_id, geo.position, geo.normal, geo.uv, new_ro
-        )
-        hit_sel_prob = em.select_prob[jnp.maximum(geo.emitter_id, 0)]
-        is_delta = (lobe & bsdf_mod.LOBE_DELTA) != 0
-        mis_hit = jnp.where(
-            is_delta, 1.0, mis_weight(pdf_s, emit_pdf * hit_sel_prob)
-        )
-        take_e = active & (geo.emitter_id >= 0) & ~is_zero(emit_pdf)
-        radiance = radiance + jnp.where(
-            take_e[:, None], throughput * emit_rad * mis_hit[:, None], 0.0
-        )
+    radiance = carry[2]
 
     return {
         "radiance": radiance,

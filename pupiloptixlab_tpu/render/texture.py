@@ -1,21 +1,35 @@
 """Device texture sampling over the dense TextureTable.
 
-The TPU has no texture units; sampling is software gathers from the flat
-pixel pool. Semantics parity: cuda::Texture::Sample (cuda/texture.h:33-57)
-— uv transform applied as [u,v,0,1] through two transform rows, RGB
-passthrough, the reference's exact checkerboard fract logic, and bitmap
-fetch with wrap/clamp/mirror addressing and point/bilinear filtering.
+The TPU has no texture units; sampling is software gathers. Descriptor
+fetch is one packed-row gather (one-hot matmul, accel/gather.py); only
+actual bitmap pixel fetches touch the pool. Semantics parity:
+cuda::Texture::Sample (cuda/texture.h:33-57) — uv transform applied as
+[u,v,0,1] through two transform rows, RGB passthrough, the reference's
+exact checkerboard fract logic, and bitmap fetch with wrap/clamp/mirror
+addressing and point/bilinear filtering.
 
 ``kinds`` specializes the emitted program to the texture kinds present in
-the scene (recorded by the flattener in RenderConfig.tex_kinds): an
-RGB-only scene compiles to a single table gather with no pool traffic.
+the scene (RenderConfig.tex_kinds): an RGB-only scene compiles to a
+single table gather with no pool traffic.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from pupiloptixlab_tpu.flatten.types import TextureTable
+from pupiloptixlab_tpu.accel.gather import gather_rows
+from pupiloptixlab_tpu.flatten.types import (
+    TEX_ADDRESS,
+    TEX_FILTER,
+    TEX_H,
+    TEX_KIND,
+    TEX_OFFSET,
+    TEX_PATCH2,
+    TEX_RGB,
+    TEX_UVT,
+    TEX_W,
+    TextureTable,
+)
 
 ALL_KINDS = (0, 1, 2)  # rgb, checkerboard, bitmap
 
@@ -35,23 +49,21 @@ def _fetch(pool, offset, w, h, ix, iy):
     return pool[offset + iy * w + ix]
 
 
-def sample_texture(
-    tex: TextureTable,
-    tex_id: jnp.ndarray,
+def sample_texture_rows(
+    rows: jnp.ndarray,
+    pool: jnp.ndarray,
     uv: jnp.ndarray,
     kinds: tuple[int, ...] = ALL_KINDS,
 ) -> jnp.ndarray:
-    """Sample texture ``tex_id`` (N,) at ``uv`` (N,2) -> (N,3) linear rgb."""
-    rgb = tex.rgb[tex_id]
-    if kinds == (0,):
-        return rgb  # constant-color-only scene: one gather
+    """Sample from pre-gathered packed descriptor rows (N, TEX_COLS)."""
+    rgb = rows[:, TEX_RGB]
+    if tuple(kinds) == (0,):
+        return rgb  # constant-color-only scene
 
-    kind = tex.kind[tex_id]
-    need_uv = any(k in kinds for k in (1, 2))
-    if need_uv:
-        m = tex.uv_transform[tex_id]  # (N,2,3)
-        u = m[:, 0, 0] * uv[:, 0] + m[:, 0, 1] * uv[:, 1] + m[:, 0, 2]
-        v = m[:, 1, 0] * uv[:, 0] + m[:, 1, 1] * uv[:, 1] + m[:, 1, 2]
+    kind = rows[:, TEX_KIND]
+    uvt = rows[:, TEX_UVT]
+    u = uvt[:, 0] * uv[:, 0] + uvt[:, 1] * uv[:, 1] + uvt[:, 2]
+    v = uvt[:, 3] * uv[:, 0] + uvt[:, 4] * uv[:, 1] + uvt[:, 5]
 
     out = rgb
     if 1 in kinds:
@@ -61,23 +73,25 @@ def sample_texture(
         fu = jnp.where(fu < 0.0, fu + 1.0, fu)
         fv = jnp.where(fv < 0.0, fv + 1.0, fv)
         checker = jnp.where(
-            ((fu > 0.5) == (fv > 0.5))[:, None], tex.rgb[tex_id], tex.patch2[tex_id]
+            ((fu > 0.5) == (fv > 0.5))[:, None], rgb, rows[:, TEX_PATCH2]
         )
-        out = jnp.where((kind == 1)[:, None], checker, out)
+        out = jnp.where((kind == 1.0)[:, None], checker, out)
 
     if 2 in kinds:
-        w = tex.width[tex_id]
-        h = tex.height[tex_id]
-        mode = tex.address_mode[tex_id]
-        offset = tex.offset[tex_id]
+        w = rows[:, TEX_W]
+        h = rows[:, TEX_H]
+        mode = rows[:, TEX_ADDRESS]
+        offset = rows[:, TEX_OFFSET].astype(jnp.int32)
         au = _address(u, mode)
         av = _address(v, mode)
-        wf = jnp.maximum(w, 1).astype(jnp.float32)
-        hf = jnp.maximum(h, 1).astype(jnp.float32)
+        wf = jnp.maximum(w, 1.0)
+        hf = jnp.maximum(h, 1.0)
+        wi = wf.astype(jnp.int32)
+        hi = hf.astype(jnp.int32)
 
         ix = jnp.floor(au * wf).astype(jnp.int32)
         iy = jnp.floor(av * hf).astype(jnp.int32)
-        point = _fetch(tex.pool, offset, w, h, ix, iy)
+        point = _fetch(pool, offset, wi, hi, ix, iy)
 
         x = au * wf - 0.5
         y = av * hf - 0.5
@@ -87,17 +101,28 @@ def sample_texture(
         fy = (y - y0)[:, None]
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
-        c00 = _fetch(tex.pool, offset, w, h, x0i, y0i)
-        c10 = _fetch(tex.pool, offset, w, h, x0i + 1, y0i)
-        c01 = _fetch(tex.pool, offset, w, h, x0i, y0i + 1)
-        c11 = _fetch(tex.pool, offset, w, h, x0i + 1, y0i + 1)
+        c00 = _fetch(pool, offset, wi, hi, x0i, y0i)
+        c10 = _fetch(pool, offset, wi, hi, x0i + 1, y0i)
+        c01 = _fetch(pool, offset, wi, hi, x0i, y0i + 1)
+        c11 = _fetch(pool, offset, wi, hi, x0i + 1, y0i + 1)
         linear = (
             c00 * (1 - fx) * (1 - fy)
             + c10 * fx * (1 - fy)
             + c01 * (1 - fx) * fy
             + c11 * fx * fy
         )
-        bitmap = jnp.where((tex.filter_mode[tex_id] == 1)[:, None], linear, point)
-        out = jnp.where((kind == 2)[:, None], bitmap, out)
+        bitmap = jnp.where((rows[:, TEX_FILTER] == 1.0)[:, None], linear, point)
+        out = jnp.where((kind == 2.0)[:, None], bitmap, out)
 
     return out
+
+
+def sample_texture(
+    tex: TextureTable,
+    tex_id: jnp.ndarray,
+    uv: jnp.ndarray,
+    kinds: tuple[int, ...] = ALL_KINDS,
+) -> jnp.ndarray:
+    """Sample texture ``tex_id`` (N,) at ``uv`` (N,2) -> (N,3) linear rgb."""
+    rows = gather_rows(tex.packed, tex_id)
+    return sample_texture_rows(rows, tex.pool, uv, kinds)
