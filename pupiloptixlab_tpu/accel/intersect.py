@@ -3,15 +3,14 @@
 The reference offloads traversal to RT cores via GAS/IAS handles
 (world/gas_manager.cpp, world/ias_manager.cpp) and `optixTrace`. On TPU,
 intersection is a data-parallel sweep: every ray tests triangle chunks
-(Moller-Trumbore, watertight enough at fp32 with the reference's 1e-3 ray
-offsets) and the analytic unit-sphere primitives in their instance frames
-(supporting ellipsoids, like OptiX sphere primitives under instance
-transforms). The sweep is a `lax.scan` over triangle chunks carrying the
-running closest hit, so the (N_rays x T) intermediate never materializes
-beyond one chunk — XLA fuses the elementwise test into the reduction.
+(Moller-Trumbore) and the analytic unit-sphere primitives in their
+instance frames (supporting ellipsoids, like OptiX sphere primitives
+under instance transforms).
 
-A BVH variant (accel/bvh.py) accelerates large scenes; this brute-force
-path is the correctness oracle and remains optimal for small scenes.
+Rays are Vec3 planes (render/vec.py) end to end — no (N, 3) relayouts.
+On TPU the triangle sweep runs as a Pallas kernel
+(accel/pallas_intersect.py) holding every intermediate in VMEM; on CPU a
+chunked lax.scan sweep serves as the correctness oracle.
 """
 
 from __future__ import annotations
@@ -23,8 +22,13 @@ import jax.numpy as jnp
 
 from pupiloptixlab_tpu.flatten.types import RenderConfig, SceneData
 from pupiloptixlab_tpu.render.sampling import MAX_DISTANCE
+from pupiloptixlab_tpu.render.vec import Vec3
 
 _DET_EPS = 1e-12
+
+# Tunables for the Pallas sweep (read at trace time).
+PALLAS_RB = 8
+PALLAS_UNROLLED = False
 
 
 def _register(cls):
@@ -48,83 +52,150 @@ class Hit:
         return self.kind >= 0
 
 
-def _tri_chunk_test(ro, rd, p0, p1, p2, tmin, tmax):
-    """Moller-Trumbore: rays (N,3) x tris (C,3) -> (N,C) t/u/v/hit."""
-    e1 = p1 - p0  # (C,3)
-    e2 = p2 - p0
-    pvec = jnp.cross(rd[:, None, :], e2[None, :, :])  # (N,C,3)
-    det = jnp.sum(e1[None, :, :] * pvec, axis=-1)  # (N,C)
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < _DET_EPS, _DET_EPS, det)
-    tvec = ro[:, None, :] - p0[None, :, :]
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1[None, :, :])
-    v = jnp.sum(rd[:, None, :] * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2[None, :, :] * qvec, axis=-1) * inv_det
-    hit = (
-        (jnp.abs(det) >= _DET_EPS)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t > tmin[:, None])
-        & (t < tmax[:, None])
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _mt_planes(ro: Vec3, rd: Vec3, p0: Vec3, e1: Vec3, e2: Vec3):
+    """Moller-Trumbore on planes; broadcast-compatible shapes."""
+    pvec = rd.cross(e2)
+    det = e1.dot(pvec)
+    inv = 1.0 / jnp.where(jnp.abs(det) < _DET_EPS, _DET_EPS, det)
+    tvec = ro - p0
+    u = tvec.dot(pvec) * inv
+    qvec = tvec.cross(e1)
+    v = rd.dot(qvec) * inv
+    t = e2.dot(qvec) * inv
+    return det, t, u, v
+
+
+def _recompute_barycentrics(ro: Vec3, rd: Vec3, idx, scene: SceneData):
+    """One Moller-Trumbore re-test of the winning triangle per ray —
+    cheaper than carrying u/v through the sweep."""
+    from pupiloptixlab_tpu.accel.gather import gather_cols
+
+    cols = gather_cols(scene.tris.packed[:, :9], jnp.maximum(idx, 0))
+    p0 = Vec3(cols[0], cols[1], cols[2])
+    e1 = Vec3(cols[3], cols[4], cols[5])
+    e2 = Vec3(cols[6], cols[7], cols[8])
+    _, _, u, v = _mt_planes(ro, rd, p0, e1, e2)
+    return u, v
+
+
+def _sweep_tris_pallas(ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData):
+    from pupiloptixlab_tpu.accel.pallas_intersect import LANES, sweep_triangles
+
+    n = ro.x.shape[0]
+    block = LANES * PALLAS_RB
+    pad = (-n) % block
+
+    def padv(a):
+        return jnp.concatenate([a, jnp.zeros(pad, a.dtype)], 0) if pad else a
+
+    t, idx = sweep_triangles(
+        padv(ro.x), padv(ro.y), padv(ro.z),
+        padv(rd.x), padv(rd.y), padv(rd.z),
+        padv(tmin), padv(tmax),
+        scene.tris.packed,
+        rb=PALLAS_RB, tc=64, unrolled=PALLAS_UNROLLED,
     )
-    return t, u, v, hit
+    t, idx = t[:n], idx[:n]
+    u, v = _recompute_barycentrics(ro, rd, idx, scene)
+    hit = idx >= 0
+    return (
+        jnp.where(hit, t, MAX_DISTANCE),
+        jnp.where(hit, idx, 0),
+        jnp.where(hit, 0, -1),
+        jnp.where(hit, u, 0.0),
+        jnp.where(hit, v, 0.0),
+    )
 
 
 def _pick_chunk(n_rays: int, n_tris: int, budget: int = 1 << 22) -> int:
-    """Chunk triangles so the (N, C) intermediates stay ~budget elements."""
     c = max(budget // max(n_rays, 1), 8)
     return min(c, n_tris)
 
 
-def _sweep_tris(ro, rd, tmin, tmax, scene: SceneData, best_t, best_prim, best_kind, best_u, best_v):
-    n_tris = scene.tris.p0.shape[0]
-    n_rays = ro.shape[0]
-    chunk = _pick_chunk(n_rays, n_tris)
+def _sweep_tris_xla(ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData):
+    """CPU/debug fallback: chunked scan carrying the closest hit."""
+    n_tris = scene.tris.packed.shape[0]
+    n = ro.x.shape[0]
+    chunk = _pick_chunk(n, n_tris)
     pad = (-n_tris) % chunk
-    def padded(a):
-        if pad:
-            return jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
-        return a
+    packed = scene.tris.packed
+    if pad:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((pad, packed.shape[1]), packed.dtype)], 0
+        )
+    tri_chunks = packed.reshape(-1, chunk, packed.shape[1])
 
-    p0 = padded(scene.tris.p0).reshape(-1, chunk, 3)
-    p1 = padded(scene.tris.p1).reshape(-1, chunk, 3)
-    p2 = padded(scene.tris.p2).reshape(-1, chunk, 3)
-
-    def body(carry, tri_chunk):
+    def body(carry, args):
         bt, bp, bk, bu, bv = carry
-        c0, c1, c2, base = tri_chunk
-        t, u, v, hit = _tri_chunk_test(ro, rd, c0, c1, c2, tmin, tmax)
-        t = jnp.where(hit, t, MAX_DISTANCE)
-        j = jnp.argmin(t, axis=1)  # (N,)
-        rows = jnp.arange(t.shape[0])
-        tj = t[rows, j]
+        rows, base = args  # (chunk, 12)
+        p0 = Vec3(rows[:, 0][None], rows[:, 1][None], rows[:, 2][None])
+        e1 = Vec3(rows[:, 3][None], rows[:, 4][None], rows[:, 5][None])
+        e2 = Vec3(rows[:, 6][None], rows[:, 7][None], rows[:, 8][None])
+        ro_b = Vec3(ro.x[:, None], ro.y[:, None], ro.z[:, None])
+        rd_b = Vec3(rd.x[:, None], rd.y[:, None], rd.z[:, None])
+        det, t, u, v = _mt_planes(ro_b, rd_b, p0, e1, e2)
+        ok = (
+            (jnp.abs(det) >= _DET_EPS)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > tmin[:, None])
+            & (t < tmax[:, None])
+        )
+        t = jnp.where(ok, t, MAX_DISTANCE)
+        j = jnp.argmin(t, axis=1)
+        rows_idx = jnp.arange(t.shape[0])
+        tj = t[rows_idx, j]
         better = tj < bt
         bt = jnp.where(better, tj, bt)
         bp = jnp.where(better, base + j.astype(jnp.int32), bp)
         bk = jnp.where(better, 0, bk)
-        bu = jnp.where(better, u[rows, j], bu)
-        bv = jnp.where(better, v[rows, j], bv)
+        bu = jnp.where(better, u[rows_idx, j], bu)
+        bv = jnp.where(better, v[rows_idx, j], bv)
         return (bt, bp, bk, bu, bv), None
 
-    bases = (jnp.arange(p0.shape[0]) * chunk).astype(jnp.int32)
-    carry = (best_t, best_prim, best_kind, best_u, best_v)
-    carry, _ = jax.lax.scan(body, carry, (p0, p1, p2, bases))
+    init = (
+        jnp.full(n, MAX_DISTANCE, jnp.float32),
+        jnp.zeros(n, jnp.int32),
+        jnp.full(n, -1, jnp.int32),
+        jnp.zeros(n, jnp.float32),
+        jnp.zeros(n, jnp.float32),
+    )
+    bases = (jnp.arange(tri_chunks.shape[0]) * chunk).astype(jnp.int32)
+    carry, _ = jax.lax.scan(body, init, (tri_chunks, bases))
     return carry
 
 
-def _sphere_tests(ro, rd, scene: SceneData, tmin, tmax):
+def _sphere_tests(ro: Vec3, rd: Vec3, scene: SceneData, tmin, tmax):
     """Analytic unit-sphere hits in each sphere's object frame.
 
-    Returns (t (N,S), hit (N,S)). t is the world-parameterized distance
-    (the object-space transform preserves the ray parameter).
+    Returns (t (N,S), hit (N,S)); t keeps the world ray parameter.
     """
     w2o = scene.spheres.w2o  # (S,3,4)
-    ro_o = jnp.einsum("sij,nj->nsi", w2o[:, :, :3], ro) + w2o[None, :, :, 3]
-    rd_o = jnp.einsum("sij,nj->nsi", w2o[:, :, :3], rd)
-    a = jnp.sum(rd_o * rd_o, axis=-1)
-    b = jnp.sum(ro_o * rd_o, axis=-1)
-    c = jnp.sum(ro_o * ro_o, axis=-1) - 1.0
+
+    def xform(vx, vy, vz, translate):
+        # (N,) x (S,) -> (N,S) per output component
+        outs = []
+        for i in range(3):
+            o = (
+                vx[:, None] * w2o[None, :, i, 0]
+                + vy[:, None] * w2o[None, :, i, 1]
+                + vz[:, None] * w2o[None, :, i, 2]
+            )
+            if translate:
+                o = o + w2o[None, :, i, 3]
+            outs.append(o)
+        return outs
+
+    ox, oy, oz = xform(ro.x, ro.y, ro.z, True)
+    dx, dy, dz = xform(rd.x, rd.y, rd.z, False)
+    a = dx * dx + dy * dy + dz * dz
+    b = ox * dx + oy * dy + oz * dz
+    c = ox * ox + oy * oy + oz * oz - 1.0
     disc = b * b - a * c
     valid = (disc >= 0.0) & (a > _DET_EPS)
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -138,83 +209,27 @@ def _sphere_tests(ro, rd, scene: SceneData, tmin, tmax):
     return jnp.where(hit, t, MAX_DISTANCE), hit
 
 
-# Tunables for the Pallas sweep (read at trace time; retracing picks up
-# changes). Defaults chosen by on-chip frame-level sweeps.
-PALLAS_RB = 8
-PALLAS_UNROLLED = False
-
-
-def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
-
-
-def _recompute_barycentrics(ro, rd, idx, scene: SceneData):
-    """One Moller-Trumbore re-test of the winning triangle per ray —
-    cheaper than carrying u/v through the sweep."""
-    safe = jnp.maximum(idx, 0)
-    row = scene.tris.packed[safe]  # (N,12)
-    p0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
-    pvec = jnp.cross(rd, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
-    inv = 1.0 / jnp.where(jnp.abs(det) < _DET_EPS, _DET_EPS, det)
-    tvec = ro - p0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(rd * qvec, axis=-1) * inv
-    return u, v
-
-
-def _sweep_tris_pallas(ro, rd, tmin, tmax, scene: SceneData):
-    from pupiloptixlab_tpu.accel.pallas_intersect import LANES, sweep_triangles
-
-    n = ro.shape[0]
-    block = LANES * PALLAS_RB
-    pad = (-n) % block
-    if pad:
-        zero3 = jnp.zeros((pad, 3), jnp.float32)
-        ro = jnp.concatenate([ro, zero3], 0)
-        rd = jnp.concatenate([rd, zero3], 0)
-        tmin = jnp.concatenate([tmin, jnp.zeros(pad, jnp.float32)], 0)
-        tmax = jnp.concatenate([tmax, jnp.zeros(pad, jnp.float32)], 0)
-    t, idx = sweep_triangles(
-        ro, rd, tmin, tmax, scene.tris.packed,
-        rb=PALLAS_RB, tc=64, unrolled=PALLAS_UNROLLED,
-    )
-    t, idx = t[:n], idx[:n]
-    u, v = _recompute_barycentrics(ro[:n], rd[:n], idx, scene)
-    hit = idx >= 0
-    return (
-        jnp.where(hit, t, MAX_DISTANCE),
-        jnp.where(hit, idx, 0),
-        jnp.where(hit, 0, -1),
-        jnp.where(hit, u, 0.0),
-        jnp.where(hit, v, 0.0),
-    )
-
-
 def intersect_closest(
-    ro: jnp.ndarray,
-    rd: jnp.ndarray,
+    ro: Vec3,
+    rd: Vec3,
     tmin: jnp.ndarray,
     tmax: jnp.ndarray,
     scene: SceneData,
     config: RenderConfig,
 ) -> Hit:
-    n = ro.shape[0]
-    best_t = jnp.full(n, MAX_DISTANCE, jnp.float32)
-    best_prim = jnp.zeros(n, jnp.int32)
-    best_kind = jnp.full(n, -1, jnp.int32)
-    best_u = jnp.zeros(n, jnp.float32)
-    best_v = jnp.zeros(n, jnp.float32)
+    n = ro.x.shape[0]
+    best = (
+        jnp.full(n, MAX_DISTANCE, jnp.float32),
+        jnp.zeros(n, jnp.int32),
+        jnp.full(n, -1, jnp.int32),
+        jnp.zeros(n, jnp.float32),
+        jnp.zeros(n, jnp.float32),
+    )
+    if config.tri_count > 0:
+        sweep = _sweep_tris_pallas if _use_pallas() else _sweep_tris_xla
+        best = sweep(ro, rd, tmin, tmax, scene)
+    best_t, best_prim, best_kind, best_u, best_v = best
 
-    if config.tri_count > 0 and _use_pallas():
-        best_t, best_prim, best_kind, best_u, best_v = _sweep_tris_pallas(
-            ro, rd, tmin, tmax, scene
-        )
-    elif config.tri_count > 0:
-        best_t, best_prim, best_kind, best_u, best_v = _sweep_tris(
-            ro, rd, tmin, tmax, scene, best_t, best_prim, best_kind, best_u, best_v
-        )
     if config.sphere_count > 0:
         t_s, hit_s = _sphere_tests(ro, rd, scene, tmin, tmax)
         j = jnp.argmin(t_s, axis=1)
@@ -228,8 +243,8 @@ def intersect_closest(
 
 
 def intersect_any(
-    ro: jnp.ndarray,
-    rd: jnp.ndarray,
+    ro: Vec3,
+    rd: Vec3,
     tmin: jnp.ndarray,
     tmax: jnp.ndarray,
     scene: SceneData,

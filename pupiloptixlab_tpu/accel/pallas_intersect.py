@@ -148,8 +148,12 @@ def _kernel_unrolled(tri_ref, rox, roy, roz, rdx, rdy, rdz, tmn, tmx, tbest, ibe
     jax.jit, static_argnames=("rb", "tc", "interpret", "unrolled")
 )
 def sweep_triangles(
-    ro: jnp.ndarray,
-    rd: jnp.ndarray,
+    rox: jnp.ndarray,
+    roy: jnp.ndarray,
+    roz: jnp.ndarray,
+    rdx: jnp.ndarray,
+    rdy: jnp.ndarray,
+    rdz: jnp.ndarray,
     tmin: jnp.ndarray,
     tmax: jnp.ndarray,
     tri: jnp.ndarray,   # (T, 12): p0 xyz, e1 xyz, e2 xyz, pad
@@ -158,12 +162,13 @@ def sweep_triangles(
     interpret: bool = False,
     unrolled: bool = False,
 ):
-    """Closest-hit sweep. Returns (t (N,), idx (N,) i32; idx<0 = miss).
+    """Closest-hit sweep over ray component planes (N,) each.
+    Returns (t (N,), idx (N,) i32; idx<0 = miss).
 
     N must be a multiple of rb*128 and T a multiple of tc (pad upstream;
     padding triangles must be degenerate, padding rays get tmax<=tmin).
     """
-    n = ro.shape[0]
+    n = rox.shape[0]
     t_total = tri.shape[0]
     assert n % (rb * LANES) == 0, n
     assert t_total % tc == 0, t_total
@@ -199,8 +204,8 @@ def sweep_triangles(
         ),
     )(
         tri,
-        plane(ro[:, 0]), plane(ro[:, 1]), plane(ro[:, 2]),
-        plane(rd[:, 0]), plane(rd[:, 1]), plane(rd[:, 2]),
+        plane(rox), plane(roy), plane(roz),
+        plane(rdx), plane(rdy), plane(rdz),
         plane(tmin), plane(tmax),
     )
     return tbest.reshape(n), ibest.reshape(n)

@@ -161,7 +161,7 @@ class _TextureBuilder:
             height=jnp.asarray(self.height, jnp.int32),
             filter_mode=jnp.asarray(self.filter, jnp.int32),
             address_mode=jnp.asarray(self.address, jnp.int32),
-            pool=jnp.asarray(pool, jnp.float32),
+            pool=jnp.asarray(pool.T, jnp.float32),  # (3, P) planes
         )
 
 

@@ -82,7 +82,7 @@ class TextureTable:
     height: jnp.ndarray        # (K,) i32
     filter_mode: jnp.ndarray   # (K,) i32: 0 point, 1 linear
     address_mode: jnp.ndarray  # (K,) i32: 0 wrap, 1 clamp, 2 mirror
-    pool: jnp.ndarray          # (P,3) f32 pixel pool (row-major per image)
+    pool: jnp.ndarray          # (3,P) f32 pixel-plane pool (row-major per image)
 
 
 @_register

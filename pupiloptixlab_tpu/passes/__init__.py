@@ -1,2 +1,3 @@
 from pupiloptixlab_tpu.passes.pt import PTPass  # noqa: F401
 from pupiloptixlab_tpu.passes.compute import ComputePass  # noqa: F401
+from pupiloptixlab_tpu.passes.denoise import DenoisePass  # noqa: F401

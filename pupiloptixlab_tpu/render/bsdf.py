@@ -1,4 +1,4 @@
-"""The seven BSDFs with branchless dense-table dispatch.
+"""The seven BSDFs with branchless dense-table dispatch (plane layout).
 
 Parity: render/material/bsdf/*.h + optix_material.h in the reference, with
 the OptiX SBT/direct-callable dispatch (``optixDirectCall`` per material)
@@ -23,7 +23,15 @@ from dataclasses import dataclass, fields
 import jax
 import jax.numpy as jnp
 
+from pupiloptixlab_tpu.accel.gather import gather_cols
 from pupiloptixlab_tpu.flatten.types import (
+    MAT_ETA,
+    MAT_INT_FDR,
+    MAT_NONLINEAR,
+    MAT_SSW,
+    MAT_TEX0,
+    MAT_TWOSIDED,
+    MAT_TYPE,
     SLOT_ALPHA,
     SLOT_ETA,
     SLOT_K,
@@ -36,14 +44,13 @@ from pupiloptixlab_tpu.flatten.types import (
 from pupiloptixlab_tpu.render import fresnel, ggx
 from pupiloptixlab_tpu.render.sampling import (
     cosine_sample_hemisphere,
-    dot,
-    normalize,
     reflect,
     reflect_z,
     refract,
     refract_z,
 )
-from pupiloptixlab_tpu.render.texture import sample_texture
+from pupiloptixlab_tpu.render.texture import sample_texture_cols
+from pupiloptixlab_tpu.render.vec import Vec2, Vec3, where
 
 # Material type ids (must match scene.materials.MatType).
 DIFFUSE, DIELECTRIC, ROUGH_DIELECTRIC = 1, 2, 3
@@ -78,11 +85,11 @@ class LocalBsdf:
 
     mtype: jnp.ndarray        # (N,) i32
     twosided: jnp.ndarray     # (N,) bool
-    reflectance: jnp.ndarray  # (N,3) diffuse/plastic diffuse reflectance
-    specular: jnp.ndarray     # (N,3)
-    transmittance: jnp.ndarray  # (N,3)
-    eta3: jnp.ndarray         # (N,3) conductor eta
-    k3: jnp.ndarray           # (N,3) conductor k
+    reflectance: Vec3         # diffuse/plastic diffuse reflectance
+    specular: Vec3
+    transmittance: Vec3
+    eta3: Vec3                # conductor eta
+    k3: Vec3                  # conductor k
     alpha: jnp.ndarray        # (N,)
     eta: jnp.ndarray          # (N,) scalar ior ratio
     int_fdr: jnp.ndarray      # (N,)
@@ -94,55 +101,43 @@ def get_local_bsdf(
     materials: MaterialTable,
     textures: TextureTable,
     mat_id: jnp.ndarray,
-    uv: jnp.ndarray,
+    uv: Vec2,
     mat_types: tuple[int, ...] = ALL_TYPES,
     tex_kinds: tuple[int, ...] = (0, 1, 2),
 ) -> LocalBsdf:
-    from pupiloptixlab_tpu.accel.gather import gather_rows
-    from pupiloptixlab_tpu.flatten.types import (
-        MAT_ETA,
-        MAT_INT_FDR,
-        MAT_NONLINEAR,
-        MAT_SSW,
-        MAT_TEX0,
-        MAT_TWOSIDED,
-        MAT_TYPE,
-    )
-    from pupiloptixlab_tpu.render.texture import sample_texture_rows
-
     n = mat_id.shape[0]
-    mrow = gather_rows(materials.packed, mat_id)  # one gather for all params
-    zeros3 = jnp.zeros((n, 3), jnp.float32)
+    mcol = gather_cols(materials.packed, mat_id)  # one gather for all params
+    zeros3 = Vec3.zeros(n)
 
     def slot(idx, needed_by):
         if any(t in mat_types for t in needed_by):
-            tex_id = mrow[:, MAT_TEX0 + idx].astype(jnp.int32)
-            rows = gather_rows(textures.packed, tex_id)
-            return sample_texture_rows(rows, textures.pool, uv, tex_kinds)
+            tex_id = mcol[MAT_TEX0 + idx].astype(jnp.int32)
+            cols = gather_cols(textures.packed, tex_id)
+            return sample_texture_cols(cols, textures.pool, uv, tex_kinds)
         return zeros3
 
     need_alpha = (ROUGH_DIELECTRIC, ROUGH_CONDUCTOR, ROUGH_PLASTIC)
     return LocalBsdf(
-        mtype=mrow[:, MAT_TYPE].astype(jnp.int32),
-        twosided=mrow[:, MAT_TWOSIDED] > 0.5,
+        mtype=mcol[MAT_TYPE].astype(jnp.int32),
+        twosided=mcol[MAT_TWOSIDED] > 0.5,
         reflectance=slot(SLOT_REFLECTANCE, (DIFFUSE, PLASTIC, ROUGH_PLASTIC)),
         specular=slot(SLOT_SPECULAR, ALL_TYPES),
         transmittance=slot(SLOT_TRANSMITTANCE, (DIELECTRIC, ROUGH_DIELECTRIC)),
         eta3=slot(SLOT_ETA, (CONDUCTOR, ROUGH_CONDUCTOR)),
         k3=slot(SLOT_K, (CONDUCTOR, ROUGH_CONDUCTOR)),
         alpha=(
-            slot(SLOT_ALPHA, need_alpha)[:, 0]
+            slot(SLOT_ALPHA, need_alpha).x
             if any(t in mat_types for t in need_alpha)
             else jnp.zeros(n, jnp.float32)
         ),
-        eta=mrow[:, MAT_ETA],
-        int_fdr=mrow[:, MAT_INT_FDR],
-        ssw=mrow[:, MAT_SSW],
-        nonlinear=mrow[:, MAT_NONLINEAR] > 0.5,
+        eta=mcol[MAT_ETA],
+        int_fdr=mcol[MAT_INT_FDR],
+        ssw=mcol[MAT_SSW],
+        nonlinear=mcol[MAT_NONLINEAR] > 0.5,
     )
 
 
-def albedo(b: LocalBsdf) -> jnp.ndarray:
+def albedo(b: LocalBsdf) -> Vec3:
     """AOV albedo (optix_material.h:69-87)."""
     use_spec = (
         (b.mtype == DIELECTRIC)
@@ -150,7 +145,7 @@ def albedo(b: LocalBsdf) -> jnp.ndarray:
         | (b.mtype == CONDUCTOR)
         | (b.mtype == ROUGH_CONDUCTOR)
     )
-    return jnp.where(use_spec[:, None], b.specular, b.reflectance)
+    return where(use_spec, b.specular, b.reflectance)
 
 
 def _safe_div(a, d):
@@ -168,129 +163,130 @@ def _spec_prob(b: LocalBsdf, f_o):
     return _safe_div(num, jnp.maximum(den, _TINY))
 
 
-def _plastic_diff(b: LocalBsdf, f_i, f_o, wi_z):
+def _plastic_diff(b: LocalBsdf, f_i, f_o, wi_z) -> Vec3:
     """Plastic diffuse term with internal-scattering compensation
     (plastic.h:38-39); includes the cosine-pdf/wi.z = 1/pi factor."""
-    denom = 1.0 - jnp.where(
-        b.nonlinear[:, None], b.reflectance * b.int_fdr[:, None], b.int_fdr[:, None]
+    denom = (1.0 - b.int_fdr)
+    diff_lin = b.reflectance * (1.0 / jnp.maximum(denom, _TINY))
+    denom_nl = Vec3(
+        jnp.maximum(1.0 - b.reflectance.x * b.int_fdr, _TINY),
+        jnp.maximum(1.0 - b.reflectance.y * b.int_fdr, _TINY),
+        jnp.maximum(1.0 - b.reflectance.z * b.int_fdr, _TINY),
     )
-    diff = b.reflectance / jnp.maximum(denom, _TINY)
+    diff_nl = b.reflectance / denom_nl
+    diff = where(b.nonlinear, diff_nl, diff_lin)
     scale = (1.0 - f_i) * (1.0 - f_o) * _cos_pdf(wi_z) / (
         jnp.maximum(b.eta, _TINY) ** 2 * jnp.maximum(wi_z, _TINY)
     )
-    return diff * scale[:, None]
+    return diff * scale
 
 
 # ---------------------------------------------------------------------------
 # per-type eval: f(wo, wi) and pdf(wo, wi) — GetBsdf + GetPdf
 # ---------------------------------------------------------------------------
 
-def _eval_diffuse(b, wo, wi):
-    upper = (wi[:, 2] > 0.0) & (wo[:, 2] > 0.0)
-    f = jnp.where(upper[:, None], b.reflectance / jnp.pi, 0.0)
-    pdf = jnp.where(upper, _cos_pdf(wi[:, 2]), 0.0)
+def _eval_diffuse(b, wo: Vec3, wi: Vec3):
+    upper = (wi.z > 0.0) & (wo.z > 0.0)
+    f = where(upper, b.reflectance * (1.0 / jnp.pi), Vec3.zeros(wi.z.shape[0]))
+    pdf = jnp.where(upper, _cos_pdf(wi.z), 0.0)
     return f, pdf
 
 
-def _eval_rough_conductor(b, wo, wi):
+def _eval_rough_conductor(b, wo: Vec3, wi: Vec3):
     """rough_conductor.h:20-38."""
-    wiz, woz = wi[:, 2], wo[:, 2]
-    upper = (wiz > 0.0) & (woz > 0.0)
-    wh = normalize(wi + wo)
-    fr = fresnel.conductor_reflectance_rgb(b.eta3, b.k3, dot(wo, wh))
-    f = b.specular * (ggx.d(wh, b.alpha) * ggx.g(wi, wo, b.alpha))[:, None] * fr
-    f = f / jnp.maximum(4.0 * wiz * woz, _TINY)[:, None]
-    pdf = ggx.pdf(wo, wh, b.alpha) / jnp.maximum(4.0 * dot(wo, wh), _TINY)
-    return jnp.where(upper[:, None], f, 0.0), jnp.where(upper, pdf, 0.0)
+    upper = (wi.z > 0.0) & (wo.z > 0.0)
+    wh = (wi + wo).normalized()
+    fr = fresnel.conductor_reflectance_rgb(b.eta3, b.k3, wo.dot(wh))
+    scale = ggx.d(wh, b.alpha) * ggx.g(wi, wo, b.alpha) / jnp.maximum(
+        4.0 * wi.z * wo.z, _TINY
+    )
+    f = b.specular * fr * scale
+    pdf = ggx.pdf(wo, wh, b.alpha) / jnp.maximum(4.0 * wo.dot(wh), _TINY)
+    zero = Vec3.zeros(wi.z.shape[0])
+    return where(upper, f, zero), jnp.where(upper, pdf, 0.0)
 
 
-def _eval_plastic(b, wo, wi):
+def _eval_plastic(b, wo: Vec3, wi: Vec3):
     """plastic.h:32-54."""
-    wiz, woz = wi[:, 2], wo[:, 2]
-    upper = (wiz > 0.0) & (woz > 0.0)
-    f_o, _ = fresnel.dielectric_reflectance(b.eta, woz)
-    f_i, _ = fresnel.dielectric_reflectance(b.eta, wiz)
-    f = jnp.where(upper[:, None], _plastic_diff(b, f_i, f_o, wiz), 0.0)
+    upper = (wi.z > 0.0) & (wo.z > 0.0)
+    f_o, _ = fresnel.dielectric_reflectance(b.eta, wo.z)
+    f_i, _ = fresnel.dielectric_reflectance(b.eta, wi.z)
+    f = where(upper, _plastic_diff(b, f_i, f_o, wi.z), Vec3.zeros(wi.z.shape[0]))
     sp = _spec_prob(b, f_o)
-    pdf = jnp.where(upper, _cos_pdf(wiz) * (1.0 - sp), 0.0)
+    pdf = jnp.where(upper, _cos_pdf(wi.z) * (1.0 - sp), 0.0)
     return f, pdf
 
 
-def _eval_rough_plastic(b, wo, wi):
+def _eval_rough_plastic(b, wo: Vec3, wi: Vec3):
     """rough_plastic.h:30-61."""
-    wiz, woz = wi[:, 2], wo[:, 2]
-    upper = (wiz > 0.0) & (woz > 0.0)
-    f_o, _ = fresnel.dielectric_reflectance(b.eta, woz)
-    f_i, _ = fresnel.dielectric_reflectance(b.eta, wiz)
-    wh = normalize(wi + wo)
-    fr = fresnel.dielectric_reflectance(b.eta, dot(wh, wo))[0]
-    spec = b.specular * (
-        fr * ggx.d(wh, b.alpha) * ggx.g(wi, wo, b.alpha)
-    )[:, None] / jnp.maximum(4.0 * woz * wiz, _TINY)[:, None]
-    diff = (
-        b.reflectance
-        / jnp.maximum(
-            1.0
-            - jnp.where(
-                b.nonlinear[:, None],
-                b.reflectance * b.int_fdr[:, None],
-                b.int_fdr[:, None],
-            ),
-            _TINY,
-        )
-        * ((1.0 - f_i) * (1.0 - f_o) / jnp.pi / jnp.maximum(b.eta**2, _TINY))[:, None]
+    upper = (wi.z > 0.0) & (wo.z > 0.0)
+    f_o, _ = fresnel.dielectric_reflectance(b.eta, wo.z)
+    f_i, _ = fresnel.dielectric_reflectance(b.eta, wi.z)
+    wh = (wi + wo).normalized()
+    fr = fresnel.dielectric_reflectance(b.eta, wh.dot(wo))[0]
+    spec_scale = fr * ggx.d(wh, b.alpha) * ggx.g(wi, wo, b.alpha) / jnp.maximum(
+        4.0 * wo.z * wi.z, _TINY
     )
-    f = jnp.where(upper[:, None], spec + diff, 0.0)
+    spec = b.specular * spec_scale
+    denom_nl = Vec3(
+        jnp.maximum(1.0 - b.reflectance.x * b.int_fdr, _TINY),
+        jnp.maximum(1.0 - b.reflectance.y * b.int_fdr, _TINY),
+        jnp.maximum(1.0 - b.reflectance.z * b.int_fdr, _TINY),
+    )
+    diff_base = where(
+        b.nonlinear,
+        b.reflectance / denom_nl,
+        b.reflectance * (1.0 / jnp.maximum(1.0 - b.int_fdr, _TINY)),
+    )
+    diff = diff_base * (
+        (1.0 - f_i) * (1.0 - f_o) / jnp.pi / jnp.maximum(b.eta**2, _TINY)
+    )
+    f = where(upper, spec + diff, Vec3.zeros(wi.z.shape[0]))
     sp = _spec_prob(b, f_o)
-    pdf = sp * ggx.pdf(wo, wh, b.alpha) / jnp.maximum(4.0 * dot(wi, wh), _TINY)
-    pdf = pdf + (1.0 - sp) * _cos_pdf(wiz)
+    pdf = sp * ggx.pdf(wo, wh, b.alpha) / jnp.maximum(4.0 * wi.dot(wh), _TINY)
+    pdf = pdf + (1.0 - sp) * _cos_pdf(wi.z)
     return f, jnp.where(upper, pdf, 0.0)
 
 
-def _rough_dielectric_wh(b, wo, wi):
-    reflect_side = wo[:, 2] * wi[:, 2] > 0.0
-    eta_w = jnp.where(wo[:, 2] > 0.0, b.eta, 1.0 / jnp.maximum(b.eta, _TINY))
-    wh_r = wo + wi
-    wh_t = wo + wi * eta_w[:, None]
-    wh = normalize(jnp.where(reflect_side[:, None], wh_r, wh_t))
-    wh = wh * jnp.where(wh[:, 2] > 0.0, 1.0, -1.0)[:, None]
-    return wh, reflect_side, eta_w
+def _rough_dielectric_wh(b, wo: Vec3, wi: Vec3):
+    reflect_side = wo.z * wi.z > 0.0
+    eta_w = jnp.where(wo.z > 0.0, b.eta, 1.0 / jnp.maximum(b.eta, _TINY))
+    wh = where(reflect_side, wo + wi, wo + wi * eta_w).normalized()
+    sign = jnp.where(wh.z > 0.0, 1.0, -1.0)
+    return wh * sign, reflect_side, eta_w
 
 
-def _eval_rough_dielectric(b, wo, wi):
+def _eval_rough_dielectric(b, wo: Vec3, wi: Vec3):
     """rough_dielectric.h:21-72."""
-    wiz, woz = wi[:, 2], wo[:, 2]
+    n = wi.z.shape[0]
     wh, reflect_side, eta_w = _rough_dielectric_wh(b, wo, wi)
 
-    f_term, _ = fresnel.dielectric_reflectance(b.eta, dot(wo, wh))
+    f_term, _ = fresnel.dielectric_reflectance(b.eta, wo.dot(wh))
     g_val = ggx.g(wi, wo, b.alpha)
     d_val = ggx.d(wh, b.alpha)
 
-    f_reflect = b.specular * (f_term * g_val * d_val)[:, None] / jnp.maximum(
-        4.0 * jnp.abs(wiz) * jnp.abs(woz), _TINY
-    )[:, None]
+    refl_scale = f_term * g_val * d_val / jnp.maximum(
+        4.0 * jnp.abs(wi.z) * jnp.abs(wo.z), _TINY
+    )
+    f_reflect = b.specular * refl_scale
 
-    idoth = dot(wi, wh)
-    odoth = dot(wo, wh)
+    idoth = wi.dot(wh)
+    odoth = wo.dot(wh)
     sqrt_denom = odoth + eta_w * idoth
-    f_transmit = b.transmittance * jnp.abs(
-        (1.0 - f_term) * d_val * g_val * idoth * odoth
-        / jnp.where(
-            jnp.abs(sqrt_denom**2 * wiz * woz) < _TINY,
-            _TINY,
-            sqrt_denom**2 * wiz * woz,
-        )
-    )[:, None]
+    denom = sqrt_denom**2 * wi.z * wo.z
+    denom = jnp.where(jnp.abs(denom) < _TINY, _TINY, denom)
+    trans_scale = jnp.abs((1.0 - f_term) * d_val * g_val * idoth * odoth / denom)
+    f_transmit = b.transmittance * trans_scale
 
-    f = jnp.where(reflect_side[:, None], f_reflect, f_transmit)
-    f = jnp.where((jnp.abs(woz) < 1e-6)[:, None], 0.0, f)
+    f = where(reflect_side, f_reflect, f_transmit)
+    f = where(jnp.abs(wo.z) < 1e-6, Vec3.zeros(n), f)
 
     dwh_dwo_r = 1.0 / jnp.where(jnp.abs(4.0 * idoth) < _TINY, _TINY, 4.0 * idoth)
     dwh_dwo_t = (eta_w**2 * idoth) / jnp.where(
         sqrt_denom**2 < _TINY, _TINY, sqrt_denom**2
     )
     dwh_dwo = jnp.where(reflect_side, dwh_dwo_r, dwh_dwo_t)
-    wo_up = wo * jnp.where(woz > 0.0, 1.0, -1.0)[:, None]
+    wo_up = wo * jnp.where(wo.z > 0.0, 1.0, -1.0)
     pdf = jnp.abs(
         ggx.pdf(wo_up, wh, b.alpha)
         * jnp.where(reflect_side, f_term, 1.0 - f_term)
@@ -309,10 +305,10 @@ _EVAL_FNS = {
 }
 
 
-def evaluate(b: LocalBsdf, wo, wi, mat_types: tuple[int, ...] = ALL_TYPES):
-    """Returns (f (N,3), pdf (N,)). Delta materials return zeros."""
-    n = wo.shape[0]
-    f = jnp.zeros((n, 3), jnp.float32)
+def evaluate(b: LocalBsdf, wo: Vec3, wi: Vec3, mat_types: tuple[int, ...] = ALL_TYPES):
+    """Returns (f Vec3, pdf (N,)). Delta materials return zeros."""
+    n = wo.z.shape[0]
+    f = Vec3.zeros(n)
     pdf = jnp.zeros(n, jnp.float32)
     present = [t for t in mat_types if t in _EVAL_FNS]
     if len(present) == 1 and len(mat_types) == 1:
@@ -320,7 +316,7 @@ def evaluate(b: LocalBsdf, wo, wi, mat_types: tuple[int, ...] = ALL_TYPES):
     for t in present:
         ft, pt = _EVAL_FNS[t](b, wo, wi)
         sel = b.mtype == t
-        f = jnp.where(sel[:, None], ft, f)
+        f = where(sel, ft, f)
         pdf = jnp.where(sel, pt, pdf)
     return f, pdf
 
@@ -332,31 +328,32 @@ def evaluate(b: LocalBsdf, wo, wi, mat_types: tuple[int, ...] = ALL_TYPES):
 def _sample_diffuse(b, wo, u_lobe, u1, u2):
     wi = cosine_sample_hemisphere(u1, u2)
     f, pdf = _eval_diffuse(b, wo, wi)
-    lobe = jnp.full(wo.shape[0], LOBE_DIFFUSE_REFL, jnp.int32)
+    lobe = jnp.full(wo.z.shape[0], LOBE_DIFFUSE_REFL, jnp.int32)
     return wi, f, pdf, lobe
 
 
 def _sample_conductor(b, wo, u_lobe, u1, u2):
     """conductor.h:27-35 (perfect mirror, delta)."""
     wi = reflect_z(wo)
-    fr = fresnel.conductor_reflectance_rgb(b.eta3, b.k3, wo[:, 2])
-    f = b.specular * fr / jnp.maximum(jnp.abs(wi[:, 2]), _TINY)[:, None]
-    pdf = jnp.ones(wo.shape[0], jnp.float32)
-    lobe = jnp.full(wo.shape[0], LOBE_DELTA_REFL, jnp.int32)
+    fr = fresnel.conductor_reflectance_rgb(b.eta3, b.k3, wo.z)
+    f = b.specular * fr * (1.0 / jnp.maximum(jnp.abs(wi.z), _TINY))
+    pdf = jnp.ones(wo.z.shape[0], jnp.float32)
+    lobe = jnp.full(wo.z.shape[0], LOBE_DELTA_REFL, jnp.int32)
     return wi, f, pdf, lobe
 
 
 def _sample_dielectric(b, wo, u_lobe, u1, u2):
     """dielectric.h:28-44 (smooth glass, Fresnel lobe choice)."""
-    f_term, cos_t = fresnel.dielectric_reflectance(b.eta, wo[:, 2])
+    f_term, cos_t = fresnel.dielectric_reflectance(b.eta, wo.z)
     take_refl = u_lobe < f_term
-    wi = jnp.where(take_refl[:, None], reflect_z(wo), refract_z(wo, cos_t, b.eta))
+    wi = where(take_refl, reflect_z(wo), refract_z(wo, cos_t, b.eta))
     factor = jnp.where(cos_t < 0.0, 1.0 / jnp.maximum(b.eta, _TINY), b.eta)
-    f = jnp.where(
-        take_refl[:, None],
-        b.specular * f_term[:, None],
-        b.transmittance * ((1.0 - f_term) * factor * factor)[:, None],
-    ) / jnp.maximum(jnp.abs(wi[:, 2]), _TINY)[:, None]
+    inv_wiz = 1.0 / jnp.maximum(jnp.abs(wi.z), _TINY)
+    f = where(
+        take_refl,
+        b.specular * (f_term * inv_wiz),
+        b.transmittance * ((1.0 - f_term) * factor * factor * inv_wiz),
+    )
     pdf = jnp.where(take_refl, f_term, 1.0 - f_term)
     lobe = jnp.where(take_refl, LOBE_DELTA_REFL, LOBE_DELTA_TRANS).astype(jnp.int32)
     return wi, f, pdf, lobe
@@ -366,25 +363,22 @@ def _sample_rough_conductor(b, wo, u_lobe, u1, u2):
     wh = ggx.sample(wo, b.alpha, u1, u2)
     wi = reflect(wo, wh)
     f, pdf = _eval_rough_conductor(b, wo, wi)
-    lobe = jnp.full(wo.shape[0], LOBE_GLOSSY_REFL, jnp.int32)
+    lobe = jnp.full(wo.z.shape[0], LOBE_GLOSSY_REFL, jnp.int32)
     return wi, f, pdf, lobe
 
 
 def _sample_rough_dielectric(b, wo, u_lobe, u1, u2):
     """rough_dielectric.h:74-97."""
-    woz = wo[:, 2]
-    wo_up = wo * jnp.where(woz > 0.0, 1.0, -1.0)[:, None]
+    wo_up = wo * jnp.where(wo.z > 0.0, 1.0, -1.0)
     wh = ggx.sample(wo_up, b.alpha, u1, u2)
-    f_term, cos_t = fresnel.dielectric_reflectance(b.eta, dot(wo, wh))
+    f_term, cos_t = fresnel.dielectric_reflectance(b.eta, wo.dot(wh))
     take_refl = u_lobe < f_term
-    wi = jnp.where(
-        take_refl[:, None], reflect(wo, wh), refract(wo, wh, cos_t, b.eta)
-    )
+    wi = where(take_refl, reflect(wo, wh), refract(wo, wh, cos_t, b.eta))
     valid = jnp.where(
-        take_refl, True, (jnp.abs(cos_t) > 1e-6) & (wi[:, 2] * woz < 0.0)
+        take_refl, True, (jnp.abs(cos_t) > 1e-6) & (wi.z * wo.z < 0.0)
     )
     f, pdf = _eval_rough_dielectric(b, wo, wi)
-    f = jnp.where(valid[:, None], f, 0.0)
+    f = where(valid, f, Vec3.zeros(wo.z.shape[0]))
     pdf = jnp.where(valid, pdf, 0.0)
     lobe = jnp.where(take_refl, LOBE_GLOSSY_REFL, LOBE_GLOSSY_TRANS).astype(jnp.int32)
     return wi, f, pdf, lobe
@@ -392,18 +386,17 @@ def _sample_rough_dielectric(b, wo, u_lobe, u1, u2):
 
 def _sample_plastic(b, wo, u_lobe, u1, u2):
     """plastic.h:56-85."""
-    woz = wo[:, 2]
-    f_o, _ = fresnel.dielectric_reflectance(b.eta, woz)
+    f_o, _ = fresnel.dielectric_reflectance(b.eta, wo.z)
     sp = _spec_prob(b, f_o)
     take_spec = u_lobe < sp
-    wi = jnp.where(take_spec[:, None], reflect_z(wo), cosine_sample_hemisphere(u1, u2))
-    f_i, _ = fresnel.dielectric_reflectance(b.eta, wi[:, 2])
-    f_spec = b.specular * f_o[:, None] / jnp.maximum(wi[:, 2], _TINY)[:, None]
-    f_diff = _plastic_diff(b, f_i, f_o, wi[:, 2])
-    f = jnp.where(take_spec[:, None], f_spec, f_diff)
-    pdf = jnp.where(take_spec, sp, _cos_pdf(wi[:, 2]) * (1.0 - sp))
-    invalid = woz <= 0.0
-    f = jnp.where(invalid[:, None], 0.0, f)
+    wi = where(take_spec, reflect_z(wo), cosine_sample_hemisphere(u1, u2))
+    f_i, _ = fresnel.dielectric_reflectance(b.eta, wi.z)
+    f_spec = b.specular * (f_o / jnp.maximum(wi.z, _TINY))
+    f_diff = _plastic_diff(b, f_i, f_o, wi.z)
+    f = where(take_spec, f_spec, f_diff)
+    pdf = jnp.where(take_spec, sp, _cos_pdf(wi.z) * (1.0 - sp))
+    invalid = wo.z <= 0.0
+    f = where(invalid, Vec3.zeros(wo.z.shape[0]), f)
     pdf = jnp.where(invalid, 0.0, pdf)
     lobe = jnp.where(take_spec, LOBE_DELTA_REFL, LOBE_DIFFUSE_REFL).astype(jnp.int32)
     return wi, f, pdf, lobe
@@ -411,17 +404,14 @@ def _sample_plastic(b, wo, u_lobe, u1, u2):
 
 def _sample_rough_plastic(b, wo, u_lobe, u1, u2):
     """rough_plastic.h:63-86."""
-    woz = wo[:, 2]
-    f_o, _ = fresnel.dielectric_reflectance(b.eta, woz)
+    f_o, _ = fresnel.dielectric_reflectance(b.eta, wo.z)
     sp = _spec_prob(b, f_o)
     take_spec = u_lobe < sp
     wh = ggx.sample(wo, b.alpha, u1, u2)
-    wi = jnp.where(
-        take_spec[:, None], reflect(wo, wh), cosine_sample_hemisphere(u1, u2)
-    )
+    wi = where(take_spec, reflect(wo, wh), cosine_sample_hemisphere(u1, u2))
     f, pdf = _eval_rough_plastic(b, wo, wi)
-    invalid = woz <= 0.0
-    f = jnp.where(invalid[:, None], 0.0, f)
+    invalid = wo.z <= 0.0
+    f = where(invalid, Vec3.zeros(wo.z.shape[0]), f)
     pdf = jnp.where(invalid, 0.0, pdf)
     lobe = jnp.where(take_spec, LOBE_GLOSSY_REFL, LOBE_DIFFUSE_REFL).astype(jnp.int32)
     return wi, f, pdf, lobe
@@ -439,22 +429,22 @@ _SAMPLE_FNS = {
 
 
 def sample(
-    b: LocalBsdf, wo, u_lobe, u1, u2, mat_types: tuple[int, ...] = ALL_TYPES
+    b: LocalBsdf, wo: Vec3, u_lobe, u1, u2, mat_types: tuple[int, ...] = ALL_TYPES
 ):
-    """Returns (wi (N,3), f (N,3), pdf (N,), lobe (N,) i32)."""
-    n = wo.shape[0]
+    """Returns (wi Vec3, f Vec3, pdf (N,), lobe (N,) i32)."""
+    n = wo.z.shape[0]
     present = [t for t in mat_types if t in _SAMPLE_FNS]
     if len(present) == 1:
         return _SAMPLE_FNS[present[0]](b, wo, u_lobe, u1, u2)
-    wi = jnp.zeros((n, 3), jnp.float32)
-    f = jnp.zeros((n, 3), jnp.float32)
+    wi = Vec3.zeros(n)
+    f = Vec3.zeros(n)
     pdf = jnp.zeros(n, jnp.float32)
     lobe = jnp.zeros(n, jnp.int32)
     for t in present:
         wit, ft, pt, lt = _SAMPLE_FNS[t](b, wo, u_lobe, u1, u2)
         sel = b.mtype == t
-        wi = jnp.where(sel[:, None], wit, wi)
-        f = jnp.where(sel[:, None], ft, f)
+        wi = where(sel, wit, wi)
+        f = where(sel, ft, f)
         pdf = jnp.where(sel, pt, pdf)
         lobe = jnp.where(sel, lt, lobe)
     return wi, f, pdf, lobe

@@ -1,4 +1,4 @@
-"""Device camera ray generation.
+"""Device camera ray generation (plane layout).
 
 Parity: the raygen prologue (example/path_tracer/main.cu:55-75): jittered
 subpixel -> sample_to_camera (perspective divide by w, normalize) ->
@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from pupiloptixlab_tpu.flatten.types import CameraBlock
-from pupiloptixlab_tpu.render.sampling import normalize
+from pupiloptixlab_tpu.render.vec import Vec3
 
 
 def generate_rays(
@@ -21,7 +21,8 @@ def generate_rays(
     jitter_y: jnp.ndarray,
 ):
     """Primary rays for the full film. jitter_* are (N,) in [0,1),
-    N = width*height, pixel order row-major (y*width + x)."""
+    N = width*height, pixel order row-major (y*width + x).
+    Returns (origin Vec3, direction Vec3)."""
     n = width * height
     idx = jnp.arange(n, dtype=jnp.int32)
     px = (idx % width).astype(jnp.float32)
@@ -29,12 +30,22 @@ def generate_rays(
     sx = (px + jitter_x) / width
     sy = (py + jitter_y) / height
 
-    s2c = camera.sample_to_camera
-    c2w = camera.camera_to_world
-    film = jnp.stack([sx, sy, jnp.zeros_like(sx), jnp.ones_like(sx)], axis=-1)
-    d = film @ s2c.T  # (N,4)
-    d = d[:, :3] / d[:, 3:4]
-    d = normalize(d)
-    world_d = normalize(d @ c2w[:3, :3].T)
-    origin = jnp.broadcast_to(c2w[:3, 3], (n, 3))
+    s = camera.sample_to_camera
+    c = camera.camera_to_world
+    # d = S2C @ (sx, sy, 0, 1); perspective divide; normalize
+    dx = s[0, 0] * sx + s[0, 1] * sy + s[0, 3]
+    dy = s[1, 0] * sx + s[1, 1] * sy + s[1, 3]
+    dz = s[2, 0] * sx + s[2, 1] * sy + s[2, 3]
+    dw = s[3, 0] * sx + s[3, 1] * sy + s[3, 3]
+    d = Vec3(dx / dw, dy / dw, dz / dw).normalized()
+    world_d = Vec3(
+        c[0, 0] * d.x + c[0, 1] * d.y + c[0, 2] * d.z,
+        c[1, 0] * d.x + c[1, 1] * d.y + c[1, 2] * d.z,
+        c[2, 0] * d.x + c[2, 1] * d.y + c[2, 2] * d.z,
+    ).normalized()
+    origin = Vec3(
+        jnp.broadcast_to(c[0, 3], (n,)),
+        jnp.broadcast_to(c[1, 3], (n,)),
+        jnp.broadcast_to(c[2, 3], (n,)),
+    )
     return origin, world_d

@@ -1,4 +1,4 @@
-"""Device emitter sampling/eval over the flattened EmitterTable.
+"""Device emitter sampling/eval over the flattened EmitterTable (planes).
 
 Parity: render/emitter.h + emitter/{area,sphere,env}.h —
 
@@ -8,7 +8,9 @@ Parity: render/emitter.h + emitter/{area,sphere,env}.h —
   d^2 / (cos_theta_L * A) (area.h / sphere.h),
 * env-map importance sampling over row/col CDFs (env.h:24-64) with the
   linear scans replaced by vectorized searchsorted, and ConstEnv uniform-
-  hemisphere sampling (env.h:67-86).
+  hemisphere sampling (env.h:67-86) — with the const-env Eval pdf fixed
+  to its true sampling density 1/2pi (the reference reports 1/4pi, which
+  breaks MIS energy conservation; see eval_env).
 """
 
 from __future__ import annotations
@@ -18,13 +20,29 @@ from dataclasses import dataclass, fields
 import jax
 import jax.numpy as jnp
 
-from pupiloptixlab_tpu.flatten.types import EmitterTable, RenderConfig, TextureTable
+from pupiloptixlab_tpu.accel.gather import gather_cols
+from pupiloptixlab_tpu.flatten.types import (
+    EM_AREA,
+    EM_ETYPE,
+    EM_RAD_TEX,
+    EM_RADIUS,
+    EM_SELECT_PROB,
+    EM_V0N,
+    EM_V0P,
+    EM_V0T,
+    EM_V1N,
+    EM_V1P,
+    EM_V1T,
+    EM_V2N,
+    EM_V2P,
+    EM_V2T,
+    EmitterTable,
+    RenderConfig,
+    TextureTable,
+)
 from pupiloptixlab_tpu.render.sampling import (
     MAX_DISTANCE,
-    dot,
-    length,
     luminance,
-    normalize,
     sphere_texcoord,
     to_world,
     uniform_hemisphere_pdf,
@@ -32,7 +50,8 @@ from pupiloptixlab_tpu.render.sampling import (
     uniform_sample_sphere,
     uniform_sample_triangle,
 )
-from pupiloptixlab_tpu.render.texture import sample_texture
+from pupiloptixlab_tpu.render.texture import sample_texture_cols
+from pupiloptixlab_tpu.render.vec import Vec2, Vec3, where, where2
 
 
 def _register(cls):
@@ -47,9 +66,9 @@ def _register(cls):
 class EmitterSample:
     """EmitterSampleRecord analog (per-lane)."""
 
-    wi: jnp.ndarray        # (N,3) direction toward the light
+    wi: Vec3               # direction toward the light
     distance: jnp.ndarray  # (N,)
-    radiance: jnp.ndarray  # (N,3)
+    radiance: Vec3
     pdf: jnp.ndarray       # (N,) solid-angle pdf (0 when invalid)
     select_prob: jnp.ndarray  # (N,)
     is_delta: jnp.ndarray  # (N,) bool
@@ -80,6 +99,14 @@ def select_emitter(em: EmitterTable, config: RenderConfig, u: jnp.ndarray):
     return idx, use_env, prob
 
 
+def _vec(row, s: slice) -> Vec3:
+    return Vec3(row[s.start], row[s.start + 1], row[s.start + 2])
+
+
+def _uv(row, s: slice) -> Vec2:
+    return Vec2(row[s.start], row[s.start + 1])
+
+
 def sample_direct(
     em: EmitterTable,
     tex: TextureTable,
@@ -87,71 +114,55 @@ def sample_direct(
     idx: jnp.ndarray,
     use_env: jnp.ndarray,
     select_prob: jnp.ndarray,
-    hit_pos: jnp.ndarray,
-    hit_normal: jnp.ndarray,
+    hit_pos: Vec3,
+    hit_normal: Vec3,
     u1: jnp.ndarray,
     u2: jnp.ndarray,
 ) -> EmitterSample:
-    from pupiloptixlab_tpu.accel.gather import gather_rows
-    from pupiloptixlab_tpu.flatten.types import (
-        EM_AREA, EM_ETYPE, EM_RAD_TEX, EM_RADIUS,
-        EM_V0N, EM_V0P, EM_V0T, EM_V1N, EM_V1P, EM_V1T,
-        EM_V2N, EM_V2P, EM_V2T,
-    )
-    from pupiloptixlab_tpu.render.texture import sample_texture_rows
-
-    n = hit_pos.shape[0]
-    row = gather_rows(em.packed, idx)  # one gather for the emitter record
+    n = u1.shape[0]
+    row = gather_cols(em.packed, idx)  # one gather for the emitter record
 
     # --- triangle area emitter (area.h:17-35) -------------------------------
     bary = uniform_sample_triangle(u1, u2)
-    pos = (
-        row[:, EM_V0P] * bary[:, 0:1]
-        + row[:, EM_V1P] * bary[:, 1:2]
-        + row[:, EM_V2P] * bary[:, 2:3]
-    )
-    nrm = normalize(
-        row[:, EM_V0N] * bary[:, 0:1]
-        + row[:, EM_V1N] * bary[:, 1:2]
-        + row[:, EM_V2N] * bary[:, 2:3]
-    )
-    uv = (
-        row[:, EM_V0T] * bary[:, 0:1]
-        + row[:, EM_V1T] * bary[:, 1:2]
-        + row[:, EM_V2T] * bary[:, 2:3]
+    pos = _vec(row, EM_V0P) * bary.x + _vec(row, EM_V1P) * bary.y + _vec(row, EM_V2P) * bary.z
+    nrm = (
+        _vec(row, EM_V0N) * bary.x + _vec(row, EM_V1N) * bary.y + _vec(row, EM_V2N) * bary.z
+    ).normalized()
+    uv = Vec2(
+        row[EM_V0T.start] * bary.x + row[EM_V1T.start] * bary.y + row[EM_V2T.start] * bary.z,
+        row[EM_V0T.start + 1] * bary.x
+        + row[EM_V1T.start + 1] * bary.y
+        + row[EM_V2T.start + 1] * bary.z,
     )
 
     if config.has_sphere_emitter:
         # --- sphere emitter (sphere.h:15-33) ---------------------------------
-        is_tri = (row[:, EM_ETYPE] == 0.0)[:, None]
+        is_tri = row[EM_ETYPE] == 0.0
         sph_dir = uniform_sample_sphere(u1, u2)
-        pos_sph = sph_dir * row[:, EM_RADIUS][:, None] + row[:, EM_V0P]
+        pos_sph = sph_dir * row[EM_RADIUS] + _vec(row, EM_V0P)
         uv_sph = sphere_texcoord(sph_dir)
-        pos = jnp.where(is_tri, pos, pos_sph)
-        nrm = jnp.where(is_tri, nrm, sph_dir)
-        uv = jnp.where(is_tri, uv, uv_sph)
+        pos = where(is_tri, pos, pos_sph)
+        nrm = where(is_tri, nrm, sph_dir)
+        uv = where2(is_tri, uv, uv_sph)
 
-    tex_rows = gather_rows(tex.packed, row[:, EM_RAD_TEX].astype(jnp.int32))
-    radiance = sample_texture_rows(tex_rows, tex.pool, uv, config.tex_kinds)
+    tex_cols = gather_cols(tex.packed, row[EM_RAD_TEX].astype(jnp.int32))
+    radiance = sample_texture_cols(tex_cols, tex.pool, uv, config.tex_kinds)
     delta = pos - hit_pos
-    dist = length(delta)
-    wi = delta / jnp.maximum(dist, 1e-20)[:, None]
-    nol = dot(hit_normal, wi)
-    lnol = dot(nrm, -wi)
+    dist = delta.length()
+    wi = delta * (1.0 / jnp.maximum(dist, 1e-20))
+    nol = hit_normal.dot(wi)
+    lnol = nrm.dot(-wi)
     valid = (nol > 0.0) & (lnol > 0.0)
     pdf = jnp.where(
-        valid,
-        dist * dist / jnp.maximum(lnol * row[:, EM_AREA], 1e-20),
-        0.0,
+        valid, dist * dist / jnp.maximum(lnol * row[EM_AREA], 1e-20), 0.0
     )
 
     # --- environment ----------------------------------------------------------
     if config.has_env:
         env = _env_sample_direct(em, tex, config, hit_pos, hit_normal, u1, u2)
-        use = use_env[:, None]
-        wi = jnp.where(use, env["wi"], wi)
+        wi = where(use_env, env["wi"], wi)
         dist = jnp.where(use_env, env["distance"], dist)
-        radiance = jnp.where(use, env["radiance"], radiance)
+        radiance = where(use_env, env["radiance"], radiance)
         pdf = jnp.where(use_env, env["pdf"], pdf)
 
     return EmitterSample(
@@ -164,15 +175,16 @@ def sample_direct(
     )
 
 
-def _env_sample_direct(em, tex, config, hit_pos, hit_normal, u1, u2):
+def _env_sample_direct(em, tex, config, hit_pos: Vec3, hit_normal: Vec3, u1, u2):
     w, h = config.env_size
+    n = u1.shape[0]
     if w == 0:  # const env (env.h:69-79)
         local = uniform_sample_hemisphere(u1, u2)
         wi = to_world(local, hit_normal)
         return {
             "wi": wi,
-            "distance": jnp.full(u1.shape, MAX_DISTANCE, jnp.float32),
-            "radiance": jnp.broadcast_to(em.env_color, (u1.shape[0], 3)),
+            "distance": jnp.full(n, MAX_DISTANCE, jnp.float32),
+            "radiance": Vec3.broadcast(em.env_color, n),
             "pdf": uniform_hemisphere_pdf(local),
         }
     # env-map (env.h:24-48): CDF walks -> searchsorted
@@ -187,26 +199,28 @@ def _env_sample_direct(em, tex, config, hit_pos, hit_normal, u1, u2):
     phi = col.astype(jnp.float32) * (2.0 * jnp.pi / w)
     theta = row.astype(jnp.float32) * (jnp.pi / h)
     sin_t = jnp.sin(theta)
-    local_wi = jnp.stack(
-        [sin_t * jnp.sin(jnp.pi - phi), jnp.cos(theta), sin_t * jnp.cos(jnp.pi - phi)],
-        axis=-1,
+    local_wi = Vec3(sin_t * jnp.sin(jnp.pi - phi), jnp.cos(theta), sin_t * jnp.cos(jnp.pi - phi))
+    m = em.env_to_world
+    wi = Vec3(
+        m[0, 0] * local_wi.x + m[0, 1] * local_wi.y + m[0, 2] * local_wi.z,
+        m[1, 0] * local_wi.x + m[1, 1] * local_wi.y + m[1, 2] * local_wi.z,
+        m[2, 0] * local_wi.x + m[2, 1] * local_wi.y + m[2, 2] * local_wi.z,
     )
-    wi = local_wi @ em.env_to_world.T
-    uv = jnp.stack([phi * 0.5 / jnp.pi, theta / jnp.pi], axis=-1)
-    rad_id = jnp.broadcast_to(em.env_radiance_tex, u1.shape).astype(jnp.int32)
-    radiance = sample_texture(tex, rad_id, uv, config.tex_kinds) * em.env_scale
+    uv = Vec2(phi * 0.5 / jnp.pi, theta / jnp.pi)
+    rad_id = jnp.broadcast_to(em.env_radiance_tex, (n,)).astype(jnp.int32)
+    tex_cols = gather_cols(tex.packed, rad_id)
+    radiance = sample_texture_cols(tex_cols, tex.pool, uv, config.tex_kinds) * em.env_scale
     pdf = (
         luminance(radiance)
         * em.env_row_weight[row_c]
         * em.env_normalization
         / jnp.maximum(jnp.abs(sin_t), 1e-4)
     )
-    pdf = jnp.maximum(pdf, 0.0)
     return {
         "wi": wi,
-        "distance": jnp.full(u1.shape, MAX_DISTANCE, jnp.float32),
+        "distance": jnp.full(n, MAX_DISTANCE, jnp.float32),
         "radiance": radiance,
-        "pdf": pdf,
+        "pdf": jnp.maximum(pdf, 0.0),
     }
 
 
@@ -215,33 +229,30 @@ def eval_hit_emitter(
     tex: TextureTable,
     config: RenderConfig,
     emitter_id: jnp.ndarray,
-    hit_pos: jnp.ndarray,
-    hit_normal: jnp.ndarray,
-    hit_uv: jnp.ndarray,
-    scatter_pos: jnp.ndarray,
+    hit_pos: Vec3,
+    hit_normal: Vec3,
+    hit_uv: Vec2,
+    scatter_pos: Vec3,
 ):
     """Area-emitter Eval at a BSDF-sampled hit (area.h:37-46 dispatch);
-    returns (radiance (N,3), pdf (N,), select_prob (N,)).
+    returns (radiance Vec3, pdf (N,), select_prob (N,)).
     Valid only where emitter_id >= 0."""
-    from pupiloptixlab_tpu.accel.gather import gather_rows
-    from pupiloptixlab_tpu.flatten.types import EM_AREA, EM_RAD_TEX, EM_SELECT_PROB
-    from pupiloptixlab_tpu.render.texture import sample_texture_rows
-
     idx = jnp.maximum(emitter_id, 0)
-    row = gather_rows(em.packed, idx)
-    dir_to_scatter = normalize(scatter_pos - hit_pos)
-    lnol = dot(hit_normal, dir_to_scatter)
-    dist = length(scatter_pos - hit_pos)
+    row = gather_cols(em.packed, idx)
+    dir_to_scatter = (scatter_pos - hit_pos).normalized()
+    lnol = hit_normal.dot(dir_to_scatter)
+    dist = (scatter_pos - hit_pos).length()
     pdf = jnp.where(
-        lnol > 0.0, dist * dist / jnp.maximum(lnol * row[:, EM_AREA], 1e-20), 0.0
+        lnol > 0.0, dist * dist / jnp.maximum(lnol * row[EM_AREA], 1e-20), 0.0
     )
-    tex_rows = gather_rows(tex.packed, row[:, EM_RAD_TEX].astype(jnp.int32))
-    radiance = sample_texture_rows(tex_rows, tex.pool, hit_uv, config.tex_kinds)
+    tex_cols = gather_cols(tex.packed, row[EM_RAD_TEX].astype(jnp.int32))
+    radiance = sample_texture_cols(tex_cols, tex.pool, hit_uv, config.tex_kinds)
     ok = emitter_id >= 0
+    n = idx.shape[0]
     return (
-        jnp.where(ok[:, None], radiance, 0.0),
+        where(ok, radiance, Vec3.zeros(n)),
         jnp.where(ok, pdf, 0.0),
-        row[:, EM_SELECT_PROB],
+        row[EM_SELECT_PROB],
     )
 
 
@@ -249,29 +260,34 @@ def eval_env(
     em: EmitterTable,
     tex: TextureTable,
     config: RenderConfig,
-    ray_dir: jnp.ndarray,
+    ray_dir: Vec3,
 ):
     """Environment Eval along escaped rays (env.h:51-64 / env.h:81-85);
-    returns (radiance (N,3), pdf (N,))."""
-    n = ray_dir.shape[0]
+    returns (radiance Vec3, pdf (N,))."""
+    n = ray_dir.x.shape[0]
     if not config.has_env:
-        return jnp.zeros((n, 3), jnp.float32), jnp.zeros(n, jnp.float32)
+        return Vec3.zeros(n), jnp.zeros(n, jnp.float32)
     w, h = config.env_size
     if w == 0:  # const env
-        rad = jnp.broadcast_to(em.env_color, (n, 3))
         # Deviation from the reference: env.h:81-85 reports 1/4pi here while
-        # SampleDirect draws from the cosine-hemisphere's uniform half (1/2pi,
-        # env.h:69-79). The mismatch makes balance-MIS weights sum to >1
-        # (white furnace converges to ~1.15). We report the true sampling
-        # density so the estimator is energy-conserving.
-        return rad, jnp.full(n, 0.5 / jnp.pi, jnp.float32)
-    d = ray_dir @ em.env_to_local.T
-    phi = jnp.pi - jnp.arctan2(d[:, 0], d[:, 2])
-    theta = jnp.arccos(jnp.clip(d[:, 1], -1.0, 1.0))
-    uv = jnp.stack([phi * 0.5 / jnp.pi, theta / jnp.pi], axis=-1)
+        # SampleDirect draws uniform-hemisphere (1/2pi, env.h:69-79). The
+        # mismatch makes balance-MIS weights sum to >1 (white furnace
+        # converges to ~1.15). We report the true sampling density so the
+        # estimator is energy-conserving.
+        return Vec3.broadcast(em.env_color, n), jnp.full(n, 0.5 / jnp.pi, jnp.float32)
+    m = em.env_to_local
+    d = Vec3(
+        m[0, 0] * ray_dir.x + m[0, 1] * ray_dir.y + m[0, 2] * ray_dir.z,
+        m[1, 0] * ray_dir.x + m[1, 1] * ray_dir.y + m[1, 2] * ray_dir.z,
+        m[2, 0] * ray_dir.x + m[2, 1] * ray_dir.y + m[2, 2] * ray_dir.z,
+    )
+    phi = jnp.pi - jnp.arctan2(d.x, d.z)
+    theta = jnp.arccos(jnp.clip(d.y, -1.0, 1.0))
+    uv = Vec2(phi * 0.5 / jnp.pi, theta / jnp.pi)
     rad_id = jnp.broadcast_to(em.env_radiance_tex, (n,)).astype(jnp.int32)
-    radiance = sample_texture(tex, rad_id, uv) * em.env_scale
-    rowf = uv[:, 1] * h
+    tex_cols = gather_cols(tex.packed, rad_id)
+    radiance = sample_texture_cols(tex_cols, tex.pool, uv, config.tex_kinds) * em.env_scale
+    rowf = uv.y * h
     row = jnp.clip(rowf.astype(jnp.int32), 0, h - 2)
     frac = rowf - row.astype(jnp.float32)
     weight = em.env_row_weight[row] * (1.0 - frac) + em.env_row_weight[row + 1] * frac

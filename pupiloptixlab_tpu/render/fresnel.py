@@ -47,8 +47,14 @@ def conductor_reflectance(eta, k, cos_theta_i):
 
 
 def conductor_reflectance_rgb(eta, k, cos_theta_i):
-    """(..., 3) eta/k with scalar cos (fresnel.h:50-56)."""
-    return conductor_reflectance(eta, k, cos_theta_i[..., None])
+    """Vec3 eta/k with per-lane scalar cos (fresnel.h:50-56)."""
+    from pupiloptixlab_tpu.render.vec import Vec3
+
+    return Vec3(
+        conductor_reflectance(eta.x, k.x, cos_theta_i),
+        conductor_reflectance(eta.y, k.y, cos_theta_i),
+        conductor_reflectance(eta.z, k.z, cos_theta_i),
+    )
 
 
 def diffuse_reflectance(eta):

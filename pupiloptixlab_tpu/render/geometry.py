@@ -1,11 +1,11 @@
-"""Hit-point local geometry reconstruction.
+"""Hit-point local geometry reconstruction (plane layout).
 
 Parity: optix::Geometry::GetHitLocalGeometry (render/geometry.h:48-96):
 barycentric interpolation of normal/uv for triangles, analytic normals
 for spheres in their instance frames, and the twosided flip that turns
 the shading normal toward the viewer (geometry.h:91-95).
 
-All per-triangle attributes come back in ONE packed-row gather
+All per-triangle attributes come back in ONE packed-column gather
 (one-hot matmul on the MXU, accel/gather.py) instead of ~20 scalar table
 lookups. Triangle hit positions use ray parameterization (ro + t*rd)
 rather than re-interpolating vertex positions — equivalent up to fp32
@@ -19,7 +19,7 @@ from dataclasses import dataclass, fields
 import jax
 import jax.numpy as jnp
 
-from pupiloptixlab_tpu.accel.gather import gather_rows
+from pupiloptixlab_tpu.accel.gather import gather_cols
 from pupiloptixlab_tpu.accel.intersect import Hit
 from pupiloptixlab_tpu.flatten.types import (
     MAT_TWOSIDED,
@@ -33,7 +33,8 @@ from pupiloptixlab_tpu.flatten.types import (
     TRI_UV2,
     SceneData,
 )
-from pupiloptixlab_tpu.render.sampling import dot, normalize, sphere_texcoord
+from pupiloptixlab_tpu.render.sampling import sphere_texcoord
+from pupiloptixlab_tpu.render.vec import Vec2, Vec3, where, where2
 
 
 def _register(cls):
@@ -46,9 +47,9 @@ def _register(cls):
 @_register
 @dataclass
 class LocalGeometry:
-    position: jnp.ndarray    # (N,3)
-    normal: jnp.ndarray      # (N,3) shading normal (twosided-flipped)
-    uv: jnp.ndarray          # (N,2)
+    position: Vec3
+    normal: Vec3             # shading normal (twosided-flipped)
+    uv: Vec2
     mat_id: jnp.ndarray      # (N,) i32
     emitter_id: jnp.ndarray  # (N,) i32 (-1 when not emissive)
 
@@ -56,8 +57,8 @@ class LocalGeometry:
 def get_local_geometry(
     scene: SceneData,
     hit: Hit,
-    ro: jnp.ndarray,
-    rd: jnp.ndarray,
+    ro: Vec3,
+    rd: Vec3,
     sphere_count: int = -1,
 ) -> LocalGeometry:
     """``sphere_count`` (static) skips the sphere branch when 0; -1 means
@@ -66,30 +67,53 @@ def get_local_geometry(
     prim = hit.prim
     is_sphere = hit.kind == 1
 
-    position = ro + hit.t[:, None] * rd
+    position = ro + rd * hit.t
 
     # triangles: one packed gather for normals/uv/ids
-    attrs = gather_rows(scene.tris.attrs, prim)
-    w0 = (1.0 - hit.u - hit.v)[:, None]
-    w1 = hit.u[:, None]
-    w2 = hit.v[:, None]
-    nrm_tri = normalize(
-        attrs[:, TRI_N0] * w0 + attrs[:, TRI_N1] * w1 + attrs[:, TRI_N2] * w2
+    a = gather_cols(scene.tris.attrs, prim)  # (C, N)
+    w0 = 1.0 - hit.u - hit.v
+    w1 = hit.u
+    w2 = hit.v
+
+    def vec(s: slice) -> Vec3:
+        return Vec3(a[s.start], a[s.start + 1], a[s.start + 2])
+
+    def uv2(s: slice) -> Vec2:
+        return Vec2(a[s.start], a[s.start + 1])
+
+    nrm_tri = (vec(TRI_N0) * w0 + vec(TRI_N1) * w1 + vec(TRI_N2) * w2).normalized()
+    uv_tri = Vec2(
+        a[TRI_UV0.start] * w0 + a[TRI_UV1.start] * w1 + a[TRI_UV2.start] * w2,
+        a[TRI_UV0.start + 1] * w0 + a[TRI_UV1.start + 1] * w1 + a[TRI_UV2.start + 1] * w2,
     )
-    uv_tri = attrs[:, TRI_UV0] * w0 + attrs[:, TRI_UV1] * w1 + attrs[:, TRI_UV2] * w2
-    mat_tri = attrs[:, TRI_MAT].astype(jnp.int32)
-    emit_tri = attrs[:, TRI_EMITTER].astype(jnp.int32)
+    mat_tri = a[TRI_MAT].astype(jnp.int32)
+    emit_tri = a[TRI_EMITTER].astype(jnp.int32)
 
     if sphere_count != 0:
         # spheres (geometry.h:82-89); tiny table -> native gathers are fine
         sp = jnp.minimum(prim, spheres.w2o.shape[0] - 1)
-        w2o = spheres.w2o[sp]
-        local = jnp.einsum("nij,nj->ni", w2o[:, :, :3], position) + w2o[:, :, 3]
-        nrm_sph = normalize(jnp.einsum("nji,nj->ni", w2o[:, :, :3], local))
-        nrm_sph = jnp.where(spheres.flip_normal[sp][:, None], -nrm_sph, nrm_sph)
-        uv_sph = sphere_texcoord(normalize(local))
-        normal = jnp.where(is_sphere[:, None], nrm_sph, nrm_tri)
-        uv = jnp.where(is_sphere[:, None], uv_sph, uv_tri)
+        w2o = spheres.w2o[sp]  # (N,3,4)
+
+        def w2o_apply(i):
+            return (
+                w2o[:, i, 0] * position.x
+                + w2o[:, i, 1] * position.y
+                + w2o[:, i, 2] * position.z
+                + w2o[:, i, 3]
+            )
+
+        local = Vec3(w2o_apply(0), w2o_apply(1), w2o_apply(2))
+        # normal transforms by (w2o)^T of the local point
+        nrm_sph = Vec3(
+            w2o[:, 0, 0] * local.x + w2o[:, 1, 0] * local.y + w2o[:, 2, 0] * local.z,
+            w2o[:, 0, 1] * local.x + w2o[:, 1, 1] * local.y + w2o[:, 2, 1] * local.z,
+            w2o[:, 0, 2] * local.x + w2o[:, 1, 2] * local.y + w2o[:, 2, 2] * local.z,
+        ).normalized()
+        flip_n = spheres.flip_normal[sp]
+        nrm_sph = where(flip_n, -nrm_sph, nrm_sph)
+        uv_sph = sphere_texcoord(local.normalized())
+        normal = where(is_sphere, nrm_sph, nrm_tri)
+        uv = where2(is_sphere, uv_sph, uv_tri)
         mat_id = jnp.where(is_sphere, spheres.mat_id[sp], mat_tri)
         emitter_id = jnp.where(is_sphere, spheres.emitter_id[sp], emit_tri)
     else:
@@ -100,8 +124,8 @@ def get_local_geometry(
 
     # twosided flip toward viewer (geometry.h:91-95)
     twosided = scene.materials.packed[:, MAT_TWOSIDED][mat_id] > 0.5
-    flip = (dot(-rd, normal) < 0.0) & twosided
-    normal = jnp.where(flip[:, None], -normal, normal)
+    flip = ((-rd).dot(normal) < 0.0) & twosided
+    normal = where(flip, -normal, normal)
 
     return LocalGeometry(
         position=position, normal=normal, uv=uv, mat_id=mat_id, emitter_id=emitter_id

@@ -20,10 +20,10 @@ Semantics preserved exactly:
 * per-pixel RNG: TEA(4)-scrambled LCG streams (cuda/random.h), a fixed
   7-draw budget per bounce so lanes advance in lockstep.
 
-Every lane carries an ``active`` mask instead of branching; dead lanes are
-masked out of contributions. The bounce loop is a ``lax.scan`` so device
-memory and compile time stay bounded at one bounce regardless of
-max_depth (the reference allows up to 128).
+TPU design: all vectors are Vec3 planes (render/vec.py) for full lane
+utilization; every lane carries an ``active`` mask instead of branching;
+the bounce loop is a ``lax.scan`` so device memory and compile time stay
+bounded at one bounce regardless of max_depth (the reference allows 128).
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from pupiloptixlab_tpu.accel.gather import gather_rows
+from pupiloptixlab_tpu.accel.gather import gather_cols
 from pupiloptixlab_tpu.accel.intersect import intersect_any, intersect_closest
 from pupiloptixlab_tpu.flatten.types import (
     EM_RAD_TEX,
@@ -49,23 +49,23 @@ from pupiloptixlab_tpu.render.geometry import get_local_geometry
 from pupiloptixlab_tpu.render.sampling import (
     MAX_DISTANCE,
     RAY_OFFSET,
-    dot,
     is_zero,
     mis_weight,
     to_local,
     to_world,
 )
-from pupiloptixlab_tpu.render.texture import sample_texture_rows
+from pupiloptixlab_tpu.render.texture import sample_texture_cols
+from pupiloptixlab_tpu.render.vec import Vec3, where
 
 _TINY = 1e-12
 
 
-def _first_hit_emission(scene, config, geo):
+def _first_hit_emission(scene, config, geo) -> Vec3:
     """GetRadiance at the hit uv (main.cu:87-92)."""
     em, tex = scene.emitters, scene.textures
-    erow = gather_rows(em.packed, jnp.maximum(geo.emitter_id, 0))
-    trow = gather_rows(tex.packed, erow[:, EM_RAD_TEX].astype(jnp.int32))
-    return sample_texture_rows(trow, tex.pool, geo.uv, config.tex_kinds)
+    erow = gather_cols(em.packed, jnp.maximum(geo.emitter_id, 0))
+    trow = gather_cols(tex.packed, erow[EM_RAD_TEX].astype(jnp.int32))
+    return sample_texture_cols(trow, tex.pool, geo.uv, config.tex_kinds)
 
 
 def _bounce(scene, config, n, carry, depth):
@@ -74,6 +74,7 @@ def _bounce(scene, config, n, carry, depth):
     em, tex = scene.emitters, scene.textures
     tmin = jnp.full(n, RAY_OFFSET, jnp.float32)
     tmax = jnp.full(n, MAX_DISTANCE, jnp.float32)
+    zero3 = Vec3.zeros(n)
 
     state, us = rng.next_floats(state, 7)
     u_rr, u_sel, u_l1, u_l2, u_b0, u_b1, u_b2 = us
@@ -81,7 +82,7 @@ def _bounce(scene, config, n, carry, depth):
     # Russian roulette (main.cu:108-111).
     rr = jnp.where(depth > 2, 0.95, 1.0)
     active = active & (u_rr <= rr)
-    throughput = jnp.where(active[:, None], throughput / rr, throughput)
+    throughput = where(active, throughput * (1.0 / rr), throughput)
 
     # --- next-event estimation (main.cu:113-141) ----------------------------
     idx, use_env, sel_prob = emitter_mod.select_emitter(em, config, u_sel)
@@ -95,28 +96,24 @@ def _bounce(scene, config, n, carry, depth):
     wo_local = to_local(wo_world, geo.normal)
     wi_local = to_local(es.wi, geo.normal)
     f_nee, pdf_bsdf = bsdf_mod.evaluate(local, wo_local, wi_local, config.mat_types)
-    nol = dot(geo.normal, es.wi)
-    nonzero = ~is_zero(f_nee * es.pdf[:, None])
+    nol = geo.normal.dot(es.wi)
+    nonzero = ~is_zero(f_nee * es.pdf)
     mis = jnp.where(es.is_delta, 1.0, mis_weight(es.pdf, pdf_bsdf))
     pdf_light = es.pdf * es.select_prob
-    contrib = (
-        throughput
-        * es.radiance
-        * f_nee
-        * (nol * mis / jnp.maximum(pdf_light, _TINY))[:, None]
-    )
+    scale = nol * mis / jnp.maximum(pdf_light, _TINY)
+    contrib = throughput * es.radiance * f_nee * scale
     take = active & (~occluded) & nonzero & (nol > 0.0)
-    radiance = radiance + jnp.where(take[:, None], contrib, 0.0)
+    radiance = radiance + where(take, contrib, zero3)
 
     # --- BSDF sampling + bounce (main.cu:142-183) ----------------------------
     wi_s, f_s, pdf_s, lobe = bsdf_mod.sample(
         local, wo_local, u_b0, u_b1, u_b2, config.mat_types
     )
-    cos_term = jnp.abs(wi_s[:, 2])
-    bad = is_zero(f_s * cos_term[:, None]) | is_zero(pdf_s)
+    cos_term = jnp.abs(wi_s.z)
+    bad = is_zero(f_s * cos_term) | is_zero(pdf_s)
     active = active & ~bad
-    weight = f_s * (cos_term / jnp.maximum(pdf_s, _TINY))[:, None]
-    throughput = jnp.where(active[:, None], throughput * weight, throughput)
+    weight = f_s * (cos_term / jnp.maximum(pdf_s, _TINY))
+    throughput = where(active, throughput * weight, throughput)
 
     new_rd = to_world(wi_s, geo.normal)
     new_ro = geo.position
@@ -126,9 +123,7 @@ def _bounce(scene, config, n, carry, depth):
     env_rad, env_pdf = emitter_mod.eval_env(em, tex, config, new_rd)
     escaped = active & ~hit.hit_mask
     mis_env = mis_weight(pdf_s, env_pdf)
-    radiance = radiance + jnp.where(
-        escaped[:, None], throughput * env_rad * mis_env[:, None], 0.0
-    )
+    radiance = radiance + where(escaped, throughput * env_rad * mis_env, zero3)
     active = active & hit.hit_mask
 
     geo = get_local_geometry(scene, hit, new_ro, new_rd, config.sphere_count)
@@ -144,9 +139,7 @@ def _bounce(scene, config, n, carry, depth):
     is_delta = (lobe & bsdf_mod.LOBE_DELTA) != 0
     mis_hit = jnp.where(is_delta, 1.0, mis_weight(pdf_s, emit_pdf * hit_sel_prob))
     take_e = active & (geo.emitter_id >= 0) & ~is_zero(emit_pdf)
-    radiance = radiance + jnp.where(
-        take_e[:, None], throughput * emit_rad * mis_hit[:, None], 0.0
-    )
+    radiance = radiance + where(take_e, throughput * emit_rad * mis_hit, zero3)
 
     return (state, active, radiance, throughput, wo_world, geo, local)
 
@@ -176,21 +169,22 @@ def render_sample(
     )
 
     active = hit.hit_mask
-    radiance = jnp.zeros((n, 3), jnp.float32)
-    throughput = jnp.ones((n, 3), jnp.float32)
+    radiance = Vec3.zeros(n)
+    throughput = Vec3.ones(n)
+    zero3 = Vec3.zeros(n)
 
     # Primary miss -> un-weighted environment radiance (main.cu:84,196-212).
     env_rad0, _ = emitter_mod.eval_env(em, tex, config, rd)
-    radiance = radiance + jnp.where((~active)[:, None], env_rad0, 0.0)
+    radiance = radiance + where(~active, env_rad0, zero3)
 
     # First-hit emission (main.cu:87-92).
     is_emitter = active & (geo.emitter_id >= 0)
     emit0 = _first_hit_emission(scene, config, geo)
-    radiance = radiance + jnp.where(is_emitter[:, None], emit0, 0.0)
+    radiance = radiance + where(is_emitter, emit0, zero3)
 
     # AOVs from the first hit (main.cu:94-99).
-    albedo_aov = jnp.where(active[:, None], bsdf_mod.albedo(local), 0.0)
-    normal_aov = jnp.where(active[:, None], geo.normal, 0.0)
+    albedo_aov = where(active, bsdf_mod.albedo(local), zero3)
+    normal_aov = where(active, geo.normal, zero3)
 
     # The reference writes one RNG draw to the debug AOV (main.cu:101).
     state, test_aov = rng.next_float(state)
@@ -204,9 +198,9 @@ def render_sample(
     radiance = carry[2]
 
     return {
-        "radiance": radiance,
-        "albedo": albedo_aov,
-        "normal": normal_aov,
+        "radiance": radiance.to_array(),
+        "albedo": albedo_aov.to_array(),
+        "normal": normal_aov.to_array(),
         "test": test_aov,
     }
 

@@ -1,42 +1,26 @@
-"""Device sampling / frame / misc helpers.
+"""Device sampling / frame / misc helpers on the Vec3 plane layout.
 
 Parity: optix/util.h — uniform triangle/sphere/hemisphere and
 cosine-hemisphere sampling with pdfs, Reflect/Refract, the Pixar ONB
 (BuildONB/ToLocal/ToWorld), sphere uv, ACES tone map, luminance, and the
 balance-heuristic ``mis_weight(x, y) = x / (x + y)``.
-
-All functions are batched: vectors are (..., 3) float32 arrays.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
+from pupiloptixlab_tpu.render.vec import Vec2, Vec3
+
 EPS = 1e-6
 MAX_DISTANCE = 1e16
 RAY_OFFSET = 1e-3  # reference t_min (main.cu:79)
 
 
-def dot(a, b):
-    return jnp.sum(a * b, axis=-1)
-
-
-def cross(a, b):
-    return jnp.cross(a, b)
-
-
-def length(v):
-    return jnp.sqrt(jnp.maximum(dot(v, v), 0.0))
-
-
-def normalize(v):
-    return v / jnp.maximum(length(v), 1e-20)[..., None]
-
-
 def is_zero(v, eps: float = EPS):
     """abs-all-below-eps test (optix/util.h:169-180)."""
-    if v.ndim and v.shape[-1] == 3:
-        return jnp.all(jnp.abs(v) < eps, axis=-1)
+    if isinstance(v, Vec3):
+        return v.max_abs() < eps
     return jnp.abs(v) < eps
 
 
@@ -45,104 +29,106 @@ def mis_weight(x, y):
     return x / (x + y)
 
 
-def luminance(c):
-    return 0.2126 * c[..., 0] + 0.7152 * c[..., 1] + 0.0722 * c[..., 2]
+def luminance(c: Vec3):
+    return 0.2126 * c.x + 0.7152 * c.y + 0.0722 * c.z
 
 
 # -- sampling ---------------------------------------------------------------
 
-def uniform_sample_triangle(u1, u2):
-    """Barycentric factors (x, y, z) for v0, v1, v2 (optix/util.h:33-37)."""
+def uniform_sample_triangle(u1, u2) -> Vec3:
+    """Barycentric factors for v0, v1, v2 (optix/util.h:33-37)."""
     s = jnp.sqrt(u1)
-    return jnp.stack([1.0 - s, s * (1.0 - u2), u2 * s], axis=-1)
+    return Vec3(1.0 - s, s * (1.0 - u2), u2 * s)
 
 
-def uniform_sample_sphere(u1, u2):
+def uniform_sample_sphere(u1, u2) -> Vec3:
     z = 1.0 - 2.0 * u1
     sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
     phi = 2.0 * jnp.pi * u2
-    return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), z], axis=-1)
+    return Vec3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), z)
 
 
-def cosine_sample_hemisphere(u1, u2):
+def cosine_sample_hemisphere(u1, u2) -> Vec3:
     sin_t = jnp.sqrt(u1)
     phi = 2.0 * jnp.pi * u2
     z = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))
-    return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), z], axis=-1)
+    return Vec3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), z)
 
 
-def cosine_hemisphere_pdf(v):
-    return jnp.where(v[..., 2] > 0.0, v[..., 2] / jnp.pi, 0.0)
+def cosine_hemisphere_pdf(v: Vec3):
+    return jnp.where(v.z > 0.0, v.z / jnp.pi, 0.0)
 
 
-def uniform_sample_hemisphere(u1, u2):
+def uniform_sample_hemisphere(u1, u2) -> Vec3:
     z = 1.0 - 2.0 * u1
     sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
     phi = 2.0 * jnp.pi * u2
-    return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), jnp.abs(z)], axis=-1)
+    return Vec3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), jnp.abs(z))
 
 
-def uniform_hemisphere_pdf(v):
-    return jnp.where(v[..., 2] > 0.0, 0.5 / jnp.pi, 0.0)
+def uniform_hemisphere_pdf(v: Vec3):
+    return jnp.where(v.z > 0.0, 0.5 / jnp.pi, 0.0)
 
 
 # -- reflection / refraction (local frame, z-up) -----------------------------
 
-def reflect_z(v):
+def reflect_z(v: Vec3) -> Vec3:
     """Mirror about the z axis (optix/util.h:74-78)."""
-    return jnp.stack([-v[..., 0], -v[..., 1], v[..., 2]], axis=-1)
+    return Vec3(-v.x, -v.y, v.z)
 
 
-def reflect(v, n):
+def reflect(v: Vec3, n: Vec3) -> Vec3:
     """Mirror ``v`` about normal ``n``; both point away from the surface."""
-    return -v + 2.0 * dot(v, n)[..., None] * n
+    d = 2.0 * v.dot(n)
+    return Vec3(d * n.x - v.x, d * n.y - v.y, d * n.z - v.z)
 
 
-def refract_z(v, cos_theta_t, eta):
+def refract_z(v: Vec3, cos_theta_t, eta) -> Vec3:
     """Smooth refraction about z (optix/util.h:80-83)."""
     scale = -jnp.where(cos_theta_t < 0.0, 1.0 / eta, eta)
-    out = jnp.stack([scale * v[..., 0], scale * v[..., 1], cos_theta_t], axis=-1)
-    return normalize(out)
+    return Vec3(scale * v.x, scale * v.y, cos_theta_t).normalized()
 
 
-def refract(v, n, cos_theta_t, eta):
+def refract(v: Vec3, n: Vec3, cos_theta_t, eta) -> Vec3:
     """Refraction about microfacet normal n (optix/util.h:85-88)."""
     eta = jnp.where(cos_theta_t < 0.0, 1.0 / eta, eta)
-    return n * (dot(v, n) * eta + cos_theta_t)[..., None] - v * eta[..., None]
+    k = v.dot(n) * eta + cos_theta_t
+    return Vec3(n.x * k - v.x * eta, n.y * k - v.y * eta, n.z * k - v.z * eta)
 
 
 # -- orthonormal basis (Pixar, optix/util.h:95-115) --------------------------
 
-def build_onb(n):
-    sign = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
-    a = -1.0 / (sign + n[..., 2])
-    b = n[..., 0] * n[..., 1] * a
-    b1 = jnp.stack(
-        [1.0 + sign * n[..., 0] * n[..., 0] * a, sign * b, -sign * n[..., 0]],
-        axis=-1,
-    )
-    b2 = jnp.stack([b, sign + n[..., 1] * n[..., 1] * a, -n[..., 1]], axis=-1)
+def build_onb(n: Vec3):
+    sign = jnp.where(n.z >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + n.z)
+    b = n.x * n.y * a
+    b1 = Vec3(1.0 + sign * n.x * n.x * a, sign * b, -sign * n.x)
+    b2 = Vec3(b, sign + n.y * n.y * a, -n.y)
     return b1, b2
 
 
-def to_local(v, n):
+def to_local(v: Vec3, n: Vec3) -> Vec3:
     b1, b2 = build_onb(n)
-    return jnp.stack([dot(v, b1), dot(v, b2), dot(v, n)], axis=-1)
+    return Vec3(v.dot(b1), v.dot(b2), v.dot(n))
 
 
-def to_world(v, n):
+def to_world(v: Vec3, n: Vec3) -> Vec3:
     b1, b2 = build_onb(n)
-    return b1 * v[..., 0:1] + b2 * v[..., 1:2] + n * v[..., 2:3]
+    return Vec3(
+        b1.x * v.x + b2.x * v.y + n.x * v.z,
+        b1.y * v.x + b2.y * v.y + n.y * v.z,
+        b1.z * v.x + b2.z * v.y + n.z * v.z,
+    )
 
 
 # -- misc --------------------------------------------------------------------
 
-def sphere_texcoord(local_p):
+def sphere_texcoord(local_p: Vec3) -> Vec2:
     """Unit-sphere uv (optix/util.h:117-128)."""
-    phi = jnp.arctan2(local_p[..., 1], local_p[..., 0])
+    phi = jnp.arctan2(local_p.y, local_p.x)
     phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
-    theta = jnp.arccos(jnp.clip(local_p[..., 2], -1.0, 1.0))
-    return jnp.stack([phi * 0.5 / jnp.pi, theta / jnp.pi], axis=-1)
+    theta = jnp.arccos(jnp.clip(local_p.z, -1.0, 1.0))
+    return Vec2(phi * 0.5 / jnp.pi, theta / jnp.pi)
 
 
 def aces_tonemap(color, adapted_lum: float = 1.0):
@@ -153,3 +139,13 @@ def aces_tonemap(color, adapted_lum: float = 1.0):
 
 def gamma_correct(color, gamma: float = 2.2):
     return jnp.power(jnp.maximum(color, 0.0), 1.0 / gamma)
+
+
+# legacy (N,3)-array helpers still used by host-side tests/utilities
+def normalize(v):
+    n = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 0.0))
+    return v / jnp.maximum(n, 1e-20)
+
+
+def dot(a, b):
+    return jnp.sum(a * b, axis=-1)

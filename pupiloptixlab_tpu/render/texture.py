@@ -1,7 +1,7 @@
-"""Device texture sampling over the dense TextureTable.
+"""Device texture sampling over the dense TextureTable (plane layout).
 
 The TPU has no texture units; sampling is software gathers. Descriptor
-fetch is one packed-row gather (one-hot matmul, accel/gather.py); only
+fetch is one packed-column gather (one-hot matmul, accel/gather.py); only
 actual bitmap pixel fetches touch the pool. Semantics parity:
 cuda::Texture::Sample (cuda/texture.h:33-57) — uv transform applied as
 [u,v,0,1] through two transform rows, RGB passthrough, the reference's
@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from pupiloptixlab_tpu.accel.gather import gather_rows
+from pupiloptixlab_tpu.accel.gather import gather_cols
 from pupiloptixlab_tpu.flatten.types import (
     TEX_ADDRESS,
     TEX_FILTER,
@@ -30,6 +30,7 @@ from pupiloptixlab_tpu.flatten.types import (
     TEX_W,
     TextureTable,
 )
+from pupiloptixlab_tpu.render.vec import Vec2, Vec3, where
 
 ALL_KINDS = (0, 1, 2)  # rgb, checkerboard, bitmap
 
@@ -43,27 +44,29 @@ def _address(coord, mode):
     return jnp.where(mode == 0, wrapped, jnp.where(mode == 1, clamped, mirrored))
 
 
-def _fetch(pool, offset, w, h, ix, iy):
+def _fetch(pool, offset, w, h, ix, iy) -> Vec3:
     ix = jnp.clip(ix, 0, jnp.maximum(w - 1, 0))
     iy = jnp.clip(iy, 0, jnp.maximum(h - 1, 0))
-    return pool[offset + iy * w + ix]
+    flat = offset + iy * w + ix
+    return Vec3(pool[0][flat], pool[1][flat], pool[2][flat])
 
 
-def sample_texture_rows(
-    rows: jnp.ndarray,
+def sample_texture_cols(
+    cols: jnp.ndarray,
     pool: jnp.ndarray,
-    uv: jnp.ndarray,
+    uv: Vec2,
     kinds: tuple[int, ...] = ALL_KINDS,
-) -> jnp.ndarray:
-    """Sample from pre-gathered packed descriptor rows (N, TEX_COLS)."""
-    rgb = rows[:, TEX_RGB]
+) -> Vec3:
+    """Sample from pre-gathered packed descriptor columns (TEX_COLS, N)."""
+    rgb = Vec3(cols[TEX_RGB.start], cols[TEX_RGB.start + 1], cols[TEX_RGB.start + 2])
     if tuple(kinds) == (0,):
         return rgb  # constant-color-only scene
 
-    kind = rows[:, TEX_KIND]
-    uvt = rows[:, TEX_UVT]
-    u = uvt[:, 0] * uv[:, 0] + uvt[:, 1] * uv[:, 1] + uvt[:, 2]
-    v = uvt[:, 3] * uv[:, 0] + uvt[:, 4] * uv[:, 1] + uvt[:, 5]
+    kind = cols[TEX_KIND]
+    a, b, c = cols[TEX_UVT.start], cols[TEX_UVT.start + 1], cols[TEX_UVT.start + 2]
+    d, e, f = cols[TEX_UVT.start + 3], cols[TEX_UVT.start + 4], cols[TEX_UVT.start + 5]
+    u = a * uv.x + b * uv.y + c
+    v = d * uv.x + e * uv.y + f
 
     out = rgb
     if 1 in kinds:
@@ -72,16 +75,17 @@ def sample_texture_rows(
         fv = v - jnp.where(v > 0.0, jnp.floor(v), jnp.ceil(v))
         fu = jnp.where(fu < 0.0, fu + 1.0, fu)
         fv = jnp.where(fv < 0.0, fv + 1.0, fv)
-        checker = jnp.where(
-            ((fu > 0.5) == (fv > 0.5))[:, None], rgb, rows[:, TEX_PATCH2]
+        patch2 = Vec3(
+            cols[TEX_PATCH2.start], cols[TEX_PATCH2.start + 1], cols[TEX_PATCH2.start + 2]
         )
-        out = jnp.where((kind == 1.0)[:, None], checker, out)
+        checker = where((fu > 0.5) == (fv > 0.5), rgb, patch2)
+        out = where(kind == 1.0, checker, out)
 
     if 2 in kinds:
-        w = rows[:, TEX_W]
-        h = rows[:, TEX_H]
-        mode = rows[:, TEX_ADDRESS]
-        offset = rows[:, TEX_OFFSET].astype(jnp.int32)
+        w = cols[TEX_W]
+        h = cols[TEX_H]
+        mode = cols[TEX_ADDRESS]
+        offset = cols[TEX_OFFSET].astype(jnp.int32)
         au = _address(u, mode)
         av = _address(v, mode)
         wf = jnp.maximum(w, 1.0)
@@ -97,8 +101,8 @@ def sample_texture_rows(
         y = av * hf - 0.5
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
-        fx = (x - x0)[:, None]
-        fy = (y - y0)[:, None]
+        fx = x - x0
+        fy = y - y0
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
         c00 = _fetch(pool, offset, wi, hi, x0i, y0i)
@@ -106,13 +110,13 @@ def sample_texture_rows(
         c01 = _fetch(pool, offset, wi, hi, x0i, y0i + 1)
         c11 = _fetch(pool, offset, wi, hi, x0i + 1, y0i + 1)
         linear = (
-            c00 * (1 - fx) * (1 - fy)
-            + c10 * fx * (1 - fy)
-            + c01 * (1 - fx) * fy
-            + c11 * fx * fy
+            c00 * ((1 - fx) * (1 - fy))
+            + c10 * (fx * (1 - fy))
+            + c01 * ((1 - fx) * fy)
+            + c11 * (fx * fy)
         )
-        bitmap = jnp.where((rows[:, TEX_FILTER] == 1.0)[:, None], linear, point)
-        out = jnp.where((kind == 2.0)[:, None], bitmap, out)
+        bitmap = where(cols[TEX_FILTER] == 1.0, linear, point)
+        out = where(kind == 2.0, bitmap, out)
 
     return out
 
@@ -120,9 +124,9 @@ def sample_texture_rows(
 def sample_texture(
     tex: TextureTable,
     tex_id: jnp.ndarray,
-    uv: jnp.ndarray,
+    uv: Vec2,
     kinds: tuple[int, ...] = ALL_KINDS,
-) -> jnp.ndarray:
-    """Sample texture ``tex_id`` (N,) at ``uv`` (N,2) -> (N,3) linear rgb."""
-    rows = gather_rows(tex.packed, tex_id)
-    return sample_texture_rows(rows, tex.pool, uv, kinds)
+) -> Vec3:
+    """Sample texture ``tex_id`` (N,) at ``uv`` -> Vec3 linear rgb."""
+    cols = gather_cols(tex.packed, tex_id)
+    return sample_texture_cols(cols, tex.pool, uv, kinds)

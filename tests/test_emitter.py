@@ -40,17 +40,18 @@ def test_direct_irradiance_matches_analytic():
     u_sel = jnp.asarray(r.rand(n).astype(np.float32))
     u1 = jnp.asarray(r.rand(n).astype(np.float32))
     u2 = jnp.asarray(r.rand(n).astype(np.float32))
-    pos = jnp.zeros((n, 3), jnp.float32)
-    nrm = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+    from pupiloptixlab_tpu.render.vec import Vec3
+    pos = Vec3.zeros(n)
+    nrm = Vec3.full(n, 0.0, 0.0, 1.0)
 
     idx, use_env, sel_prob = E.select_emitter(data.emitters, config, u_sel)
     es = E.sample_direct(
         data.emitters, data.textures, config, idx, use_env, sel_prob,
         pos, nrm, u1, u2,
     )
-    nol = np.asarray(es.wi[:, 2])
+    nol = np.asarray(es.wi.z)
     pdf = np.asarray(es.pdf) * np.asarray(es.select_prob)
-    rad = np.asarray(es.radiance[:, 0])
+    rad = np.asarray(es.radiance.x)
     valid = pdf > 1e-9
     contrib = np.where(valid, rad * np.maximum(nol, 0.0) / np.maximum(pdf, 1e-9), 0.0)
     est = contrib.mean()

@@ -3,10 +3,16 @@ import numpy as np
 
 from pupiloptixlab_tpu.accel.intersect import intersect_any, intersect_closest
 from pupiloptixlab_tpu.flatten import flatten_scene
+from pupiloptixlab_tpu.render.vec import Vec3
 from pupiloptixlab_tpu.scene import Scene
 from pupiloptixlab_tpu.scene.shapes import ShapeInstance
 from pupiloptixlab_tpu.scene.materials import Material, MatType
 from pupiloptixlab_tpu.utils.math import Transform
+
+
+def _v3(rows):
+    a = jnp.asarray(rows, jnp.float32)
+    return Vec3(a[:, 0], a[:, 1], a[:, 2])
 
 
 def _scene_with(instances):
@@ -28,8 +34,8 @@ def _inst(scene_mgr_method, transform=None, **kw):
 
 def test_rectangle_hit_miss():
     data, config = _scene_with([_inst("load_rectangle")])  # z=0 plane [-1,1]^2
-    ro = jnp.array([[0.5, 0.5, 3.0], [2.0, 2.0, 3.0]], jnp.float32)
-    rd = jnp.array([[0, 0, -1], [0, 0, -1]], jnp.float32)
+    ro = _v3([[0.5, 0.5, 3.0], [2.0, 2.0, 3.0]])
+    rd = _v3([[0, 0, -1], [0, 0, -1]])
     hit = intersect_closest(
         ro, rd, jnp.full(2, 1e-3), jnp.full(2, 1e9), data, config
     )
@@ -39,8 +45,8 @@ def test_rectangle_hit_miss():
 
 def test_cube_front_face():
     data, config = _scene_with([_inst("load_cube")])
-    ro = jnp.array([[0.0, 0.0, 5.0]], jnp.float32)
-    rd = jnp.array([[0.0, 0.0, -1.0]], jnp.float32)
+    ro = _v3([[0.0, 0.0, 5.0]])
+    rd = _v3([[0.0, 0.0, -1.0]])
     hit = intersect_closest(ro, rd, jnp.full(1, 1e-3), jnp.full(1, 1e9), data, config)
     np.testing.assert_allclose(float(hit.t[0]), 4.0, rtol=1e-5)  # hits z=+1
 
@@ -48,8 +54,8 @@ def test_cube_front_face():
 def test_sphere_hit_and_normal_frame():
     t = Transform().scale(2.0, 2.0, 2.0).translate(1.0, 0.0, 0.0)  # r=2 at x=1
     data, config = _scene_with([_inst("load_sphere", transform=t)])
-    ro = jnp.array([[1.0, 0.0, 10.0]], jnp.float32)
-    rd = jnp.array([[0.0, 0.0, -1.0]], jnp.float32)
+    ro = _v3([[1.0, 0.0, 10.0]])
+    rd = _v3([[0.0, 0.0, -1.0]])
     hit = intersect_closest(ro, rd, jnp.full(1, 1e-3), jnp.full(1, 1e9), data, config)
     assert bool(hit.hit_mask[0]) and int(hit.kind[0]) == 1
     np.testing.assert_allclose(float(hit.t[0]), 8.0, rtol=1e-5)
@@ -57,15 +63,17 @@ def test_sphere_hit_and_normal_frame():
     from pupiloptixlab_tpu.render.geometry import get_local_geometry
 
     geo = get_local_geometry(data, hit, ro, rd)
-    np.testing.assert_allclose(np.asarray(geo.position[0]), [1, 0, 2], atol=1e-4)
-    np.testing.assert_allclose(np.asarray(geo.normal[0]), [0, 0, 1], atol=1e-4)
+    pos = [float(geo.position.x[0]), float(geo.position.y[0]), float(geo.position.z[0])]
+    nrm = [float(geo.normal.x[0]), float(geo.normal.y[0]), float(geo.normal.z[0])]
+    np.testing.assert_allclose(pos, [1, 0, 2], atol=1e-4)
+    np.testing.assert_allclose(nrm, [0, 0, 1], atol=1e-4)
 
 
 def test_ellipsoid_from_nonuniform_scale():
     t = Transform().scale(3.0, 1.0, 1.0)  # ellipsoid rx=3
     data, config = _scene_with([_inst("load_sphere", transform=t)])
-    ro = jnp.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0]], jnp.float32)
-    rd = jnp.array([[-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]], jnp.float32)
+    ro = _v3([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0]])
+    rd = _v3([[-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
     hit = intersect_closest(ro, rd, jnp.full(2, 1e-3), jnp.full(2, 1e9), data, config)
     np.testing.assert_allclose(float(hit.t[0]), 7.0, rtol=1e-5)  # 10 - 3
     np.testing.assert_allclose(float(hit.t[1]), 9.0, rtol=1e-5)  # 10 - 1
@@ -75,8 +83,8 @@ def test_closest_of_two():
     near = _inst("load_rectangle", transform=Transform().translate(0, 0, 1.0))
     far = _inst("load_rectangle", transform=Transform())
     data, config = _scene_with([far, near])
-    ro = jnp.array([[0.0, 0.0, 5.0]], jnp.float32)
-    rd = jnp.array([[0.0, 0.0, -1.0]], jnp.float32)
+    ro = _v3([[0.0, 0.0, 5.0]])
+    rd = _v3([[0.0, 0.0, -1.0]])
     hit = intersect_closest(ro, rd, jnp.full(1, 1e-3), jnp.full(1, 1e9), data, config)
     np.testing.assert_allclose(float(hit.t[0]), 4.0, rtol=1e-5)
     # the hit must belong to the 'near' instance (tris 2..3)
@@ -85,8 +93,8 @@ def test_closest_of_two():
 
 def test_shadow_any_hit_tmax():
     data, config = _scene_with([_inst("load_rectangle")])
-    ro = jnp.array([[0.0, 0.0, 5.0]], jnp.float32)
-    rd = jnp.array([[0.0, 0.0, -1.0]], jnp.float32)
+    ro = _v3([[0.0, 0.0, 5.0]])
+    rd = _v3([[0.0, 0.0, -1.0]])
     occ_far = intersect_any(ro, rd, jnp.full(1, 1e-3), jnp.full(1, 10.0), data, config)
     occ_near = intersect_any(ro, rd, jnp.full(1, 1e-3), jnp.full(1, 4.0), data, config)
     assert bool(occ_far[0])
@@ -95,12 +103,13 @@ def test_shadow_any_hit_tmax():
 
 def test_barycentric_interpolation():
     data, config = _scene_with([_inst("load_rectangle")])
-    ro = jnp.array([[0.25, -0.5, 2.0]], jnp.float32)
-    rd = jnp.array([[0.0, 0.0, -1.0]], jnp.float32)
+    ro = _v3([[0.25, -0.5, 2.0]])
+    rd = _v3([[0.0, 0.0, -1.0]])
     hit = intersect_closest(ro, rd, jnp.full(1, 1e-3), jnp.full(1, 1e9), data, config)
     from pupiloptixlab_tpu.render.geometry import get_local_geometry
 
     geo = get_local_geometry(data, hit, ro, rd)
-    np.testing.assert_allclose(np.asarray(geo.position[0]), [0.25, -0.5, 0], atol=1e-5)
+    pos = [float(geo.position.x[0]), float(geo.position.y[0]), float(geo.position.z[0])]
+    np.testing.assert_allclose(pos, [0.25, -0.5, 0], atol=1e-5)
     # rect uv: (0,0) at (-1,-1), (1,1) at (1,1)
-    np.testing.assert_allclose(np.asarray(geo.uv[0]), [0.625, 0.25], atol=1e-5)
+    np.testing.assert_allclose([float(geo.uv.x[0]), float(geo.uv.y[0])], [0.625, 0.25], atol=1e-5)
