@@ -173,21 +173,23 @@ def _sweep_tris_xla(ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData):
 def _sphere_tests(ro: Vec3, rd: Vec3, scene: SceneData, tmin, tmax):
     """Analytic unit-sphere hits in each sphere's object frame.
 
-    Returns (t (N,S), hit (N,S)); t keeps the world ray parameter.
+    Returns (t (S,N), hit (S,N)) in sphere-major layout: the ray axis
+    rides the TPU lane dimension densely (an (N,S) layout would pad the
+    tiny S minor axis to 128 lanes).
     """
     w2o = scene.spheres.w2o  # (S,3,4)
 
     def xform(vx, vy, vz, translate):
-        # (N,) x (S,) -> (N,S) per output component
+        # (S,1) x (1,N) -> (S,N) per output component
         outs = []
         for i in range(3):
             o = (
-                vx[:, None] * w2o[None, :, i, 0]
-                + vy[:, None] * w2o[None, :, i, 1]
-                + vz[:, None] * w2o[None, :, i, 2]
+                w2o[:, i, 0][:, None] * vx[None, :]
+                + w2o[:, i, 1][:, None] * vy[None, :]
+                + w2o[:, i, 2][:, None] * vz[None, :]
             )
             if translate:
-                o = o + w2o[None, :, i, 3]
+                o = o + w2o[:, i, 3][:, None]
             outs.append(o)
         return outs
 
@@ -202,8 +204,8 @@ def _sphere_tests(ro: Vec3, rd: Vec3, scene: SceneData, tmin, tmax):
     inv_a = 1.0 / jnp.maximum(a, _DET_EPS)
     t0 = (-b - sq) * inv_a
     t1 = (-b + sq) * inv_a
-    in0 = (t0 > tmin[:, None]) & (t0 < tmax[:, None])
-    in1 = (t1 > tmin[:, None]) & (t1 < tmax[:, None])
+    in0 = (t0 > tmin[None, :]) & (t0 < tmax[None, :])
+    in1 = (t1 > tmin[None, :]) & (t1 < tmax[None, :])
     t = jnp.where(in0, t0, t1)
     hit = valid & (in0 | in1)
     return jnp.where(hit, t, MAX_DISTANCE), hit
@@ -231,11 +233,10 @@ def intersect_closest(
     best_t, best_prim, best_kind, best_u, best_v = best
 
     if config.sphere_count > 0:
-        t_s, hit_s = _sphere_tests(ro, rd, scene, tmin, tmax)
-        j = jnp.argmin(t_s, axis=1)
-        rows = jnp.arange(n)
-        tj = t_s[rows, j]
-        better = hit_s[rows, j] & (tj < best_t)
+        t_s, hit_s = _sphere_tests(ro, rd, scene, tmin, tmax)  # (S, N)
+        j = jnp.argmin(t_s, axis=0)  # (N,)
+        tj = jnp.min(t_s, axis=0)
+        better = (tj < MAX_DISTANCE) & (tj < best_t)
         best_t = jnp.where(better, tj, best_t)
         best_prim = jnp.where(better, j.astype(jnp.int32), best_prim)
         best_kind = jnp.where(better, 1, best_kind)

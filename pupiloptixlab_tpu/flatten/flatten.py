@@ -509,7 +509,17 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
     if sphere_count:
         o2w[:sphere_count] = np.stack(s_o2w)
         w2o[:sphere_count] = np.stack(s_w2o)
+    from pupiloptixlab_tpu.flatten.types import SPH_COLS, SPH_EMITTER, SPH_FLIP, SPH_MAT
+
+    sph_attrs = np.zeros((s_pad, SPH_COLS), np.float32)
+    sph_attrs[:, 0:12] = w2o.reshape(s_pad, 12)
+    sph_attrs[:, SPH_MAT] = np.pad(s_mat, (0, s_pad - sphere_count))
+    sph_attrs[:, SPH_EMITTER] = np.pad(
+        s_emit, (0, s_pad - sphere_count), constant_values=-1
+    )
+    sph_attrs[:, SPH_FLIP] = np.pad(s_flip, (0, s_pad - sphere_count))
     spheres = Spheres(
+        attrs=jnp.asarray(sph_attrs),
         o2w=jnp.asarray(o2w),
         w2o=jnp.asarray(w2o),
         mat_id=jnp.asarray(np.pad(s_mat, (0, s_pad - sphere_count)), jnp.int32),

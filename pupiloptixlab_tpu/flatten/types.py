@@ -116,9 +116,16 @@ class TriSoup:
     emitter_id: jnp.ndarray  # (T,) i32; -1 = not an emitter
 
 
+# Spheres.attrs (S, 16): w2o rows flat (12), mat_id, emitter_id, flip
+SPH_W2O = slice(0, 12)
+SPH_MAT, SPH_EMITTER, SPH_FLIP = 12, 13, 14
+SPH_COLS = 16
+
+
 @_register
 @dataclass
 class Spheres:
+    attrs: jnp.ndarray  # (S, SPH_COLS) packed per-sphere attributes
     o2w: jnp.ndarray  # (S,3,4) object(unit sphere)->world
     w2o: jnp.ndarray  # (S,3,4)
     mat_id: jnp.ndarray

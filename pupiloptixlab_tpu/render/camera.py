@@ -23,8 +23,21 @@ def generate_rays(
     """Primary rays for the full film. jitter_* are (N,) in [0,1),
     N = width*height, pixel order row-major (y*width + x).
     Returns (origin Vec3, direction Vec3)."""
-    n = width * height
-    idx = jnp.arange(n, dtype=jnp.int32)
+    idx = jnp.arange(width * height, dtype=jnp.int32)
+    return generate_rays_for(camera, width, height, idx, jitter_x, jitter_y)
+
+
+def generate_rays_for(
+    camera: CameraBlock,
+    width: int,
+    height: int,
+    pixel_ids: jnp.ndarray,
+    jitter_x: jnp.ndarray,
+    jitter_y: jnp.ndarray,
+):
+    """Primary rays for arbitrary per-lane pixel ids (wavefront refill)."""
+    n = pixel_ids.shape[0]
+    idx = pixel_ids
     px = (idx % width).astype(jnp.float32)
     py = (idx // width).astype(jnp.float32)
     sx = (px + jitter_x) / width

@@ -90,32 +90,34 @@ def get_local_geometry(
     emit_tri = a[TRI_EMITTER].astype(jnp.int32)
 
     if sphere_count != 0:
-        # spheres (geometry.h:82-89); tiny table -> native gathers are fine
-        sp = jnp.minimum(prim, spheres.w2o.shape[0] - 1)
-        w2o = spheres.w2o[sp]  # (N,3,4)
+        # spheres (geometry.h:82-89): one packed-column gather of the
+        # flattened w2o rows + ids (plane layout; see flatten/types.py)
+        from pupiloptixlab_tpu.flatten.types import SPH_EMITTER, SPH_FLIP, SPH_MAT
+
+        sp = jnp.minimum(prim, spheres.attrs.shape[0] - 1)
+        c = gather_cols(spheres.attrs, sp)  # (16, N)
 
         def w2o_apply(i):
             return (
-                w2o[:, i, 0] * position.x
-                + w2o[:, i, 1] * position.y
-                + w2o[:, i, 2] * position.z
-                + w2o[:, i, 3]
+                c[i * 4 + 0] * position.x
+                + c[i * 4 + 1] * position.y
+                + c[i * 4 + 2] * position.z
+                + c[i * 4 + 3]
             )
 
         local = Vec3(w2o_apply(0), w2o_apply(1), w2o_apply(2))
         # normal transforms by (w2o)^T of the local point
         nrm_sph = Vec3(
-            w2o[:, 0, 0] * local.x + w2o[:, 1, 0] * local.y + w2o[:, 2, 0] * local.z,
-            w2o[:, 0, 1] * local.x + w2o[:, 1, 1] * local.y + w2o[:, 2, 1] * local.z,
-            w2o[:, 0, 2] * local.x + w2o[:, 1, 2] * local.y + w2o[:, 2, 2] * local.z,
+            c[0] * local.x + c[4] * local.y + c[8] * local.z,
+            c[1] * local.x + c[5] * local.y + c[9] * local.z,
+            c[2] * local.x + c[6] * local.y + c[10] * local.z,
         ).normalized()
-        flip_n = spheres.flip_normal[sp]
-        nrm_sph = where(flip_n, -nrm_sph, nrm_sph)
+        nrm_sph = where(c[SPH_FLIP] > 0.5, -nrm_sph, nrm_sph)
         uv_sph = sphere_texcoord(local.normalized())
         normal = where(is_sphere, nrm_sph, nrm_tri)
         uv = where2(is_sphere, uv_sph, uv_tri)
-        mat_id = jnp.where(is_sphere, spheres.mat_id[sp], mat_tri)
-        emitter_id = jnp.where(is_sphere, spheres.emitter_id[sp], emit_tri)
+        mat_id = jnp.where(is_sphere, c[SPH_MAT].astype(jnp.int32), mat_tri)
+        emitter_id = jnp.where(is_sphere, c[SPH_EMITTER].astype(jnp.int32), emit_tri)
     else:
         normal, uv, mat_id, emitter_id = nrm_tri, uv_tri, mat_tri, emit_tri
 
