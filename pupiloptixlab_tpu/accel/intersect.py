@@ -28,7 +28,6 @@ _DET_EPS = 1e-12
 
 # Tunables for the Pallas sweep (read at trace time).
 PALLAS_RB = 8
-PALLAS_UNROLLED = False
 
 
 def _register(cls):
@@ -82,24 +81,69 @@ def _recompute_barycentrics(ro: Vec3, rd: Vec3, idx, scene: SceneData):
     return u, v
 
 
+def _ray_sort_key(ro: Vec3, rd: Vec3) -> jnp.ndarray:
+    """Coherence key: direction octant (high bits) + interleaved 7-bit
+    quantized origin. Tiles of sorted rays share position and rough
+    direction, so the sweep kernel's per-tile AABB culling keeps working
+    for incoherent bounce/shadow rays."""
+    def q7(v, lo, inv_ext):
+        return jnp.clip(((v - lo) * inv_ext * 127.0).astype(jnp.uint32), 0, 127)
+
+    lo = Vec3(ro.x.min(), ro.y.min(), ro.z.min())
+    hi = Vec3(ro.x.max(), ro.y.max(), ro.z.max())
+    inv = Vec3(
+        1.0 / jnp.maximum(hi.x - lo.x, 1e-12),
+        1.0 / jnp.maximum(hi.y - lo.y, 1e-12),
+        1.0 / jnp.maximum(hi.z - lo.z, 1e-12),
+    )
+    qx, qy, qz = q7(ro.x, lo.x, inv.x), q7(ro.y, lo.y, inv.y), q7(ro.z, lo.z, inv.z)
+
+    def expand(v):  # 7-bit morton expansion
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    morton = (expand(qx) << 2) | (expand(qy) << 1) | expand(qz)
+    octant = (
+        (rd.x > 0).astype(jnp.uint32) * 4
+        + (rd.y > 0).astype(jnp.uint32) * 2
+        + (rd.z > 0).astype(jnp.uint32)
+    )
+    return (octant << 21) | morton
+
+
+SORT_CHUNK_THRESHOLD = 16  # sort rays when the scene has > this many chunks
+
+
 def _sweep_tris_pallas(ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData):
     from pupiloptixlab_tpu.accel.pallas_intersect import LANES, sweep_triangles
 
     n = ro.x.shape[0]
     block = LANES * PALLAS_RB
     pad = (-n) % block
+    n_chunks = scene.tris.chunk_boxes.shape[0]
 
     def padv(a):
         return jnp.concatenate([a, jnp.zeros(pad, a.dtype)], 0) if pad else a
 
+    arrays = [ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, tmin, tmax]
+    do_sort = n_chunks > SORT_CHUNK_THRESHOLD
+    if do_sort:
+        perm = jnp.argsort(_ray_sort_key(ro, rd)).astype(jnp.int32)
+        arrays = [a[perm] for a in arrays]
+
     t, idx = sweep_triangles(
-        padv(ro.x), padv(ro.y), padv(ro.z),
-        padv(rd.x), padv(rd.y), padv(rd.z),
-        padv(tmin), padv(tmax),
+        *[padv(a) for a in arrays],
         scene.tris.packed,
-        rb=PALLAS_RB, tc=64, unrolled=PALLAS_UNROLLED,
+        scene.tris.chunk_boxes,
+        rb=PALLAS_RB, tc=64,
     )
     t, idx = t[:n], idx[:n]
+    if do_sort:
+        unsorted_t = jnp.zeros_like(t).at[perm].set(t)
+        unsorted_idx = jnp.zeros_like(idx).at[perm].set(idx)
+        t, idx = unsorted_t, unsorted_idx
     u, v = _recompute_barycentrics(ro, rd, idx, scene)
     hit = idx >= 0
     return (

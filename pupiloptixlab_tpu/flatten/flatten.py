@@ -456,6 +456,38 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
     tri_count = len(t_mat)
     t_pad = _round_up(tri_count, pad_tris_to)
 
+    # --- Morton-order triangles (LBVH-lite): sorting by centroid code
+    # groups spatially-local triangles into the same sweep chunk so the
+    # per-chunk AABBs (computed in the Pallas wrapper) cull effectively.
+    if tri_count > pad_tris_to:
+        cat_p0 = np.concatenate(tp["p0"], axis=0)
+        cat_p1 = np.concatenate(tp["p1"], axis=0)
+        cat_p2 = np.concatenate(tp["p2"], axis=0)
+        centroid = (cat_p0 + cat_p1 + cat_p2) / 3.0
+        lo = centroid.min(axis=0)
+        hi = centroid.max(axis=0)
+        q = ((centroid - lo) / np.maximum(hi - lo, 1e-12) * 1023.0).astype(np.uint32)
+        q = np.clip(q, 0, 1023)
+
+        def _expand_bits(v):
+            v = (v | (v << 16)) & 0x030000FF
+            v = (v | (v << 8)) & 0x0300F00F
+            v = (v | (v << 4)) & 0x030C30C3
+            v = (v | (v << 2)) & 0x09249249
+            return v
+
+        morton = (
+            (_expand_bits(q[:, 0]) << 2)
+            | (_expand_bits(q[:, 1]) << 1)
+            | _expand_bits(q[:, 2])
+        )
+        order = np.argsort(morton, kind="stable")
+        for key in tp:
+            cat = np.concatenate(tp[key], axis=0)
+            tp[key] = [cat[order]]
+        t_mat = list(np.asarray(t_mat)[order])
+        t_emit = list(np.asarray(t_emit)[order])
+
     def pad_rows(a, n, width):
         out = np.zeros((n, width), np.float32)
         out[: a.shape[0]] = a
@@ -484,8 +516,25 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
     attrs[:, TRI_EMITTER] = np.pad(
         t_emit, (0, t_pad - tri_count), constant_values=-1
     )
+    # per-chunk AABBs over valid triangles only; all-padding chunks get
+    # inverted never-hit boxes (accel/pallas_intersect.py culling input)
+    tc = pad_tris_to
+    n_chunks = t_pad // tc
+    boxes = np.zeros((n_chunks, 8), np.float32)
+    p1w = p0_np + packed[:, 3:6]
+    p2w = p0_np + packed[:, 6:9]
+    lo_all = np.minimum(np.minimum(p0_np, p1w), p2w)
+    hi_all = np.maximum(np.maximum(p0_np, p1w), p2w)
+    valid = np.zeros(t_pad, bool)
+    valid[:tri_count] = True
+    lo_all[~valid] = 1e30   # big-finite: inf breeds NaN in the slab test
+    hi_all[~valid] = -1e30
+    boxes[:, 0:3] = lo_all.reshape(n_chunks, tc, 3).min(axis=1)
+    boxes[:, 3:6] = hi_all.reshape(n_chunks, tc, 3).max(axis=1)
+
     tris = TriSoup(
         packed=jnp.asarray(packed),
+        chunk_boxes=jnp.asarray(boxes),
         attrs=jnp.asarray(attrs),
         p0=jnp.asarray(pad_rows(cat3("p0"), t_pad, 3)),
         p1=jnp.asarray(pad_rows(cat3("p1"), t_pad, 3)),

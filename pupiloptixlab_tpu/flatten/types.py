@@ -102,6 +102,7 @@ class MaterialTable:
 @dataclass
 class TriSoup:
     packed: jnp.ndarray  # (T,12) [p0, e1, e2, pad] rows for the Pallas sweep
+    chunk_boxes: jnp.ndarray  # (T/64, 8) Morton-chunk AABBs for culling
     attrs: jnp.ndarray   # (T, TRI_ATTR_COLS) hit attributes (see layout above)
     p0: jnp.ndarray  # (T,3) world-space positions
     p1: jnp.ndarray
