@@ -1,16 +1,18 @@
-"""Fast row gathers from small tables — the texture/SBT-fetch replacement.
+"""Fast row gathers + searchsorted for small/medium tables.
 
-XLA's native TPU gather fetches rows element-by-element (~3 ms per (2M,)
-lookup); a scene render does dozens per bounce. For the small dense tables
-this framework uses (triangle attributes, materials, textures, emitters),
-a gather is better expressed as a one-hot matmul on the MXU. The Pallas
-kernel builds the one-hot mask tile-by-tile in VMEM (so the (N, T) mask
-never touches HBM) and contracts it against the VMEM-resident table.
+XLA's native TPU gather fetches rows element-by-element (~3-100 ms per
+(2M,) lookup depending on table size); a scene render does dozens per
+bounce. For the dense tables this framework uses (triangle attributes,
+materials, textures, emitters, env CDFs, texture pixel pools), a gather
+is better expressed as a one-hot matmul on the MXU: the Pallas kernel
+builds the one-hot mask tile-by-tile in VMEM (so the (N, T) mask never
+touches HBM) and contracts it against the table, walking the table in
+2048-row windows for tables up to 64k rows.
 
 ``gather_cols`` returns the transposed (C, N) layout: each attribute is a
-dense (N,) plane (full lane utilization — see render/vec.py), which is
-what the plane-structured shading code consumes. ``gather_rows`` keeps
-the (N, C) convention for row-oriented callers.
+dense (N,) plane (full lane utilization — see render/vec.py).
+``count_less`` is the batched searchsorted-left replacement (env-map CDF
+inversion): counts table entries strictly below each query.
 
 Out-of-range indices clamp to row 0 (callers mask invalid lanes).
 """
@@ -25,42 +27,70 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK = 4096
-_MAX_PALLAS_ROWS = 2048  # table bigger than this -> XLA gather
+_WINDOW = 2048           # table rows per in-kernel window
+_MAX_PALLAS_ROWS = 64 * 1024
 _MAX_PALLAS_COLS = 512
 
 
-def _gather_cols_kernel(idx_ref, table_t_ref, out_ref):
-    idx = idx_ref[:]  # (1, B) i32
-    t = table_t_ref.shape[1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (t, idx.shape[1]), 0)
-    one_hot = (rows == idx).astype(jnp.bfloat16)  # (T, B)
-    out_ref[:] = jnp.dot(
-        table_t_ref[:].astype(jnp.bfloat16), one_hot,
-        preferred_element_type=jnp.float32,
-    )
+def _make_gather_kernel(t_pad: int):
+    n_windows = t_pad // _WINDOW if t_pad > _WINDOW else 1
+    window = _WINDOW if t_pad > _WINDOW else t_pad
+
+    def kernel(idx_ref, table_t_ref, out_ref):
+        idx = idx_ref[:]  # (1, B) i32
+        if n_windows == 1:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (window, idx.shape[1]), 0)
+            one_hot = (rows == idx).astype(jnp.bfloat16)
+            out_ref[:] = jnp.dot(
+                table_t_ref[:].astype(jnp.bfloat16), one_hot,
+                preferred_element_type=jnp.float32,
+            )
+            return
+
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+        def body(wi, _):
+            base = wi * window
+            rows = jax.lax.broadcasted_iota(jnp.int32, (window, idx.shape[1]), 0)
+            one_hot = (rows == (idx - base)).astype(jnp.bfloat16)
+            chunk = table_t_ref[:, pl.ds(base, window)]
+            out_ref[:] += jnp.dot(
+                chunk.astype(jnp.bfloat16), one_hot,
+                preferred_element_type=jnp.float32,
+            )
+            return _
+
+        jax.lax.fori_loop(0, n_windows, body, None)
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _gather_cols_pallas(table_t: jnp.ndarray, idx: jnp.ndarray, interpret: bool = False):
     n = idx.shape[0]
     c, t = table_t.shape
+    t_pad = t if t <= _WINDOW else ((t + _WINDOW - 1) // _WINDOW) * _WINDOW
+    if t_pad != t:
+        table_t = jnp.concatenate(
+            [table_t, jnp.zeros((c, t_pad - t), table_t.dtype)], axis=1
+        )
     pad = (-n) % _BLOCK
     if pad:
         idx = jnp.concatenate([idx, jnp.zeros(pad, idx.dtype)], 0)
     idx2 = jnp.clip(idx, 0, t - 1).astype(jnp.int32)[None, :]
     out = pl.pallas_call(
-        _gather_cols_kernel,
+        _make_gather_kernel(t_pad),
         grid=((n + pad) // _BLOCK,),
         in_specs=[
             pl.BlockSpec((1, _BLOCK), lambda r: (0, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, t), lambda r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, t_pad), lambda r: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((c, _BLOCK), lambda r: (0, r), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, n + pad), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * (n + pad) * t * c,
-            bytes_accessed=(n + pad) * (4 + 4 * c) + t * c * 4,
+            flops=2 * (n + pad) * t_pad * c,
+            bytes_accessed=(n + pad) * (4 + 4 * c) + t_pad * c * 4,
             transcendentals=0,
         ),
     )(idx2, table_t)
@@ -86,3 +116,71 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     if not on_tpu or t > _MAX_PALLAS_ROWS or c > _MAX_PALLAS_COLS:
         return table[jnp.clip(idx, 0, t - 1)]
     return _gather_cols_pallas(table.T, idx).T
+
+
+# ---------------------------------------------------------------------------
+# batched searchsorted-left over a shared sorted table
+# ---------------------------------------------------------------------------
+
+_COUNT_BLOCK = 2048
+_COUNT_WINDOW = 512
+
+
+def _make_count_kernel(t_pad: int):
+    n_windows = max(t_pad // _COUNT_WINDOW, 1)
+    window = min(t_pad, _COUNT_WINDOW)
+
+    def kernel(q_ref, table_ref, out_ref):
+        q = q_ref[0, :]  # (B,)
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+        def body(wi, _):
+            chunk = table_ref[0, pl.ds(wi * window, window)]  # (window,)
+            counts = jnp.sum(
+                (chunk[:, None] < q[None, :]).astype(jnp.int32), axis=0
+            )  # (B,)
+            out_ref[:] += counts[None, :]
+            return _
+
+        jax.lax.fori_loop(0, n_windows, body, None)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _count_less_pallas(table: jnp.ndarray, q: jnp.ndarray, interpret: bool = False):
+    n = q.shape[0]
+    t = table.shape[0]
+    t_pad = (
+        t if t <= _COUNT_WINDOW
+        else ((t + _COUNT_WINDOW - 1) // _COUNT_WINDOW) * _COUNT_WINDOW
+    )
+    if t_pad != t:
+        big = jnp.full(t_pad - t, jnp.finfo(table.dtype).max, table.dtype)
+        table = jnp.concatenate([table, big], 0)
+    pad = (-n) % _COUNT_BLOCK
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros(pad, q.dtype)], 0)
+    out = pl.pallas_call(
+        _make_count_kernel(t_pad),
+        grid=((n + pad) // _COUNT_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((1, _COUNT_BLOCK), lambda r: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad), lambda r: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _COUNT_BLOCK), lambda r: (0, r), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, n + pad), jnp.int32),
+        interpret=interpret,
+    )(q[None, :], table[None, :])
+    return out[0, :n]
+
+
+def count_less(table: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """Number of ``table`` entries strictly below each query — equal to
+    jnp.searchsorted(table, queries, side='left') for sorted tables."""
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu or table.shape[0] > _MAX_PALLAS_ROWS:
+        return jnp.searchsorted(table, queries, side="left").astype(jnp.int32)
+    return _count_less_pallas(table, queries)

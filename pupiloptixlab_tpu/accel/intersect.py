@@ -128,11 +128,6 @@ def _sweep_tris_pallas(ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData):
         return jnp.concatenate([a, jnp.zeros(pad, a.dtype)], 0) if pad else a
 
     arrays = [ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, tmin, tmax]
-    do_sort = n_chunks > SORT_CHUNK_THRESHOLD
-    if do_sort:
-        perm = jnp.argsort(_ray_sort_key(ro, rd)).astype(jnp.int32)
-        arrays = [a[perm] for a in arrays]
-
     t, idx = sweep_triangles(
         *[padv(a) for a in arrays],
         scene.tris.packed,
@@ -140,10 +135,6 @@ def _sweep_tris_pallas(ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData):
         rb=PALLAS_RB, tc=64,
     )
     t, idx = t[:n], idx[:n]
-    if do_sort:
-        unsorted_t = jnp.zeros_like(t).at[perm].set(t)
-        unsorted_idx = jnp.zeros_like(idx).at[perm].set(idx)
-        t, idx = unsorted_t, unsorted_idx
     u, v = _recompute_barycentrics(ro, rd, idx, scene)
     hit = idx >= 0
     return (

@@ -161,7 +161,7 @@ class _TextureBuilder:
             height=jnp.asarray(self.height, jnp.int32),
             filter_mode=jnp.asarray(self.filter, jnp.int32),
             address_mode=jnp.asarray(self.address, jnp.int32),
-            pool=jnp.asarray(pool.T, jnp.float32),  # (3, P) planes
+            pool=jnp.asarray(pool, jnp.float32),  # (P, 3) rows
         )
 
 
@@ -406,6 +406,7 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
     env_rad_tex = 0
     env_row_cdf = np.zeros(1, np.float32)
     env_col_cdf = np.zeros((1, 1), np.float32)
+    env_joint_cdf = np.zeros(1, np.float32)
     env_row_weight = np.zeros(1, np.float32)
     env_norm = 0.0
     env_scale = 1.0
@@ -443,6 +444,11 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
         env_row_cdf = row_cdf.astype(np.float32)
         env_col_cdf = col_cdf.astype(np.float32)
         env_row_weight = row_weight.astype(np.float32)
+        joint = (lum * row_weight[:, None]).reshape(-1)
+        env_joint_cdf = (np.cumsum(joint) / max(joint.sum(), 1e-30)).astype(
+            np.float32
+        )
+        env_joint_cdf[-1] = 1.0
         env_norm = float(1.0 / (row_sum * (2.0 * np.pi / w) * (np.pi / h)))
 
     # -- pad + pack ----------------------------------------------------------
@@ -651,6 +657,7 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
         env_radiance_tex=jnp.asarray(env_rad_tex, jnp.int32),
         env_row_cdf=jnp.asarray(env_row_cdf),
         env_col_cdf=jnp.asarray(env_col_cdf),
+        env_joint_cdf=jnp.asarray(env_joint_cdf),
         env_row_weight=jnp.asarray(env_row_weight),
         env_normalization=jnp.asarray(env_norm, jnp.float32),
         env_scale=jnp.asarray(env_scale, jnp.float32),

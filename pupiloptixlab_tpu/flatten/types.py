@@ -82,7 +82,7 @@ class TextureTable:
     height: jnp.ndarray        # (K,) i32
     filter_mode: jnp.ndarray   # (K,) i32: 0 point, 1 linear
     address_mode: jnp.ndarray  # (K,) i32: 0 wrap, 1 clamp, 2 mirror
-    pool: jnp.ndarray          # (3,P) f32 pixel-plane pool (row-major per image)
+    pool: jnp.ndarray          # (P,3) f32 pixel pool (row-major per image)
 
 
 @_register
@@ -165,6 +165,7 @@ class EmitterTable:
     env_radiance_tex: jnp.ndarray  # () i32
     env_row_cdf: jnp.ndarray    # (H+1,)
     env_col_cdf: jnp.ndarray    # (H, W+1)
+    env_joint_cdf: jnp.ndarray  # (H*W,) inclusive joint CDF (lum * sin row)
     env_row_weight: jnp.ndarray  # (H,)
     env_normalization: jnp.ndarray  # () f32
     env_scale: jnp.ndarray      # () f32

@@ -187,17 +187,21 @@ def _env_sample_direct(em, tex, config, hit_pos: Vec3, hit_normal: Vec3, u1, u2)
             "radiance": Vec3.broadcast(em.env_color, n),
             "pdf": uniform_hemisphere_pdf(local),
         }
-    # env-map (env.h:24-48): CDF walks -> searchsorted
-    row = jnp.searchsorted(em.env_row_cdf, u1, side="left").astype(jnp.int32)
-    row = jnp.clip(row, 0, h)  # reference loop can land on h
-    row_c = jnp.clip(row, 0, h - 1)
-    col = jax.vmap(
-        lambda r, x: jnp.searchsorted(em.env_col_cdf[r], x, side="left")
-    )(row_c, u2).astype(jnp.int32)
-    col = jnp.clip(col, 0, w - 1)
+    # env-map importance sampling. The reference walks a row CDF then the
+    # row's column CDF (env.h:24-48); the joint CDF over all texels draws
+    # from the identical product distribution in ONE batched inversion
+    # (count_less = Pallas searchsorted; per-lane row CDFs would need a
+    # huge gather). Deviation: the cell index is exact (the reference's
+    # linear scans land one cell past the bracketing texel).
+    from pupiloptixlab_tpu.accel.gather import count_less
+
+    k = jnp.clip(count_less(em.env_joint_cdf, u1), 0, w * h - 1)
+    row = k // w
+    col = k % w
 
     phi = col.astype(jnp.float32) * (2.0 * jnp.pi / w)
     theta = row.astype(jnp.float32) * (jnp.pi / h)
+    row_c = jnp.clip(row, 0, h - 1)
     sin_t = jnp.sin(theta)
     local_wi = Vec3(sin_t * jnp.sin(jnp.pi - phi), jnp.cos(theta), sin_t * jnp.cos(jnp.pi - phi))
     m = em.env_to_world
@@ -210,9 +214,10 @@ def _env_sample_direct(em, tex, config, hit_pos: Vec3, hit_normal: Vec3, u1, u2)
     rad_id = jnp.broadcast_to(em.env_radiance_tex, (n,)).astype(jnp.int32)
     tex_cols = gather_cols(tex.packed, rad_id)
     radiance = sample_texture_cols(tex_cols, tex.pool, uv, config.tex_kinds) * em.env_scale
+    row_w = gather_cols(em.env_row_weight[:, None], row_c)[0]
     pdf = (
         luminance(radiance)
-        * em.env_row_weight[row_c]
+        * row_w
         * em.env_normalization
         / jnp.maximum(jnp.abs(sin_t), 1e-4)
     )
@@ -290,7 +295,14 @@ def eval_env(
     rowf = uv.y * h
     row = jnp.clip(rowf.astype(jnp.int32), 0, h - 2)
     frac = rowf - row.astype(jnp.float32)
-    weight = em.env_row_weight[row] * (1.0 - frac) + em.env_row_weight[row + 1] * frac
+    w_pair = gather_cols(
+        jnp.stack([em.env_row_weight[:-1], em.env_row_weight[1:]], axis=1), row
+    ) if h > 1 else jnp.zeros((2, n))
+    weight = (
+        w_pair[0] * (1.0 - frac) + w_pair[1] * frac
+        if h > 1
+        else jnp.broadcast_to(em.env_row_weight[0], rowf.shape)
+    )
     pdf = (
         luminance(radiance)
         * weight

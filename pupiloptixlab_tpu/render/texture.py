@@ -48,7 +48,8 @@ def _fetch(pool, offset, w, h, ix, iy) -> Vec3:
     ix = jnp.clip(ix, 0, jnp.maximum(w - 1, 0))
     iy = jnp.clip(iy, 0, jnp.maximum(h - 1, 0))
     flat = offset + iy * w + ix
-    return Vec3(pool[0][flat], pool[1][flat], pool[2][flat])
+    cols = gather_cols(pool, flat)  # Pallas one-hot gather, (3, N)
+    return Vec3(cols[0], cols[1], cols[2])
 
 
 def sample_texture_cols(
