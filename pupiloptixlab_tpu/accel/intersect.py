@@ -116,7 +116,9 @@ def _ray_sort_key(ro: Vec3, rd: Vec3) -> jnp.ndarray:
 SORT_CHUNK_THRESHOLD = 16  # sort rays when the scene has > this many chunks
 
 
-def _sweep_tris_pallas(ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData):
+def _sweep_tris_pallas(
+    ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData, coherent: bool = True
+):
     from pupiloptixlab_tpu.accel.pallas_intersect import LANES, sweep_triangles
 
     n = ro.x.shape[0]
@@ -128,6 +130,19 @@ def _sweep_tris_pallas(ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData):
         return jnp.concatenate([a, jnp.zeros(pad, a.dtype)], 0) if pad else a
 
     arrays = [ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, tmin, tmax]
+    # Incoherent (bounce) rays defeat the kernel's per-tile AABB culling;
+    # restore coherence by sorting rays by origin-Morton+octant key. A
+    # multi-operand lax.sort carries all ray planes + the original lane id
+    # through the sort (no big-table gathers).
+    do_sort = (not coherent) and n_chunks > SORT_CHUNK_THRESHOLD
+    if do_sort:
+        key = _ray_sort_key(ro, rd)
+        lane = jnp.arange(n, dtype=jnp.int32)
+        sorted_ops = jax.lax.sort(
+            [key, lane, *arrays], dimension=0, num_keys=1, is_stable=False
+        )
+        lane = sorted_ops[1]
+        arrays = list(sorted_ops[2:])
     t, idx = sweep_triangles(
         *[padv(a) for a in arrays],
         scene.tris.packed,
@@ -135,6 +150,12 @@ def _sweep_tris_pallas(ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData):
         rb=PALLAS_RB, tc=64,
     )
     t, idx = t[:n], idx[:n]
+    if do_sort:
+        # un-permute by sorting back on the carried lane ids
+        lane2, t, idx = jax.lax.sort(
+            [lane, t, idx], dimension=0, num_keys=1, is_stable=False
+        )
+        ro_s, rd_s = ro, rd  # barycentric recompute uses original order
     u, v = _recompute_barycentrics(ro, rd, idx, scene)
     hit = idx >= 0
     return (
@@ -253,6 +274,7 @@ def intersect_closest(
     tmax: jnp.ndarray,
     scene: SceneData,
     config: RenderConfig,
+    coherent: bool = True,
 ) -> Hit:
     n = ro.x.shape[0]
     best = (
@@ -263,8 +285,10 @@ def intersect_closest(
         jnp.zeros(n, jnp.float32),
     )
     if config.tri_count > 0:
-        sweep = _sweep_tris_pallas if _use_pallas() else _sweep_tris_xla
-        best = sweep(ro, rd, tmin, tmax, scene)
+        if _use_pallas():
+            best = _sweep_tris_pallas(ro, rd, tmin, tmax, scene, coherent)
+        else:
+            best = _sweep_tris_xla(ro, rd, tmin, tmax, scene)
     best_t, best_prim, best_kind, best_u, best_v = best
 
     if config.sphere_count > 0:

@@ -117,7 +117,8 @@ def _bounce(scene, config, n, carry, depth):
 
     new_rd = to_world(wi_s, geo.normal)
     new_ro = geo.position
-    hit = intersect_closest(new_ro, new_rd, tmin, tmax, scene, config)
+    # bounce directions are incoherent -> the sweep sorts them internally
+    hit = intersect_closest(new_ro, new_rd, tmin, tmax, scene, config, coherent=False)
 
     # escape -> environment MIS (main.cu:166-169)
     env_rad, env_pdf = emitter_mod.eval_env(em, tex, config, new_rd)

@@ -126,8 +126,8 @@ def render_wavefront(
         ro, rd = s["ro"], s["rd"]
         throughput = s["throughput"]
 
-        # ---- trace the in-flight ray ------------------------------------
-        hit = intersect_closest(ro, rd, tmin_c, tmax_c, scene, config)
+        # ---- trace the in-flight ray (mixed coherence in the pool) -------
+        hit = intersect_closest(ro, rd, tmin_c, tmax_c, scene, config, coherent=False)
         from pupiloptixlab_tpu.render.geometry import get_local_geometry
 
         geo = get_local_geometry(scene, hit, ro, rd, config.sphere_count)
