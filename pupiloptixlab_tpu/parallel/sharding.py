@@ -66,3 +66,37 @@ def render_frame_sharded(
         donate_argnums=(4,),
     )
     return fn(scene, camera, jnp.uint32(seed), jnp.int32(sample_cnt), accum)
+
+
+def render_samples_sharded(
+    mesh: Mesh,
+    scene: SceneData,
+    camera: CameraBlock,
+    seed0: int,
+    config: RenderConfig,
+):
+    """Sample-parallel rendering: every chip traces the full film with its
+    own seed; a psum-mean over the ``samples`` axis merges (one collective
+    per call, riding ICI). Effective spp = mesh size. Returns (h*w, 3)."""
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    def per_chip(scene, camera):
+        idx = jax.lax.axis_index(axis)
+        out = render_sample(
+            scene, camera, jnp.uint32(seed0) + idx.astype(jnp.uint32), config
+        )
+        return jax.lax.pmean(out["radiance"], axis)
+
+    from pupiloptixlab_tpu.render.integrator import render_sample
+
+    fn = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return jax.jit(fn)(scene, camera)

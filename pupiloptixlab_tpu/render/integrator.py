@@ -256,3 +256,45 @@ def render(
             config,
         )
     return accum.reshape(config.height, config.width, 3)
+
+
+@partial(jax.jit, static_argnames=("config", "spp"), donate_argnames=("accum",))
+def render_frame_batch(
+    scene: SceneData,
+    camera: CameraBlock,
+    seed0: jnp.ndarray,
+    sample_cnt: jnp.ndarray,
+    accum: jnp.ndarray,
+    config: RenderConfig,
+    spp: int,
+):
+    """``spp`` progressive samples in ONE dispatch (amortizes host/launch
+    overhead for offline rendering; the per-sample accumulation matches
+    main.cu:187-193 exactly). Returns (accum', buffers-of-last-sample)."""
+
+    def body(i, carry):
+        acc, _ = carry
+        out = render_sample(scene, camera, seed0 + i.astype(jnp.uint32), config)
+        radiance = out["radiance"]
+        if config.accumulate:
+            t = 1.0 / ((sample_cnt + i).astype(jnp.float32) + 1.0)
+            blended = acc + (radiance - acc) * t
+            acc = jnp.where(sample_cnt + i > 0, blended, radiance)
+        else:
+            acc = radiance
+        return acc, out
+
+    dummy = {
+        "radiance": accum,
+        "albedo": jnp.zeros_like(accum),
+        "normal": jnp.zeros_like(accum),
+        "test": jnp.zeros(accum.shape[0], jnp.float32),
+    }
+    accum, last = jax.lax.fori_loop(0, spp, body, (accum, dummy))
+    buffers = {
+        "frame": accum,
+        "albedo": last["albedo"],
+        "normal": last["normal"],
+        "test": last["test"],
+    }
+    return accum, buffers

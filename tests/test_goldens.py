@@ -21,6 +21,8 @@ CASES = {
     "mis": (96, 54, 16, None),
     "default": (64, 64, 8, None),
     "material_test": (96, 54, 16, None),
+    "denoised_scene": (64, 64, 8, None),
+    "restir_test": (96, 54, 8, None),
 }
 
 
