@@ -82,12 +82,15 @@ def _recompute_barycentrics(ro: Vec3, rd: Vec3, idx, scene: SceneData):
 
 
 def _ray_sort_key(ro: Vec3, rd: Vec3) -> jnp.ndarray:
-    """Coherence key: direction octant (high bits) + interleaved 7-bit
-    quantized origin. Tiles of sorted rays share position and rough
-    direction, so the sweep kernel's per-tile AABB culling keeps working
-    for incoherent bounce/shadow rays."""
-    def q7(v, lo, inv_ext):
-        return jnp.clip(((v - lo) * inv_ext * 127.0).astype(jnp.uint32), 0, 127)
+    """Coherence key for bounce rays: interleaved quantized DIRECTION
+    (5 bits/axis, major) then quantized origin (5 bits/axis, minor).
+
+    Direction dominates: rays diverging from one surface patch see the
+    union of chunks over the whole hemisphere; rays sharing a direction
+    cone from nearby origins form a narrow frustum, which is what the
+    sweep kernel's per-tile AABB culling can exploit."""
+    def q5(v, lo, inv_ext):
+        return jnp.clip(((v - lo) * inv_ext * 31.0).astype(jnp.uint32), 0, 31)
 
     lo = Vec3(ro.x.min(), ro.y.min(), ro.z.min())
     hi = Vec3(ro.x.max(), ro.y.max(), ro.z.max())
@@ -96,21 +99,24 @@ def _ray_sort_key(ro: Vec3, rd: Vec3) -> jnp.ndarray:
         1.0 / jnp.maximum(hi.y - lo.y, 1e-12),
         1.0 / jnp.maximum(hi.z - lo.z, 1e-12),
     )
-    qx, qy, qz = q7(ro.x, lo.x, inv.x), q7(ro.y, lo.y, inv.y), q7(ro.z, lo.z, inv.z)
 
-    def expand(v):  # 7-bit morton expansion
+    def expand5(v):  # spread 5 bits to every 3rd position
         v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
         v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
         v = (v | (v << 2)) & jnp.uint32(0x09249249)
         return v
 
-    morton = (expand(qx) << 2) | (expand(qy) << 1) | expand(qz)
-    octant = (
-        (rd.x > 0).astype(jnp.uint32) * 4
-        + (rd.y > 0).astype(jnp.uint32) * 2
-        + (rd.z > 0).astype(jnp.uint32)
-    )
-    return (octant << 21) | morton
+    def morton(ax, ay, az):
+        return (expand5(ax) << 2) | (expand5(ay) << 1) | expand5(az)
+
+    half = jnp.float32(0.5)
+    dqx = q5(rd.x, -1.0, half)
+    dqy = q5(rd.y, -1.0, half)
+    dqz = q5(rd.z, -1.0, half)
+    oqx = q5(ro.x, lo.x, inv.x)
+    oqy = q5(ro.y, lo.y, inv.y)
+    oqz = q5(ro.z, lo.z, inv.z)
+    return (morton(dqx, dqy, dqz) << 15) | morton(oqx, oqy, oqz)
 
 
 SORT_CHUNK_THRESHOLD = 16  # sort rays when the scene has > this many chunks
