@@ -158,10 +158,9 @@ def _sweep_tris_pallas(
     t, idx = t[:n], idx[:n]
     if do_sort:
         # un-permute by sorting back on the carried lane ids
-        lane2, t, idx = jax.lax.sort(
+        _, t, idx = jax.lax.sort(
             [lane, t, idx], dimension=0, num_keys=1, is_stable=False
         )
-        ro_s, rd_s = ro, rd  # barycentric recompute uses original order
     u, v = _recompute_barycentrics(ro, rd, idx, scene)
     hit = idx >= 0
     return (

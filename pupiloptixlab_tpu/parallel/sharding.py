@@ -81,7 +81,6 @@ def render_samples_sharded(
     from jax.experimental.shard_map import shard_map
 
     axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
 
     def per_chip(scene, camera):
         idx = jax.lax.axis_index(axis)

@@ -78,6 +78,7 @@ def render_wavefront(
     state = dict(
         ro=zero3,
         rd=Vec3.full(pool, 0.0, 0.0, 1.0),
+        radiance=zero3,  # per-lane accumulator; scattered once at death
         throughput=Vec3.ones(pool),
         rng=jnp.zeros(pool, jnp.uint32),
         pixel=jnp.zeros(pool, jnp.int32),
@@ -108,6 +109,7 @@ def render_wavefront(
         s = dict(s)
         s["ro"] = where(can_spawn, ro_new, s["ro"])
         s["rd"] = where(can_spawn, rd_new, s["rd"])
+        s["radiance"] = where(can_spawn, Vec3.zeros(pool), s["radiance"])
         s["throughput"] = where(can_spawn, Vec3.ones(pool), s["throughput"])
         s["rng"] = jnp.where(can_spawn, st_new, s["rng"])
         s["pixel"] = jnp.where(can_spawn, pixel_new, s["pixel"])
@@ -120,14 +122,21 @@ def render_wavefront(
         return s
 
     def body(s):
+        # flush lanes that died last iteration into the film, then refill
+        dead_now = ~s["alive"]
+        s["film"] = _scatter_rgb(s["film"], s["pixel"], s["radiance"], dead_now)
+        s["radiance"] = where(dead_now, Vec3.zeros(pool), s["radiance"])
         s = refill(s)
         alive = s["alive"]
         fresh = s["fresh"]
         ro, rd = s["ro"], s["rd"]
         throughput = s["throughput"]
+        radiance = s["radiance"]
 
-        # ---- trace the in-flight ray (mixed coherence in the pool) -------
-        hit = intersect_closest(ro, rd, tmin_c, tmax_c, scene, config, coherent=False)
+        # ---- trace the in-flight ray ------------------------------------
+        # (refill keeps the pool pixel-ordered; per-iteration ray sorting
+        # costs more than its culling gain here)
+        hit = intersect_closest(ro, rd, tmin_c, tmax_c, scene, config)
         from pupiloptixlab_tpu.render.geometry import get_local_geometry
 
         geo = get_local_geometry(scene, hit, ro, rd, config.sphere_count)
@@ -143,8 +152,8 @@ def render_wavefront(
         # against the previous BSDF pdf (main.cu:166-169; the reference
         # applies the balance weight even to delta bounces).
         mis_env = jnp.where(fresh, 1.0, mis_weight(s["pdf_prev"], env_pdf))
-        s["film"] = _scatter_rgb(
-            s["film"], s["pixel"], throughput * env_rad * mis_env, escaped
+        radiance = radiance + where(
+            escaped, throughput * env_rad * mis_env, Vec3.zeros(pool)
         )
         alive = alive & hit.hit_mask
 
@@ -162,11 +171,11 @@ def render_wavefront(
             mis_weight(s["pdf_prev"], emit_pdf * hit_sel_prob),
         )
         bounced_ok = is_emissive & ~fresh & ~is_zero(emit_pdf)
-        s["film"] = _scatter_rgb(
-            s["film"], s["pixel"], throughput * emit_rad * mis_hit, bounced_ok
+        radiance = radiance + where(
+            bounced_ok, throughput * emit_rad * mis_hit, Vec3.zeros(pool)
         )
-        s["film"] = _scatter_rgb(
-            s["film"], s["pixel"], direct_emit, is_emissive & fresh
+        radiance = radiance + where(
+            is_emissive & fresh, direct_emit, Vec3.zeros(pool)
         )
 
         # ---- AOVs on primary hits ------------------------------------------
@@ -211,7 +220,7 @@ def render_wavefront(
         take = (
             alive & ~occluded & ~is_zero(f_nee * es.pdf) & (nol > 0.0)
         )
-        s["film"] = _scatter_rgb(s["film"], s["pixel"], contrib, take)
+        radiance = radiance + where(take, contrib, Vec3.zeros(pool))
 
         wi_s, f_s, pdf_s, lobe = bsdf_mod.sample(
             local, wo_local, u_b0, u_b1, u_b2, config.mat_types
@@ -225,6 +234,7 @@ def render_wavefront(
 
         s["ro"] = geo.position
         s["rd"] = to_world(wi_s, geo.normal)
+        s["radiance"] = radiance
         s["throughput"] = throughput
         s["depth"] = depth
         s["pdf_prev"] = pdf_s
@@ -237,9 +247,14 @@ def render_wavefront(
         return (s["next_path"] < total_paths) | jnp.any(s["alive"])
 
     final = jax.lax.while_loop(cond, body, state)
+    # flush radiance of the last generation of paths
+    film = _scatter_rgb(
+        final["film"], final["pixel"], final["radiance"],
+        jnp.ones(pool, bool),
+    )
     inv = 1.0 / spp
     return {
-        "film": final["film"] * inv,
+        "film": film * inv,
         "albedo": final["albedo"] * inv,
         "normal": final["normal"] * inv,
     }
