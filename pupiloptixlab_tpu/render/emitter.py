@@ -85,8 +85,10 @@ def select_emitter(em: EmitterTable, config: RenderConfig, u: jnp.ndarray):
         use_env = jnp.ones_like(u, bool) if config.has_env else jnp.zeros_like(u, bool)
         prob = jnp.broadcast_to(em.env_select_prob, u.shape)
         return idx, use_env, prob
+    from pupiloptixlab_tpu.accel.gather import count_less
+
     cdf = em.select_cdf[:n_area]
-    idx = jnp.searchsorted(cdf, u, side="left").astype(jnp.int32)
+    idx = count_less(cdf, u)
     overflow = idx >= n_area
     if config.has_env:
         use_env = overflow
