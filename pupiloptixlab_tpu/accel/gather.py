@@ -36,15 +36,25 @@ def _make_gather_kernel(t_pad: int):
     n_windows = t_pad // _WINDOW if t_pad > _WINDOW else 1
     window = _WINDOW if t_pad > _WINDOW else t_pad
 
+    # Both operands stay f32 and the contraction runs at Precision.HIGHEST:
+    # the default-precision path multiplies in bf16, quantizing every
+    # fetched value to ~8 mantissa bits (integer ids packed as floats
+    # decode wrong above 256 — e.g. 301 -> 300). HIGHEST is measured
+    # bit-exact on TPU v5e for one-hot selection (max err 0.0 on random
+    # f32 tables incl. ids up to 3e5), so table rows reproduce exactly.
+    def matmul_exact(table, one_hot):
+        return jax.lax.dot_general(
+            table, one_hot, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
     def kernel(idx_ref, table_t_ref, out_ref):
         idx = idx_ref[:]  # (1, B) i32
         if n_windows == 1:
             rows = jax.lax.broadcasted_iota(jnp.int32, (window, idx.shape[1]), 0)
-            one_hot = (rows == idx).astype(jnp.bfloat16)
-            out_ref[:] = jnp.dot(
-                table_t_ref[:].astype(jnp.bfloat16), one_hot,
-                preferred_element_type=jnp.float32,
-            )
+            one_hot = (rows == idx).astype(jnp.float32)
+            out_ref[:] = matmul_exact(table_t_ref[:], one_hot)
             return
 
         out_ref[:] = jnp.zeros_like(out_ref)
@@ -52,12 +62,9 @@ def _make_gather_kernel(t_pad: int):
         def body(wi, _):
             base = wi * window
             rows = jax.lax.broadcasted_iota(jnp.int32, (window, idx.shape[1]), 0)
-            one_hot = (rows == (idx - base)).astype(jnp.bfloat16)
+            one_hot = (rows == (idx - base)).astype(jnp.float32)
             chunk = table_t_ref[:, pl.ds(base, window)]
-            out_ref[:] += jnp.dot(
-                chunk.astype(jnp.bfloat16), one_hot,
-                preferred_element_type=jnp.float32,
-            )
+            out_ref[:] += matmul_exact(chunk, one_hot)
             return _
 
         jax.lax.fori_loop(0, n_windows, body, None)
@@ -100,7 +107,8 @@ def _gather_cols_pallas(table_t: jnp.ndarray, idx: jnp.ndarray, interpret: bool 
 def gather_cols(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """table (T, C) f32, idx (N,) int -> (C, N) f32 = table[idx].T.
 
-    One-hot weights are exact in bf16, so values reproduce bit-for-bit.
+    The one-hot contraction keeps both operands f32, so values reproduce
+    bit-for-bit (integer ids packed as floats survive; see kernel note).
     """
     t, c = table.shape
     on_tpu = jax.default_backend() == "tpu"

@@ -289,6 +289,12 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
     for ins in scene.shape_instances:
         if ins.shape is None or ins.shape.type == ShapeType.UNKNOWN:
             continue
+        # Hidden instances stay in every table with the SAME row counts —
+        # geometry is degenerated so nothing hits it and emitter weights
+        # drop to zero. This keeps tri_count/emitter_count (static jit
+        # args) identical across visibility toggles, so a toggle never
+        # retraces the frame program (the IAS visibility-mask analog).
+        hidden = getattr(ins, "visibility_mask", 255) == 0
         mat_id = materials.add(ins.material)
         m = ins.transform.matrix
 
@@ -312,10 +318,16 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
                     e[k].append(np.zeros(2, np.float32))
                 e["radius"].append(radius)
                 e["area"].append(area)
-                e["weight"].append(weight)
+                e["weight"].append(0.0 if hidden else weight)
                 e["rad_tex"].append(rad_tex)
-            s_o2w.append(m[:3, :4])
-            s_w2o.append(np.linalg.inv(m)[:3, :4].astype(np.float32))
+            if hidden:
+                # zeroed transforms: a = |d'|^2 = 0 fails the quadratic's
+                # a > eps guard, so no ray ever hits the sphere
+                s_o2w.append(np.zeros((3, 4), np.float32))
+                s_w2o.append(np.zeros((3, 4), np.float32))
+            else:
+                s_o2w.append(m[:3, :4])
+                s_w2o.append(np.linalg.inv(m)[:3, :4].astype(np.float32))
             s_mat.append(mat_id)
             s_emit.append(emitter_id)
             s_flip.append(bool(ins.flip_normals))
@@ -323,6 +335,12 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
 
         mesh = ins.shape.mesh
         world_p = transform_points(mesh.positions, m).astype(np.float32)
+        if hidden:
+            # collapse to the centroid: every triangle degenerates
+            # (det ~ 0 in Moller-Trumbore), emitter weights zeroed below
+            world_p = np.broadcast_to(
+                world_p.mean(axis=0), world_p.shape
+            ).astype(np.float32)
         if mesh.normals is not None and len(mesh.normals):
             obj_n = mesh.normals
         else:
@@ -347,7 +365,9 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
         emitter_base = -1
         if ins.is_emitter:
             rad_tex = textures.add(ins.emitter.radiance)
-            weight_scale = ins.emitter.radiance.max_channel_weight()
+            weight_scale = (
+                0.0 if hidden else ins.emitter.radiance.max_channel_weight()
+            )
             if obj_n is None:
                 fn = np.cross(
                     world_p[idx[:, 1]] - world_p[idx[:, 0]],

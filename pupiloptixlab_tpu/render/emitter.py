@@ -77,14 +77,16 @@ class EmitterSample:
 def select_emitter(em: EmitterTable, config: RenderConfig, u: jnp.ndarray):
     """CDF walk: first i with u <= cdf[i]; env if beyond all areas.
 
-    Returns (index (N,) into areas, use_env (N,) bool, select_prob (N,)).
+    Returns (index (N,) into areas, use_env (N,) bool). The selection
+    probability is NOT gathered here — sample_direct reads it from the
+    packed emitter row it fetches anyway (row[EM_SELECT_PROB]), avoiding a
+    native per-ray XLA gather in the NEE hot path.
     """
     n_area = config.emitter_count
     if n_area == 0:
         idx = jnp.zeros_like(u, jnp.int32)
         use_env = jnp.ones_like(u, bool) if config.has_env else jnp.zeros_like(u, bool)
-        prob = jnp.broadcast_to(em.env_select_prob, u.shape)
-        return idx, use_env, prob
+        return idx, use_env
     from pupiloptixlab_tpu.accel.gather import count_less
 
     cdf = em.select_cdf[:n_area]
@@ -92,13 +94,10 @@ def select_emitter(em: EmitterTable, config: RenderConfig, u: jnp.ndarray):
     overflow = idx >= n_area
     if config.has_env:
         use_env = overflow
-        idx = jnp.minimum(idx, n_area - 1)
-        prob = jnp.where(use_env, em.env_select_prob, em.select_prob[idx])
     else:
         use_env = jnp.zeros_like(overflow)
-        idx = jnp.minimum(idx, n_area - 1)
-        prob = em.select_prob[idx]
-    return idx, use_env, prob
+    idx = jnp.minimum(idx, n_area - 1)
+    return idx, use_env
 
 
 def _vec(row, s: slice) -> Vec3:
@@ -115,7 +114,6 @@ def sample_direct(
     config: RenderConfig,
     idx: jnp.ndarray,
     use_env: jnp.ndarray,
-    select_prob: jnp.ndarray,
     hit_pos: Vec3,
     hit_normal: Vec3,
     u1: jnp.ndarray,
@@ -123,6 +121,9 @@ def sample_direct(
 ) -> EmitterSample:
     n = u1.shape[0]
     row = gather_cols(em.packed, idx)  # one gather for the emitter record
+    select_prob = row[EM_SELECT_PROB]
+    if config.emitter_count == 0 or config.has_env:
+        select_prob = jnp.where(use_env, em.env_select_prob, select_prob)
 
     # --- triangle area emitter (area.h:17-35) -------------------------------
     bary = uniform_sample_triangle(u1, u2)

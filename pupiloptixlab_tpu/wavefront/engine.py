@@ -198,9 +198,9 @@ def render_wavefront(
         alive = alive & within & (u_rr <= rr)
         throughput = where(alive, throughput * (1.0 / rr), throughput)
 
-        idx, use_env, sel_prob = emitter_mod.select_emitter(em, config, u_sel)
+        idx, use_env = emitter_mod.select_emitter(em, config, u_sel)
         es = emitter_mod.sample_direct(
-            em, tex, config, idx, use_env, sel_prob,
+            em, tex, config, idx, use_env,
             geo.position, geo.normal, u_l1, u_l2,
         )
         occluded = intersect_any(

@@ -185,19 +185,12 @@ class World:
 
     def get_scene_data(self) -> tuple[SceneData, RenderConfig]:
         """Flattened device arrays; rebuilt lazily when dirty
-        (GAS build / IAS refit analog)."""
+        (GAS build / IAS refit analog). Hidden instances are degenerated
+        inside flatten_scene rather than pruned, so visibility toggles —
+        like transform edits — keep every array shape and the RenderConfig
+        identical and never retrace the frame program."""
         if self._scene_dirty or self._data is None:
-            visible = [
-                i for i in self.scene.shape_instances if i.visibility_mask != 0
-            ]
-            pruned = self.scene
-            if len(visible) != len(self.scene.shape_instances):
-                pruned = Scene(self.scene.root_path)
-                pruned.integrator = self.scene.integrator
-                pruned.sensor = self.scene.sensor
-                pruned.emitters = self.scene.emitters
-                pruned.shape_instances = visible
-            self._data, self._config = flatten_scene(pruned)
+            self._data, self._config = flatten_scene(self.scene)
             self._scene_dirty = False
         return self._data, self._config
 

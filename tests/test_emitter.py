@@ -44,9 +44,9 @@ def test_direct_irradiance_matches_analytic():
     pos = Vec3.zeros(n)
     nrm = Vec3.full(n, 0.0, 0.0, 1.0)
 
-    idx, use_env, sel_prob = E.select_emitter(data.emitters, config, u_sel)
+    idx, use_env = E.select_emitter(data.emitters, config, u_sel)
     es = E.sample_direct(
-        data.emitters, data.textures, config, idx, use_env, sel_prob,
+        data.emitters, data.textures, config, idx, use_env,
         pos, nrm, u1, u2,
     )
     nol = np.asarray(es.wi.z)

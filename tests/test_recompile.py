@@ -53,6 +53,46 @@ def test_transform_edit_keeps_shapes_and_config(world):
     )
 
 
+def test_visibility_toggle_keeps_shapes_and_config(world):
+    """A visibility edit must behave like a transform edit: new array
+    values, identical shapes + static config (no retrace). Hidden
+    geometry must stop receiving hits and stop emitting."""
+    data0, config0 = world.get_scene_data()
+    ro = world.get_render_object("ShortBox")
+    ro.set_visible(False)
+    data1, config1 = world.get_scene_data()
+    assert data0 is not data1
+    assert config0 == config1
+    s0 = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), data0)
+    s1 = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), data1)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda x, y: x == y, s0, s1)
+    )
+
+    # the hidden instance's triangles are degenerate (never hit) and the
+    # remaining scene still renders
+    from pupiloptixlab_tpu.flatten import camera_block
+    from pupiloptixlab_tpu.render.integrator import render_frame
+    import jax.numpy as jnp
+
+    n = config0.width * config0.height
+    cam = camera_block(world.camera)
+    accum0 = jnp.zeros((n, 3), jnp.float32)
+    acc_vis, _ = render_frame(data0, cam, jnp.uint32(3), jnp.int32(0), accum0, config0)
+    accum1 = jnp.zeros((n, 3), jnp.float32)
+    acc_hid, _ = render_frame(data1, cam, jnp.uint32(3), jnp.int32(0), accum1, config1)
+    a, b = np.asarray(acc_vis), np.asarray(acc_hid)
+    assert np.isfinite(b).all()
+    assert not np.allclose(a, b), "hiding the box should change the image"
+
+    ro.set_visible(True)
+    data2, config2 = world.get_scene_data()
+    assert config2 == config0
+    accum2 = jnp.zeros((n, 3), jnp.float32)
+    acc_back, _ = render_frame(data2, cam, jnp.uint32(3), jnp.int32(0), accum2, config2)
+    np.testing.assert_allclose(np.asarray(acc_back), a, rtol=1e-5, atol=1e-6)
+
+
 def test_no_retrace_across_edits(world):
     import jax.numpy as jnp
 
