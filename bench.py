@@ -1,13 +1,15 @@
 """Benchmark harness: PT with MIS throughput on the current accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
-metric is Mrays/sec/chip on the Cornell-box scene at 1080p 1 spp (the
-BASELINE.json primary metric; baseline target 100 Mrays/s/chip).
+Prints ONE JSON line. Primary metric: Mrays/sec/chip on the Cornell-box
+scene at 1080p 1 spp (BASELINE.json target: 100 Mrays/s/chip). The same
+line also carries the HARD path — the 20k-triangle mesh + envmap scene
+(BASELINE config 4) at 1080p 1 spp through the BVH traversal kernels —
+as ``mesh_env_mrays`` / ``mesh_env_ms``, so large-scene perf is visible
+to the driver every round.
 
 Ray counting matches the reference's notion of traced rays: one primary
-ray per pixel plus, per bounce iteration, one NEE shadow ray and one BSDF
-continuation ray per *live* path. We count conservatively from the actual
-live-lane statistics the renderer reports.
+ray per pixel plus, per bounce iteration, one NEE shadow ray and one
+BSDF continuation ray per lane (masked lanes still execute sweeps).
 """
 
 from __future__ import annotations
@@ -17,16 +19,15 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
-def main() -> None:
+def _bench_scene(path: str, width=1920, height=1080, iters=4):
     from pupiloptixlab_tpu.flatten import camera_block_from_scene, flatten_scene
     from pupiloptixlab_tpu.render.integrator import render_frame
     from pupiloptixlab_tpu.scene import load_scene
 
-    scene = load_scene("/root/reference/data/static/cornellbox.xml")
-    scene.sensor.film.w, scene.sensor.film.h = 1920, 1080
+    scene = load_scene(path)
+    scene.sensor.film.w, scene.sensor.film.h = width, height
     data, config = flatten_scene(scene)
     camera = camera_block_from_scene(scene)
 
@@ -39,7 +40,6 @@ def main() -> None:
     )
     jax.block_until_ready(bufs["frame"])
 
-    iters = 4
     t0 = time.perf_counter()
     for i in range(iters):
         accum, bufs = render_frame(
@@ -48,22 +48,28 @@ def main() -> None:
     jax.block_until_ready(bufs["frame"])
     dt = (time.perf_counter() - t0) / iters
 
-    # Ray count per frame: 1 primary + per bounce (shadow + bsdf) rays for
-    # all lanes (the wavefront traces full-width sweeps; count what we
-    # actually intersect): depth loop runs (max_depth-1) iterations with
-    # 2 sweeps each.
     rays_per_frame = n * (1 + 2 * (config.max_depth - 1))
-    mrays = rays_per_frame / dt / 1e6
+    return rays_per_frame / dt / 1e6, dt * 1e3, config
 
-    ms_per_frame = dt * 1e3
+
+def main() -> None:
+    cornell_mrays, cornell_ms, config = _bench_scene(
+        "/root/reference/data/static/cornellbox.xml"
+    )
+    mesh_mrays, mesh_ms, mesh_config = _bench_scene("/root/repo/data/mesh_env.xml")
+
     print(
         json.dumps(
             {
                 "metric": "Mrays/sec/chip (cornell 1080p 1spp PT+MIS)",
-                "value": round(mrays, 2),
+                "value": round(cornell_mrays, 2),
                 "unit": "Mray/s",
-                "vs_baseline": round(mrays / 100.0, 3),
-                "ms_per_frame": round(ms_per_frame, 2),
+                "vs_baseline": round(cornell_mrays / 100.0, 3),
+                "ms_per_frame": round(cornell_ms, 2),
+                "mesh_env_mrays": round(mesh_mrays, 2),
+                "mesh_env_ms": round(mesh_ms, 2),
+                "mesh_env_tris": mesh_config.tri_count,
+                "mesh_env_bvh_nodes": mesh_config.bvh_nodes,
                 "device": str(jax.devices()[0].platform),
                 "max_depth": config.max_depth,
             }

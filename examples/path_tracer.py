@@ -5,6 +5,7 @@ scene, render, save the result. Run:
 
     python examples/path_tracer.py [scene.xml] [--spp N] [--out out.exr]
     python examples/path_tracer.py --interactive   # live window if available
+    python examples/path_tracer.py --web [--port 8090]  # browser GUI
 """
 
 from __future__ import annotations
@@ -28,15 +29,20 @@ def main() -> None:
     ap.add_argument("--out", default="pt_out.exr")
     ap.add_argument("--interactive", action="store_true")
     ap.add_argument("--max-depth", type=int, default=None)
+    ap.add_argument("--web", action="store_true",
+                    help="serve the interactive GUI over HTTP (remote hosts)")
+    ap.add_argument("--port", type=int, default=8090)
     args = ap.parse_args()
 
-    system = System(has_display=True)
+    system = System(display="web" if args.web else "window")
     system.add_pass(PTPass(max_depth=args.max_depth))
     if not system.set_scene(args.scene):
         raise SystemExit(1)
 
-    if args.interactive:
-        system.run(threaded=True)  # render thread + display window
+    if args.interactive or args.web:
+        if args.web:
+            system.display.port = args.port
+        system.run(threaded=True)  # render thread + display client
     else:
         system.run(max_frames=args.spp)
         system.display.save_screenshot(args.out)

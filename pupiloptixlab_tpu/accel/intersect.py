@@ -122,22 +122,21 @@ def _ray_sort_key(ro: Vec3, rd: Vec3) -> jnp.ndarray:
 SORT_CHUNK_THRESHOLD = 16  # sort rays when the scene has > this many chunks
 
 
-def _sweep_tris_pallas(
-    ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData, coherent: bool = True
-):
-    from pupiloptixlab_tpu.accel.pallas_intersect import LANES, sweep_triangles
+def _sorted_ray_sweep(ro: Vec3, rd: Vec3, tmin, tmax, coherent, n_chunks, run):
+    """Shared pad + coherence-sort + un-permute wrapper around a sweep
+    callable ``run(arrays) -> (t, idx-or-occluded)``."""
+    from pupiloptixlab_tpu.accel.pallas_intersect import LANES
 
     n = ro.x.shape[0]
     block = LANES * PALLAS_RB
     pad = (-n) % block
-    n_chunks = scene.tris.chunk_boxes.shape[0]
 
     def padv(a):
         return jnp.concatenate([a, jnp.zeros(pad, a.dtype)], 0) if pad else a
 
     arrays = [ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, tmin, tmax]
-    # Incoherent (bounce) rays defeat the kernel's per-tile AABB culling;
-    # restore coherence by sorting rays by origin-Morton+octant key. A
+    # Incoherent (bounce) rays defeat tile-level culling; restore
+    # coherence by sorting rays by direction+origin Morton key. A
     # multi-operand lax.sort carries all ray planes + the original lane id
     # through the sort (no big-table gathers).
     do_sort = (not coherent) and n_chunks > SORT_CHUNK_THRESHOLD
@@ -149,18 +148,47 @@ def _sweep_tris_pallas(
         )
         lane = sorted_ops[1]
         arrays = list(sorted_ops[2:])
-    t, idx = sweep_triangles(
-        *[padv(a) for a in arrays],
-        scene.tris.packed,
-        scene.tris.chunk_boxes,
-        rb=PALLAS_RB, tc=64,
-    )
-    t, idx = t[:n], idx[:n]
+    outs = run([padv(a) for a in arrays])
+    outs = [o[:n] for o in outs]
     if do_sort:
         # un-permute by sorting back on the carried lane ids
-        _, t, idx = jax.lax.sort(
-            [lane, t, idx], dimension=0, num_keys=1, is_stable=False
+        unsorted = jax.lax.sort(
+            [lane, *outs], dimension=0, num_keys=1, is_stable=False
         )
+        outs = list(unsorted[1:])
+    return outs
+
+
+def _sweep_tris_pallas(
+    ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData,
+    config: RenderConfig, coherent: bool = True,
+):
+    n_chunks = scene.tris.chunk_boxes.shape[0]
+
+    if config.bvh_nodes > 0:
+        from pupiloptixlab_tpu.accel.pallas_bvh import bvh_closest
+
+        def run(arrays):
+            return bvh_closest(
+                *arrays,
+                scene.tris.packed,
+                scene.tris.bvh_child,
+                scene.tris.bvh_axis,
+                scene.tris.bvh_boxes,
+                tcl=config.bvh_tcl,
+            )
+    else:
+        from pupiloptixlab_tpu.accel.pallas_intersect import sweep_triangles
+
+        def run(arrays):
+            return sweep_triangles(
+                *arrays,
+                scene.tris.packed,
+                scene.tris.chunk_boxes,
+                rb=PALLAS_RB, tc=64,
+            )
+
+    t, idx = _sorted_ray_sweep(ro, rd, tmin, tmax, coherent, n_chunks, run)
     u, v = _recompute_barycentrics(ro, rd, idx, scene)
     hit = idx >= 0
     return (
@@ -291,7 +319,7 @@ def intersect_closest(
     )
     if config.tri_count > 0:
         if _use_pallas():
-            best = _sweep_tris_pallas(ro, rd, tmin, tmax, scene, coherent)
+            best = _sweep_tris_pallas(ro, rd, tmin, tmax, scene, config, coherent)
         else:
             best = _sweep_tris_xla(ro, rd, tmin, tmax, scene)
     best_t, best_prim, best_kind, best_u, best_v = best
@@ -314,7 +342,35 @@ def intersect_any(
     tmax: jnp.ndarray,
     scene: SceneData,
     config: RenderConfig,
+    coherent: bool = True,
 ) -> jnp.ndarray:
-    """Occlusion test (shadow rays): any hit in (tmin, tmax) -> True."""
+    """Occlusion test (shadow rays): any hit in (tmin, tmax) -> True.
+
+    On BVH scenes this runs a dedicated terminate-on-first-hit traversal
+    (the reference's shadow rays, render/emitter.h:91-100) — no
+    closest-hit bookkeeping, lanes drop out once occluded. Elsewhere the
+    closest-hit sweep doubles as the occlusion test.
+    """
+    if config.tri_count > 0 and config.bvh_nodes > 0 and _use_pallas():
+        from pupiloptixlab_tpu.accel.pallas_bvh import bvh_anyhit
+
+        def run(arrays):
+            occ = bvh_anyhit(
+                *arrays,
+                scene.tris.packed,
+                scene.tris.bvh_child,
+                scene.tris.bvh_axis,
+                scene.tris.bvh_boxes,
+                tcl=config.bvh_tcl,
+            )
+            return (occ.astype(jnp.int32),)
+
+        n_chunks = scene.tris.chunk_boxes.shape[0]
+        (occ,) = _sorted_ray_sweep(ro, rd, tmin, tmax, coherent, n_chunks, run)
+        occluded = occ != 0
+        if config.sphere_count > 0:
+            t_s, hit_s = _sphere_tests(ro, rd, scene, tmin, tmax)
+            occluded = occluded | jnp.any(hit_s, axis=0)
+        return occluded
     hit = intersect_closest(ro, rd, tmin, tmax, scene, config)
     return hit.hit_mask

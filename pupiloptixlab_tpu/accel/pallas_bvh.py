@@ -1,0 +1,360 @@
+"""Pallas TPU wide-BVH traversal — per-ray-tile ordered descent.
+
+The optixTrace replacement for large meshes (reference:
+example/path_tracer/main.cu:77-82 traverses a hardware BVH per ray).
+TPUs have no per-lane gather, so the traversal unit is a RAY TILE
+(rb x 128 rays): the tile walks an 8-WIDE tree (accel/bvh.py) together,
+descending into every child ANY lane's slab test passes.
+
+Why 8-wide: scalar control flow on TPU pays a vector->scalar sync
+(reduction + branch) per traversal step. A binary tree pays it per
+node and measured SLOWER than the flat chunk sweep (1.8 vs 3.4 Mray/s
+on a 20k-tri scene); the wide tree tests all 8 children in ONE
+VPU-shaped (8, rb, 128) slab test and packs their any-hit bits into a
+single scalar mask — one sync per 8 nodes, and the tree is 3x
+shallower. This is the CWBVH idea with the warp replaced by a VPU tile.
+
+Mechanics:
+
+* child-id + axis tables ride in SMEM (scalar prefetch); the 8 child
+  boxes of a node are one sublane-aligned (8, 8) dynamic slice of a
+  VMEM table;
+* the traversal stack is an SMEM scratch array; children are pushed
+  far-to-near (build-time sort along the node's dominant axis + the
+  tile's direction sign picks the iteration direction);
+* slab tests clamp tfar by each lane's running closest-hit ``tbest``,
+  so ordered descent prunes far subtrees once hits are found;
+* a leaf is one contiguous TCL-row slice of the packed triangle table
+  (dynamic ``pl.ds`` fetch), tested with vectorized Moller-Trumbore;
+* the any-hit variant (shadow rays; reference render/emitter.h:91-100
+  terminate-on-first-hit) keeps an ``occluded`` mask instead of
+  (t, index): occluded lanes drop out of every slab test, so a fully
+  occluded tile prunes the remaining tree to nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_DISTANCE = 1e16
+_DET_EPS = 1e-12
+
+LANES = 128
+STACK_SIZE = 96
+# Ray rows per tile. 8 is the f32 sublane tile — Mosaic requires block
+# sublane counts divisible by 8, so 1024 rays (8 x 128) is the smallest
+# legal tile; ray sorting (accel/intersect.py) keeps those coherent.
+DEFAULT_RB = 8
+
+
+def _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v):
+    """Vectorized MT over a (TCL, 12) leaf slice vs an (rb, 128) tile.
+    Returns per-pair t with misses at MAX_DISTANCE, shape (TCL, rb, 128).
+    """
+    def col(i):
+        return rows[:, i][:, None, None]
+
+    p0x, p0y, p0z = col(0), col(1), col(2)
+    e1x, e1y, e1z = col(3), col(4), col(5)
+    e2x, e2y, e2z = col(6), col(7), col(8)
+
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    det_safe = jnp.where(jnp.abs(det) < _DET_EPS, _DET_EPS, det)
+    r = pl.reciprocal(det_safe, approx=True)
+    inv = r * (2.0 - det_safe * r)
+    tvx = ox - p0x
+    tvy = oy - p0y
+    tvz = oz - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+
+    hit = (
+        (jnp.abs(det) >= _DET_EPS)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > tmn_v)
+        & (t < tmx_v)
+    )
+    return jnp.where(hit, t, MAX_DISTANCE)
+
+
+def _slab8(blk, ox, oy, oz, ix, iy, iz, tmn_v, tfar_clamp):
+    """Slab test of 8 child boxes (blk: (8, 8) rows) against the tile.
+    Returns (tn, tf) of shape (8, rb, 128)."""
+    def c(i):
+        return blk[:, i][:, None, None]
+
+    tx0 = (c(0) - ox) * ix
+    ty0 = (c(1) - oy) * iy
+    tz0 = (c(2) - oz) * iz
+    tx1 = (c(3) - ox) * ix
+    ty1 = (c(4) - oy) * iy
+    tz1 = (c(5) - oz) * iz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+        jnp.maximum(jnp.minimum(tz0, tz1), tmn_v),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+        jnp.minimum(jnp.maximum(tz0, tz1), tfar_clamp),
+    )
+    return tn, tf
+
+
+def _make_closest_kernel(tcl: int):
+    def kernel(child_ref, ax_ref, box_ref, tri_ref,
+               rox, roy, roz, rdx, rdy, rdz, irx, iry, irz, tmn, tmx,
+               tbest, ibest, stack_ref):
+        tbest[:] = jnp.full_like(tbest[:], MAX_DISTANCE)
+        ibest[:] = jnp.full_like(ibest[:], -1)
+
+        ox, oy, oz = rox[:], roy[:], roz[:]
+        dx, dy, dz = rdx[:], rdy[:], rdz[:]
+        ix, iy, iz = irx[:], iry[:], irz[:]
+        tmn_v, tmx_v = tmn[:], tmx[:]
+
+        # tile direction signs -> child iteration direction per axis
+        sx = (jnp.sum(dx) >= 0.0).astype(jnp.int32)
+        sy = (jnp.sum(dy) >= 0.0).astype(jnp.int32)
+        sz = (jnp.sum(dz) >= 0.0).astype(jnp.int32)
+
+        stack_ref[0] = 0
+
+        def cond(sp):
+            return sp > 0
+
+        def body(sp):
+            # the stack holds internal (>= 0) AND leaf (< 0) entries;
+            # dispatch at pop. Mosaic constraint (measured): pl.when with
+            # VMEM mutation is only safe at the TOP level of the loop
+            # body — a guarded MT inside the unrolled child loop SIGABRTs
+            # the compiler — and stack stores must be unconditional.
+            node = stack_ref[sp - 1]
+            sp = sp - 1
+            is_leaf = node < 0
+
+            @pl.when(is_leaf)
+            def _():
+                start = pl.multiple_of(-node - 1, tcl)
+                rows = tri_ref[pl.ds(start, tcl), :]
+                t = _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v)
+                tmin_c = jnp.min(t, axis=0)
+                jmin = jnp.argmin(t, axis=0)
+                better = tmin_c < tbest[:]
+                tbest[:] = jnp.where(better, tmin_c, tbest[:])
+                ibest[:] = jnp.where(better, start + jmin, ibest[:])
+
+            # wide child test (unconditional; a leaf pop reads node 0's
+            # boxes and gates the resulting bits to zero)
+            safe = jnp.where(is_leaf, 0, node)
+            blk = box_ref[pl.ds(pl.multiple_of(safe * 8, 8), 8), :]
+            tn, tf = _slab8(
+                blk, ox, oy, oz, ix, iy, iz, tmn_v,
+                jnp.minimum(tbest[:], tmx_v),
+            )
+            want = jnp.any(tn <= tf, axis=(1, 2)).reshape(8, 1)
+            weights = 1 << jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+            bits = jnp.sum(want.astype(jnp.int32) * weights)  # ONE sync
+            bits = jnp.where(is_leaf, 0, bits)
+            axis = ax_ref[safe]
+            fwd = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+            sp2 = sp
+            for k in range(8):
+                # children sorted ascending along axis: dir>=0 means low k
+                # is near -> iterate far-to-near so near is popped first
+                kk = jnp.where(fwd == 1, 7 - k, k)
+                take = (bits >> kk) & 1
+                # unconditional store + conditional bump: slot sp2 is
+                # dead until committed
+                stack_ref[sp2] = child_ref[safe * 8 + kk]
+                sp2 = sp2 + take
+            return sp2
+
+        jax.lax.while_loop(cond, body, 1)
+
+    return kernel
+
+
+def _make_anyhit_kernel(tcl: int):
+    def kernel(child_ref, ax_ref, box_ref, tri_ref,
+               rox, roy, roz, rdx, rdy, rdz, irx, iry, irz, tmn, tmx,
+               occ, stack_ref):
+        occ[:] = jnp.zeros_like(occ[:])
+
+        ox, oy, oz = rox[:], roy[:], roz[:]
+        dx, dy, dz = rdx[:], rdy[:], rdz[:]
+        ix, iy, iz = irx[:], iry[:], irz[:]
+        tmn_v, tmx_v = tmn[:], tmx[:]
+
+        stack_ref[0] = 0
+
+        def cond(sp):
+            return sp > 0
+
+        def body(sp):
+            # pop-dispatch structure: see the closest kernel's Mosaic notes
+            node = stack_ref[sp - 1]
+            sp = sp - 1
+            is_leaf = node < 0
+
+            @pl.when(is_leaf)
+            def _():
+                start = pl.multiple_of(-node - 1, tcl)
+                rows = tri_ref[pl.ds(start, tcl), :]
+                t = _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v)
+                hit_here = jnp.min(t, axis=0) < MAX_DISTANCE
+                occ[:] = jnp.where(hit_here, 1, occ[:])
+
+            safe = jnp.where(is_leaf, 0, node)
+            blk = box_ref[pl.ds(pl.multiple_of(safe * 8, 8), 8), :]
+            # occluded lanes never extend tf past tn -> they stop voting;
+            # a fully occluded tile prunes the rest of the tree
+            tfar = jnp.where(occ[:] != 0, -MAX_DISTANCE, tmx_v)
+            tn, tf = _slab8(blk, ox, oy, oz, ix, iy, iz, tmn_v, tfar)
+            want = jnp.any(tn <= tf, axis=(1, 2)).reshape(8, 1)
+            weights = 1 << jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+            bits = jnp.sum(want.astype(jnp.int32) * weights)
+            bits = jnp.where(is_leaf, 0, bits)
+            sp2 = sp
+            for k in range(8):  # fixed order: any hit terminates
+                take = (bits >> k) & 1
+                stack_ref[sp2] = child_ref[safe * 8 + k]
+                sp2 = sp2 + take
+            return sp2
+
+        jax.lax.while_loop(cond, body, 1)
+
+    return kernel
+
+
+def _ray_specs(rb: int, count: int):
+    def ray_map(r, *_):
+        return (r, 0)
+
+    return [
+        pl.BlockSpec((rb, LANES), ray_map, memory_space=pltpu.VMEM)
+        for _ in range(count)
+    ]
+
+
+def _call(kernel, tri, boxes, n, rb, outs, interpret, flops):
+    rows = n // LANES
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # child ids + axes in SMEM
+        grid=(rows // rb,),
+        in_specs=[
+            pl.BlockSpec(
+                boxes.shape, lambda r, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                tri.shape, lambda r, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        + _ray_specs(rb, 11),
+        out_specs=tuple(
+            pl.BlockSpec((rb, LANES), lambda r, *_: (r, 0), memory_space=pltpu.VMEM)
+            for _ in outs
+        )
+        if len(outs) > 1
+        else pl.BlockSpec((rb, LANES), lambda r, *_: (r, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((STACK_SIZE,), jnp.int32)],
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((rows, LANES), dt) for dt in outs
+    )
+    if len(outs) == 1:
+        out_shape = out_shape[0]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=n * 52 + tri.shape[0] * 48 + boxes.size * 4,
+            transcendentals=0,
+        ),
+    )
+
+
+def _planes(n, rb, rox, roy, roz, rdx, rdy, rdz, tmin, tmax):
+    rows = n // LANES
+
+    def plane(x):
+        return x.reshape(rows, LANES)
+
+    def safe_inv(d):
+        mag = jnp.maximum(jnp.abs(d), 1e-12)
+        return jnp.where(d < 0, -1.0, 1.0) / mag
+
+    return (
+        plane(rox), plane(roy), plane(roz),
+        plane(rdx), plane(rdy), plane(rdz),
+        plane(safe_inv(rdx)), plane(safe_inv(rdy)), plane(safe_inv(rdz)),
+        plane(tmin), plane(tmax),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rb", "tcl", "interpret"))
+def bvh_closest(
+    rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
+    tri: jnp.ndarray,        # (T, 12) packed [p0, e1, e2, pad]
+    bvh_child: jnp.ndarray,  # (M*8,) i32
+    bvh_axis: jnp.ndarray,   # (M,) i32
+    bvh_boxes: jnp.ndarray,  # (M*8, 8) f32
+    rb: int = DEFAULT_RB,
+    tcl: int = 16,
+    interpret: bool = False,
+):
+    """Closest-hit traversal over ray planes; returns (t, idx)."""
+    n = rox.shape[0]
+    assert n % (rb * LANES) == 0, n
+    call = _call(
+        _make_closest_kernel(tcl), tri, bvh_boxes, n, rb,
+        (jnp.float32, jnp.int32), interpret,
+        flops=int(55 * n * max(tri.shape[0] * 0.05, tcl)),
+    )
+    tbest, ibest = call(
+        bvh_child, bvh_axis, bvh_boxes, tri,
+        *_planes(n, rb, rox, roy, roz, rdx, rdy, rdz, tmin, tmax),
+    )
+    return tbest.reshape(n), ibest.reshape(n)
+
+
+@functools.partial(jax.jit, static_argnames=("rb", "tcl", "interpret"))
+def bvh_anyhit(
+    rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
+    tri: jnp.ndarray,
+    bvh_child: jnp.ndarray,
+    bvh_axis: jnp.ndarray,
+    bvh_boxes: jnp.ndarray,
+    rb: int = DEFAULT_RB,
+    tcl: int = 16,
+    interpret: bool = False,
+):
+    """Occlusion-only traversal; returns (N,) bool (True = occluded)."""
+    n = rox.shape[0]
+    assert n % (rb * LANES) == 0, n
+    call = _call(
+        _make_anyhit_kernel(tcl), tri, bvh_boxes, n, rb,
+        (jnp.int32,), interpret,
+        flops=int(55 * n * max(tri.shape[0] * 0.025, tcl)),
+    )
+    occ = call(
+        bvh_child, bvh_axis, bvh_boxes, tri,
+        *_planes(n, rb, rox, roy, roz, rdx, rdy, rdz, tmin, tmax),
+    )
+    return occ.reshape(n) != 0

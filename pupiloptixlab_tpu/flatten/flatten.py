@@ -402,6 +402,40 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
         else:
             t_emit.extend([-1] * nf)
 
+    # -- delta lights (point / directional) ----------------------------------
+    # The reference parses these but never flattens them (the TODO at
+    # world/emitter.cpp:314-316); here they join the same packed table:
+    # etype 2 = point (EM_V0P = position, radiance tex = intensity),
+    # etype 3 = directional (EM_V0N = travel direction, radiance tex =
+    # irradiance). Sampling treats them as delta lights (pdf 1, MIS 1).
+    from pupiloptixlab_tpu.scene.textures import rgb_texture
+
+    for gem in scene.emitters:
+        if gem.type not in (EmitterType.POINT, EmitterType.DIRECTIONAL):
+            continue
+        is_point = gem.type == EmitterType.POINT
+        ir, ig, ib = (float(v) for v in np.asarray(gem.intensity).reshape(3))
+        rad_tex = textures.add(rgb_texture(ir, ig, ib))
+        e["etype"].append(2 if is_point else 3)
+        e["v0p"].append(
+            np.asarray(gem.position, np.float32)
+            if is_point
+            else np.zeros(3, np.float32)
+        )
+        e["v0n"].append(
+            np.zeros(3, np.float32)
+            if is_point
+            else np.asarray(gem.direction, np.float32)
+        )
+        for k in ("v1p", "v2p", "v1n", "v2n"):
+            e[k].append(np.zeros(3, np.float32))
+        for k in ("v0t", "v1t", "v2t"):
+            e[k].append(np.zeros(2, np.float32))
+        e["radius"].append(0.0)
+        e["area"].append(1.0)
+        e["weight"].append(float(np.max(gem.intensity)))
+        e["rad_tex"].append(rad_tex)
+
     # -- selection probabilities (emitter.cpp:321-337) ----------------------
     n_area = len(e["etype"])
     weights = np.asarray(e["weight"], np.float32)
@@ -480,7 +514,14 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
         )
 
     tri_count = len(t_mat)
-    t_pad = _round_up(tri_count, pad_tris_to)
+    # Scenes past the sweep's culling sweet spot get a real BVH
+    # (accel/bvh.py); its leaf size may exceed the sweep chunk, so pad to
+    # whichever is larger.
+    from pupiloptixlab_tpu.accel.bvh import build_bvh, pick_leaf_size
+
+    use_bvh = tri_count > 1024
+    bvh_tcl = pick_leaf_size(_round_up(tri_count, pad_tris_to)) if use_bvh else 0
+    t_pad = _round_up(tri_count, max(pad_tris_to, bvh_tcl))
 
     # --- Morton-order triangles (LBVH-lite): sorting by centroid code
     # groups spatially-local triangles into the same sweep chunk so the
@@ -542,17 +583,34 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
     attrs[:, TRI_EMITTER] = np.pad(
         t_emit, (0, t_pad - tri_count), constant_values=-1
     )
+
+    p1w = p0_np + packed[:, 3:6]
+    p2w = p0_np + packed[:, 6:9]
+    valid = np.zeros(t_pad, bool)
+    valid[:tri_count] = True
+
+    # --- BVH build (GAS analog): reorders triangle rows so each leaf is
+    # one contiguous TCL-aligned slice of the packed table ----------------
+    bvh_ch = bvh_ax = np.zeros(8, np.int32)
+    bvh_bx = np.zeros((8, 8), np.float32)
+    bvh_nodes = 0
+    if use_bvh:
+        bvh = build_bvh(p0_np, p1w, p2w, tri_count, bvh_tcl)
+        o = bvh.order
+        packed = packed[o]
+        attrs = attrs[o]
+        p1w, p2w, valid = p1w[o], p2w[o], valid[o]
+        p0_np = p0_np[o]
+        bvh_ch, bvh_ax, bvh_bx = bvh.child, bvh.axis, bvh.boxes
+        bvh_nodes = bvh.n_nodes
+
     # per-chunk AABBs over valid triangles only; all-padding chunks get
     # inverted never-hit boxes (accel/pallas_intersect.py culling input)
     tc = pad_tris_to
     n_chunks = t_pad // tc
     boxes = np.zeros((n_chunks, 8), np.float32)
-    p1w = p0_np + packed[:, 3:6]
-    p2w = p0_np + packed[:, 6:9]
     lo_all = np.minimum(np.minimum(p0_np, p1w), p2w)
     hi_all = np.maximum(np.maximum(p0_np, p1w), p2w)
-    valid = np.zeros(t_pad, bool)
-    valid[:tri_count] = True
     lo_all[~valid] = 1e30   # big-finite: inf breeds NaN in the slab test
     hi_all[~valid] = -1e30
     boxes[:, 0:3] = lo_all.reshape(n_chunks, tc, 3).min(axis=1)
@@ -562,19 +620,11 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
         packed=jnp.asarray(packed),
         chunk_boxes=jnp.asarray(boxes),
         attrs=jnp.asarray(attrs),
-        p0=jnp.asarray(pad_rows(cat3("p0"), t_pad, 3)),
-        p1=jnp.asarray(pad_rows(cat3("p1"), t_pad, 3)),
-        p2=jnp.asarray(pad_rows(cat3("p2"), t_pad, 3)),
-        n0=jnp.asarray(pad_rows(cat3("n0"), t_pad, 3)),
-        n1=jnp.asarray(pad_rows(cat3("n1"), t_pad, 3)),
-        n2=jnp.asarray(pad_rows(cat3("n2"), t_pad, 3)),
-        uv0=jnp.asarray(pad_rows(cat3("uv0"), t_pad, 2)),
-        uv1=jnp.asarray(pad_rows(cat3("uv1"), t_pad, 2)),
-        uv2=jnp.asarray(pad_rows(cat3("uv2"), t_pad, 2)),
-        mat_id=jnp.asarray(np.pad(t_mat, (0, t_pad - tri_count)), jnp.int32),
-        emitter_id=jnp.asarray(
-            np.pad(t_emit, (0, t_pad - tri_count), constant_values=-1), jnp.int32
-        ),
+        mat_id=jnp.asarray(attrs[:, TRI_MAT].astype(np.int32)),
+        emitter_id=jnp.asarray(attrs[:, TRI_EMITTER].astype(np.int32)),
+        bvh_child=jnp.asarray(bvh_ch),
+        bvh_axis=jnp.asarray(bvh_ax),
+        bvh_boxes=jnp.asarray(bvh_bx),
     )
 
     sphere_count = len(s_mat)
@@ -703,6 +753,10 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
         mat_types=tuple(sorted(set(materials.mtype))),
         tex_kinds=tuple(sorted(set(textures.kind))),
         has_sphere_emitter=any(t == 1 for t in e["etype"]),
+        has_point_emitter=any(t == 2 for t in e["etype"]),
+        has_directional_emitter=any(t == 3 for t in e["etype"]),
+        bvh_nodes=bvh_nodes,
+        bvh_tcl=bvh_tcl,
     )
     return data, config
 

@@ -101,20 +101,24 @@ class MaterialTable:
 @_register
 @dataclass
 class TriSoup:
+    """World-space triangle table. Geometry lives ONCE in ``packed``
+    (the sweep/BVH kernels' input; barycentrics re-derive positions) and
+    hit attributes once in ``attrs`` — no redundant per-plane copies.
+
+    The BVH arrays are the GAS analog (world/gas_manager.cpp:61-185):
+    8-wide node tables built (and triangle rows reordered) by
+    accel/bvh.py. Empty (minimal shapes) when the scene is small enough
+    for the chunk-culled sweep (config.bvh_nodes == 0).
+    """
+
     packed: jnp.ndarray  # (T,12) [p0, e1, e2, pad] rows for the Pallas sweep
-    chunk_boxes: jnp.ndarray  # (T/64, 8) Morton-chunk AABBs for culling
+    chunk_boxes: jnp.ndarray  # (T/64, 8) chunk AABBs for the sweep culling
     attrs: jnp.ndarray   # (T, TRI_ATTR_COLS) hit attributes (see layout above)
-    p0: jnp.ndarray  # (T,3) world-space positions
-    p1: jnp.ndarray
-    p2: jnp.ndarray
-    n0: jnp.ndarray  # (T,3) world-space shading normals
-    n1: jnp.ndarray
-    n2: jnp.ndarray
-    uv0: jnp.ndarray  # (T,2)
-    uv1: jnp.ndarray
-    uv2: jnp.ndarray
     mat_id: jnp.ndarray      # (T,) i32
     emitter_id: jnp.ndarray  # (T,) i32; -1 = not an emitter
+    bvh_child: jnp.ndarray   # (M*8,) i32; >=0 child node, <0 leaf start
+    bvh_axis: jnp.ndarray    # (M,) i32 dominant split axis
+    bvh_boxes: jnp.ndarray   # (M*8, 8) f32 child AABB rows
 
 
 # Spheres.attrs (S, 16): w2o rows flat (12), mat_id, emitter_id, flip
@@ -209,3 +213,9 @@ class RenderConfig:
     mat_types: tuple[int, ...] = tuple(range(1, 8))
     tex_kinds: tuple[int, ...] = (0, 1, 2)
     has_sphere_emitter: bool = True
+    has_point_emitter: bool = False
+    has_directional_emitter: bool = False
+    # BVH traversal (large meshes): node count + leaf size; 0 = use the
+    # chunk-culled sweep instead (small scenes, where it wins).
+    bvh_nodes: int = 0
+    bvh_tcl: int = 0

@@ -160,6 +160,33 @@ def sample_direct(
         valid, dist * dist / jnp.maximum(lnol * row[EM_AREA], 1e-20), 0.0
     )
 
+    # --- delta lights: point (etype 2) / directional (etype 3) -------------
+    # The reference declares these but never flattens them (the TODO at
+    # world/emitter.cpp:314-316); here they sample with pdf 1 and MIS
+    # weight 1 (no BSDF-sampling counterpart can hit a delta light).
+    is_delta = jnp.zeros(n, bool)
+    if config.has_point_emitter:
+        isp = row[EM_ETYPE] == 2.0
+        # radiance slot holds the radiant intensity (W/sr) -> I / r^2
+        ppos = _vec(row, EM_V0P)
+        pd = ppos - hit_pos
+        pdist = pd.length()
+        wi = where(isp, pd * (1.0 / jnp.maximum(pdist, 1e-20)), wi)
+        dist = jnp.where(isp, pdist, dist)
+        radiance = where(
+            isp, radiance * (1.0 / jnp.maximum(pdist * pdist, 1e-20)), radiance
+        )
+        pdf = jnp.where(isp, 1.0, pdf)
+        is_delta = is_delta | isp
+    if config.has_directional_emitter:
+        isd = row[EM_ETYPE] == 3.0
+        # radiance slot holds the perpendicular irradiance; EM_V0N is the
+        # light's travel direction -> wi points against it, at infinity
+        wi = where(isd, -_vec(row, EM_V0N), wi)
+        dist = jnp.where(isd, MAX_DISTANCE, dist)
+        pdf = jnp.where(isd, 1.0, pdf)
+        is_delta = is_delta | isd
+
     # --- environment ----------------------------------------------------------
     if config.has_env:
         env = _env_sample_direct(em, tex, config, hit_pos, hit_normal, u1, u2)
@@ -167,6 +194,8 @@ def sample_direct(
         dist = jnp.where(use_env, env["distance"], dist)
         radiance = where(use_env, env["radiance"], radiance)
         pdf = jnp.where(use_env, env["pdf"], pdf)
+        if config.has_point_emitter or config.has_directional_emitter:
+            is_delta = is_delta & ~use_env
 
     return EmitterSample(
         wi=wi,
@@ -174,7 +203,7 @@ def sample_direct(
         radiance=radiance,
         pdf=pdf,
         select_prob=select_prob,
-        is_delta=jnp.zeros(n, bool),
+        is_delta=is_delta,
     )
 
 

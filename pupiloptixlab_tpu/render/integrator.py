@@ -90,8 +90,11 @@ def _bounce(scene, config, n, carry, depth):
         em, tex, config, idx, use_env,
         geo.position, geo.normal, u_l1, u_l2,
     )
+    # shadow directions are importance-sampled (env/emitter surface) ->
+    # incoherent on large scenes; the sweep sorts them internally
     occluded = intersect_any(
-        geo.position, es.wi, tmin, es.distance - RAY_OFFSET, scene, config
+        geo.position, es.wi, tmin, es.distance - RAY_OFFSET, scene, config,
+        coherent=False,
     )
     wo_local = to_local(wo_world, geo.normal)
     wi_local = to_local(es.wi, geo.normal)

@@ -71,6 +71,20 @@ def load_emitter_from_xml(obj, scene) -> Emitter:
     elif etype == "constant":
         em.type = EmitterType.CONST_ENV
         em.color = _float3(obj.properties.get("radiance"))
+    elif etype == "directional":
+        em.type = EmitterType.DIRECTIONAL
+        em.direction = _float3(obj.properties.get("direction"), (0.0, 0.0, 1.0))
+        n = float(np.linalg.norm(em.direction))
+        if n > 0:
+            em.direction = em.direction / n
+        em.intensity = _float3(obj.properties.get("irradiance"))
+        for sub in obj.sub_objects:
+            if sub.tag == "transform":
+                t = scene.load_transform(sub)
+                d = t.matrix[:3, :3] @ em.direction
+                em.direction = (d / max(np.linalg.norm(d), 1e-20)).astype(
+                    np.float32
+                )
     elif etype == "envmap":
         em.type = EmitterType.ENV_MAP
         em.scale = float(obj.properties.get("scale", 1.0))

@@ -31,7 +31,7 @@ OBJECT_TAGS = {
     "scene", "bsdf", "emitter", "film", "integrator", "sensor", "shape",
     "texture", "transform", "sampler", "rfilter",
 }
-XYZ_TAGS = {"scale": "1", "translate": "0", "point": "0"}
+XYZ_TAGS = {"scale": "1", "translate": "0", "point": "0", "vector": "0"}
 SUBOBJECT_TAGS = {"lookat", "rotate"}
 
 

@@ -36,7 +36,16 @@ log = get_logger(__name__)
 
 
 class System:
-    def __init__(self, has_display: bool = False):
+    def __init__(
+        self,
+        has_display: bool = False,
+        display: str | None = None,
+        web_host: str = "127.0.0.1",
+        web_port: int = 8090,
+    ):
+        """``display``: None (headless), "window" (matplotlib, needs a
+        local display) or "web" (HTTP/MJPEG client, the remote-TPU GUI).
+        ``has_display=True`` keeps the old behavior ("window")."""
         self.events = EventBus()
         self.world = World(self.events)
         self.buffers = BufferManager()
@@ -54,7 +63,13 @@ class System:
         self.events.bind(STOP_RENDERING, lambda _: self._render_flag.clear())
         self.events.bind(PRECOMPUTE, lambda _: self._run_pre_passes())
 
-        if has_display:
+        if display is None and has_display:
+            display = "window"
+        if display == "web":
+            from pupiloptixlab_tpu.display.web import WebDisplay
+
+            self.display = WebDisplay(self, host=web_host, port=web_port)
+        elif display == "window":
             from pupiloptixlab_tpu.display.client import DisplayClient
 
             self.display = DisplayClient(self)

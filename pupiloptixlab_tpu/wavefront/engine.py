@@ -204,7 +204,8 @@ def render_wavefront(
             geo.position, geo.normal, u_l1, u_l2,
         )
         occluded = intersect_any(
-            geo.position, es.wi, tmin_c, es.distance - RAY_OFFSET, scene, config
+            geo.position, es.wi, tmin_c, es.distance - RAY_OFFSET, scene, config,
+            coherent=False,
         )
         wo_local = to_local(-rd, geo.normal)
         wi_local = to_local(es.wi, geo.normal)

@@ -87,12 +87,22 @@ def test_instance_transform_edit_marks_dirty(small_system):
     assert config.tri_count == 36
 
 
-def test_visibility_toggle_prunes_instance(small_system):
+def test_visibility_toggle_keeps_static_shapes(small_system):
+    """Hiding an instance must NOT shrink the flattened tables (that
+    would change RenderConfig, a static jit arg, and force a retrace).
+    Hidden geometry is degenerated in place instead."""
+    import numpy as np
+
     s = small_system
     ro = s.world.get_render_object("TallBox")
     ro.set_visible(False)
     data, config = s.world.get_scene_data()
-    assert config.tri_count == 36 - 12  # cube = 12 tris
+    assert config.tri_count == 36  # cube rows retained, degenerate
+    packed = np.asarray(data.tris.packed)[: config.tri_count]
+    edges = np.abs(packed[:, 3:9]).sum(axis=1)
+    assert (edges < 1e-6).sum() == 12  # the hidden cube's 12 tris
     ro.set_visible(True)
     data, config = s.world.get_scene_data()
     assert config.tri_count == 36
+    packed = np.asarray(data.tris.packed)[: config.tri_count]
+    assert (np.abs(packed[:, 3:9]).sum(axis=1) < 1e-6).sum() == 0
