@@ -28,7 +28,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK = 4096
 _WINDOW = 2048           # table rows per in-kernel window
-_MAX_PALLAS_ROWS = 64 * 1024
+# The one-hot matmul is O(N * T * C): unbeatable for the small dense
+# tables (materials, textures, emitters, tri attrs at cornell scale)
+# where XLA's native gather pays ~ms of fixed cost, but it loses to the
+# native gather once the table grows — at T rows, C cols, N=2M lanes the
+# MXU does 2*N*T*C flops (x6 for the exactness-preserving HIGHEST
+# precision), crossing the native gather's cost around T ~ 2k rows.
+# Large-mesh attribute tables (20k+ rows) therefore take the native path.
+_MAX_PALLAS_ROWS = 2048
 _MAX_PALLAS_COLS = 512
 
 

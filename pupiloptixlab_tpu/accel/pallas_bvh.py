@@ -165,7 +165,11 @@ def _make_closest_kernel(tcl: int):
                 blk, ox, oy, oz, ix, iy, iz, tmn_v,
                 jnp.minimum(tbest[:], tmx_v),
             )
-            want = jnp.any(tn <= tf, axis=(1, 2)).reshape(8, 1)
+            # keepdims all the way down: a rank-1 vector intermediate
+            # here crashes Mosaic's layout inference (VectorLayout::join
+            # check failure in inferElementwise)
+            hit2 = jnp.any(tn <= tf, axis=2)  # (8, rb)
+            want = jnp.any(hit2, axis=1, keepdims=True)  # (8, 1)
             weights = 1 << jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
             bits = jnp.sum(want.astype(jnp.int32) * weights)  # ONE sync
             bits = jnp.where(is_leaf, 0, bits)
@@ -224,7 +228,8 @@ def _make_anyhit_kernel(tcl: int):
             # a fully occluded tile prunes the rest of the tree
             tfar = jnp.where(occ[:] != 0, -MAX_DISTANCE, tmx_v)
             tn, tf = _slab8(blk, ox, oy, oz, ix, iy, iz, tmn_v, tfar)
-            want = jnp.any(tn <= tf, axis=(1, 2)).reshape(8, 1)
+            hit2 = jnp.any(tn <= tf, axis=2)  # rank-2 only (Mosaic bug)
+            want = jnp.any(hit2, axis=1, keepdims=True)
             weights = 1 << jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
             bits = jnp.sum(want.astype(jnp.int32) * weights)
             bits = jnp.where(is_leaf, 0, bits)

@@ -166,7 +166,12 @@ def render_sample(
 
     tmin = jnp.full(n, RAY_OFFSET, jnp.float32)
     tmax = jnp.full(n, MAX_DISTANCE, jnp.float32)
-    hit = intersect_closest(ro, rd, tmin, tmax, scene, config)
+    # Row-major pixel order makes a 1024-lane sweep tile half an image
+    # row — a long thin frustum that crosses the whole scene. Marking
+    # primaries incoherent routes them through the Morton ray sort on
+    # large scenes, turning tiles into compact direction cones (= pixel
+    # blocks, since primary origins coincide).
+    hit = intersect_closest(ro, rd, tmin, tmax, scene, config, coherent=False)
     geo = get_local_geometry(scene, hit, ro, rd, config.sphere_count)
     local = bsdf_mod.get_local_bsdf(
         scene.materials, tex, geo.mat_id, geo.uv, config.mat_types, config.tex_kinds
