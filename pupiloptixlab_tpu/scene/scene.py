@@ -198,10 +198,14 @@ class Scene:
             ins.shape = self.shape_manager.load_cube()
         elif stype == "sphere":
             ins.shape = self.shape_manager.load_sphere()
-        elif stype == "obj":
+        elif stype in ("obj", "ply", "gltf"):
             path = self.root_path / obj.properties.get("filename", "")
             ins.shape = self.shape_manager.load_mesh(path)
-            ins.flip_tex_coords = obj.properties.get("flip_tex_coords", "true") != "false"
+            # mitsuba defaults: OBJ flips V, PLY/glTF do not
+            default_flip = "true" if stype == "obj" else "false"
+            ins.flip_tex_coords = (
+                obj.properties.get("flip_tex_coords", default_flip) != "false"
+            )
         else:
             log.warning("unknown shape type [%s]", stype)
             return

@@ -213,7 +213,19 @@ class ShapeManager:
         key = str(Path(path))
 
         def build():
-            mesh = load_obj(key)
+            ext = Path(key).suffix.lower()
+            if ext == ".ply":
+                from pupiloptixlab_tpu.scene.mesh_io import load_ply
+
+                pos, nrm, uv, idx = load_ply(key)
+                mesh = Mesh(pos, nrm, uv, idx)
+            elif ext in (".gltf", ".glb"):
+                from pupiloptixlab_tpu.scene.mesh_io import load_gltf
+
+                pos, nrm, uv, idx = load_gltf(key)
+                mesh = Mesh(pos, nrm, uv, idx)
+            else:
+                mesh = load_obj(key)
             s = Shape(ShapeType.OBJ, mesh)
             s.aabb.merge_points(mesh.positions)
             return s
