@@ -105,14 +105,57 @@ def build_bvh(
     axis_l: list[int] = []
     boxes_l: list[np.ndarray] = []  # (8, 8) per node
 
-    def median_split(lo: int, hi: int) -> tuple[int, int]:
-        """Partition order[lo:hi] at a TCL-aligned median along the
-        widest centroid axis; returns (mid, axis)."""
+    _N_BINS = 16
+
+    def sah_split(lo: int, hi: int) -> tuple[int, int]:
+        """Binned-SAH partition of order[lo:hi] at a TCL-aligned cut;
+        returns (mid, axis). Falls back to the TCL-aligned median when
+        SAH degenerates (all centroids coincident)."""
         idx = order[lo:hi]
         c = centroid[idx]
-        ext = c.max(axis=0) - c.min(axis=0)
-        ax = int(np.argmax(ext))
-        half = (((hi - lo) // tcl) // 2) * tcl
+        cmin = c.min(axis=0)
+        cmax = c.max(axis=0)
+        ext = cmax - cmin
+        n_leaves = (hi - lo) // tcl
+        best = None  # (cost, axis, n_left_rows)
+        for ax in range(3):
+            if ext[ax] < 1e-12:
+                continue
+            bins = np.minimum(
+                ((c[:, ax] - cmin[ax]) / ext[ax] * _N_BINS).astype(np.int32),
+                _N_BINS - 1,
+            )
+            counts = np.bincount(bins, minlength=_N_BINS)
+            # per-bin bounds over triangle boxes
+            blo = np.full((_N_BINS, 3), 1e30, np.float32)
+            bhi = np.full((_N_BINS, 3), -1e30, np.float32)
+            np.minimum.at(blo, bins, lo_tri[idx])
+            np.maximum.at(bhi, bins, hi_tri[idx])
+            # prefix/suffix surface areas
+            def areas(lo_b, hi_b):
+                d = np.maximum(hi_b - lo_b, 0.0)
+                return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 0] * d[:, 2]
+            plo = np.minimum.accumulate(blo, axis=0)
+            phi = np.maximum.accumulate(bhi, axis=0)
+            slo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
+            shi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
+            nl = np.cumsum(counts)[:-1]
+            nr = (hi - lo) - nl
+            cost = areas(plo, phi)[:-1] * nl + areas(slo, shi)[1:] * nr
+            valid = (nl > 0) & (nr > 0)
+            if not valid.any():
+                continue
+            cost = np.where(valid, cost, np.inf)
+            b = int(np.argmin(cost))
+            # align the cut to whole leaves
+            n_left = int(round(nl[b] / tcl)) * tcl
+            n_left = min(max(n_left, tcl), (n_leaves - 1) * tcl)
+            if best is None or cost[b] < best[0]:
+                best = (cost[b], ax, n_left)
+        if best is None:  # degenerate: median split on the widest axis
+            ax = int(np.argmax(ext))
+            best = (0.0, ax, (n_leaves // 2) * tcl)
+        _, ax, half = best
         part = np.argpartition(c[:, ax], half - 1)
         order[lo:hi] = idx[part]
         return lo + half, ax
@@ -134,7 +177,7 @@ def build_bvh(
                 if b - a <= tcl:
                     nxt.append((a, b))
                     continue
-                mid, ax = median_split(a, b)
+                mid, ax = sah_split(a, b)
                 if first_axis is None:
                     first_axis = ax
                 nxt.append((a, mid))

@@ -82,15 +82,19 @@ def _recompute_barycentrics(ro: Vec3, rd: Vec3, idx, scene: SceneData):
 
 
 def _ray_sort_key(ro: Vec3, rd: Vec3) -> jnp.ndarray:
-    """Coherence key for bounce rays: interleaved quantized DIRECTION
-    (5 bits/axis, major) then quantized origin (5 bits/axis, minor).
+    """Coherence key for bounce rays: direction OCTANT (3 bits, major),
+    then interleaved quantized origin (7 bits/axis), then quantized
+    direction (2 bits/axis).
 
-    Direction dominates: rays diverging from one surface patch see the
-    union of chunks over the whole hemisphere; rays sharing a direction
-    cone from nearby origins form a narrow frustum, which is what the
-    sweep kernel's per-tile AABB culling can exploit."""
-    def q5(v, lo, inv_ext):
-        return jnp.clip(((v - lo) * inv_ext * 31.0).astype(jnp.uint32), 0, 31)
+    Origin-major (after the octant split) follows the classic GPU ray
+    reordering result: secondary rays from nearby surface points enter
+    the same subtree first, and the octant bucket keeps the traversal
+    order heuristic (sign-based near-child) valid per tile. A
+    direction-major key (tried first) scatters nearby origins across the
+    whole tile set and measured no better than unsorted on bounce rays."""
+    def q(v, lo, inv_ext, bits):
+        top = jnp.float32((1 << bits) - 1)
+        return jnp.clip(((v - lo) * inv_ext * top).astype(jnp.uint32), 0, (1 << bits) - 1)
 
     lo = Vec3(ro.x.min(), ro.y.min(), ro.z.min())
     hi = Vec3(ro.x.max(), ro.y.max(), ro.z.max())
@@ -100,23 +104,34 @@ def _ray_sort_key(ro: Vec3, rd: Vec3) -> jnp.ndarray:
         1.0 / jnp.maximum(hi.z - lo.z, 1e-12),
     )
 
-    def expand5(v):  # spread 5 bits to every 3rd position
+    def expand7(v):  # spread 7 bits to every 3rd position
         v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
         v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
         v = (v | (v << 2)) & jnp.uint32(0x09249249)
         return v
 
     def morton(ax, ay, az):
-        return (expand5(ax) << 2) | (expand5(ay) << 1) | expand5(az)
+        return (expand7(ax) << 2) | (expand7(ay) << 1) | expand7(az)
 
+    octant = (
+        ((rd.x >= 0).astype(jnp.uint32) << 2)
+        | ((rd.y >= 0).astype(jnp.uint32) << 1)
+        | (rd.z >= 0).astype(jnp.uint32)
+    )
+    oqx = q(ro.x, lo.x, inv.x, 5)
+    oqy = q(ro.y, lo.y, inv.y, 5)
+    oqz = q(ro.z, lo.z, inv.z, 5)
     half = jnp.float32(0.5)
-    dqx = q5(rd.x, -1.0, half)
-    dqy = q5(rd.y, -1.0, half)
-    dqz = q5(rd.z, -1.0, half)
-    oqx = q5(ro.x, lo.x, inv.x)
-    oqy = q5(ro.y, lo.y, inv.y)
-    oqz = q5(ro.z, lo.z, inv.z)
-    return (morton(dqx, dqy, dqz) << 15) | morton(oqx, oqy, oqz)
+    dqx = q(rd.x, -1.0, half, 4)
+    dqy = q(rd.y, -1.0, half, 4)
+    dqz = q(rd.z, -1.0, half, 4)
+    # low bits: 12-bit direction morton, so coincident-origin batches
+    # (primary rays) still sort into direction cones = pixel blocks
+    return (
+        (octant << 27)
+        | (morton(oqx, oqy, oqz) << 12)
+        | (morton(dqx, dqy, dqz))
+    )
 
 
 SORT_CHUNK_THRESHOLD = 16  # sort rays when the scene has > this many chunks

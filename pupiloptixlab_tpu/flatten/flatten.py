@@ -250,7 +250,15 @@ def _round_up(n: int, m: int) -> int:
     return max(((n + m - 1) // m) * m, m)
 
 
-def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, RenderConfig]:
+def flatten_scene(
+    scene: Scene, pad_tris_to: int = 64, return_refit: bool = False
+):
+    """Scene -> (SceneData, RenderConfig[, RefitData]).
+
+    With ``return_refit`` the flatten additionally captures the static
+    instance/topology metadata that lets transform + visibility edits
+    run as a device refit (flatten/refit.py) instead of a host
+    re-flatten."""
     textures = _TextureBuilder()
     materials = _MaterialBuilder(textures)
 
@@ -258,6 +266,13 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
     tp = {k: [] for k in ("p0", "p1", "p2", "n0", "n1", "n2", "uv0", "uv1", "uv2")}
     t_mat: list[int] = []
     t_emit: list[int] = []
+    t_inst: list[int] = []     # instance index per triangle
+    t_urow: list[int] = []     # unique object-space row per triangle
+    unique_rows: list[np.ndarray] = []  # (nf, 18) blocks per unique shape
+    unique_base: dict[str, int] = {}    # shape key -> base row
+    unique_count = 0
+    em_base_w: list[float] = []         # per emitter: radiance weight basis
+    sphere_inst: list[int] = []         # instance index per sphere row
     # spheres
     s_o2w, s_w2o, s_mat, s_emit, s_flip = [], [], [], [], []
     # emitters
@@ -286,7 +301,7 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
             e["rad_tex"].append(radiance_tex_id)
         return base
 
-    for ins in scene.shape_instances:
+    for inst_i, ins in enumerate(scene.shape_instances):
         if ins.shape is None or ins.shape.type == ShapeType.UNKNOWN:
             continue
         # Hidden instances stay in every table with the SAME row counts —
@@ -331,6 +346,9 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
             s_mat.append(mat_id)
             s_emit.append(emitter_id)
             s_flip.append(bool(ins.flip_normals))
+            sphere_inst.append(inst_i)
+            if emitter_id >= 0:
+                em_base_w.append(ins.emitter.radiance.max_channel_weight())
             continue
 
         mesh = ins.shape.mesh
@@ -383,6 +401,9 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
             emitter_base = add_area_tri_emitters(
                 world_p, wn_for_emit, uv, idx, rad_tex, weight_scale
             )
+            em_base_w.extend(
+                [ins.emitter.radiance.max_channel_weight()] * idx.shape[0]
+            )
 
         f0, f1, f2 = idx[:, 0], idx[:, 1], idx[:, 2]
         tp["p0"].append(world_p[f0]); tp["p1"].append(world_p[f1]); tp["p2"].append(world_p[f2])
@@ -397,6 +418,30 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
         tp["uv0"].append(uv[f0]); tp["uv1"].append(uv[f1]); tp["uv2"].append(uv[f2])
         nf = idx.shape[0]
         t_mat.extend([mat_id] * nf)
+        t_inst.extend([inst_i] * nf)
+        # unique OBJECT-space rows per shape (instanced geometry stored
+        # once); normals unflipped — the refit applies per-instance signs
+        key = ins.shape.key or f"anon-{inst_i}"
+        if key not in unique_base:
+            op = mesh.positions.astype(np.float32)
+            op0, op1, op2 = op[f0], op[f1], op[f2]
+            if obj_n is not None:
+                on = mesh.normals.astype(np.float32)
+                on0, on1, on2 = on[f0], on[f1], on[f2]
+            else:
+                ofn = np.cross(op1 - op0, op2 - op0)
+                ofn /= np.maximum(
+                    np.linalg.norm(ofn, axis=-1, keepdims=True), 1e-20
+                )
+                on0 = on1 = on2 = ofn
+            unique_base[key] = unique_count
+            unique_rows.append(
+                np.concatenate(
+                    [op0, op1 - op0, op2 - op0, on0, on1, on2], axis=1
+                ).astype(np.float32)
+            )
+            unique_count += unique_rows[-1].shape[0]
+        t_urow.extend(range(unique_base[key], unique_base[key] + nf))
         if emitter_base >= 0:
             t_emit.extend(range(emitter_base, emitter_base + nf))
         else:
@@ -435,6 +480,7 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
         e["area"].append(1.0)
         e["weight"].append(float(np.max(gem.intensity)))
         e["rad_tex"].append(rad_tex)
+        em_base_w.append(float(np.max(gem.intensity)))
 
     # -- selection probabilities (emitter.cpp:321-337) ----------------------
     n_area = len(e["etype"])
@@ -554,6 +600,8 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
             tp[key] = [cat[order]]
         t_mat = list(np.asarray(t_mat)[order])
         t_emit = list(np.asarray(t_emit)[order])
+        t_inst = list(np.asarray(t_inst)[order])
+        t_urow = list(np.asarray(t_urow)[order])
 
     def pad_rows(a, n, width):
         out = np.zeros((n, width), np.float32)
@@ -588,6 +636,11 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
     p2w = p0_np + packed[:, 6:9]
     valid = np.zeros(t_pad, bool)
     valid[:tri_count] = True
+    # refit row maps (padding rows -> instance 0, unique row 0, invalid)
+    tri_inst_np = np.zeros(t_pad, np.int32)
+    tri_inst_np[:tri_count] = t_inst
+    t_urow_np = np.zeros(t_pad, np.int32)
+    t_urow_np[:tri_count] = t_urow
 
     # --- BVH build (GAS analog): reorders triangle rows so each leaf is
     # one contiguous TCL-aligned slice of the packed table ----------------
@@ -601,6 +654,8 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
         attrs = attrs[o]
         p1w, p2w, valid = p1w[o], p2w[o], valid[o]
         p0_np = p0_np[o]
+        tri_inst_np = tri_inst_np[o]
+        t_urow_np = t_urow_np[o]
         bvh_ch, bvh_ax, bvh_bx = bvh.child, bvh.axis, bvh.boxes
         bvh_nodes = bvh.n_nodes
 
@@ -758,7 +813,80 @@ def flatten_scene(scene: Scene, pad_tris_to: int = 64) -> tuple[SceneData, Rende
         bvh_nodes=bvh_nodes,
         bvh_tcl=bvh_tcl,
     )
-    return data, config
+    if not return_refit:
+        return data, config
+
+    # -- static refit metadata (flatten/refit.py) ---------------------------
+    from pupiloptixlab_tpu.flatten.refit import RefitData
+
+    u_table = (
+        np.concatenate(unique_rows, axis=0)
+        if unique_rows
+        else np.zeros((1, 18), np.float32)
+    )
+    # per-emitter tri row: invert the per-tri emitter ids
+    em_tri_row = np.full(max(n_area, 1), -1, np.int32)
+    t_emit_final = attrs[:, 16].astype(np.int32)  # TRI_EMITTER column
+    rows_with_em = np.where(t_emit_final >= 0)[0]
+    em_tri_row[t_emit_final[rows_with_em]] = rows_with_em
+    em_sphere_inst = np.full(max(n_area, 1), -1, np.int32)
+    for si, eid in enumerate(s_emit):
+        if eid >= 0:
+            em_sphere_inst[eid] = sphere_inst[si]
+    base_w = np.zeros(max(n_area, 1), np.float32)
+    if em_base_w:
+        base_w[: len(em_base_w)] = em_base_w
+
+    # BVH slot topology
+    if bvh_nodes > 0:
+        ids = bvh_ch.reshape(-1, 8)
+        boxes8 = bvh_bx.reshape(-1, 8, 8)
+        empty = boxes8[..., 0] >= 1e30
+        slot_kind = np.where(
+            empty, 0, np.where(ids < 0, 1, 2)
+        ).astype(np.int32).reshape(-1)
+        slot_ref = np.where(
+            ids < 0, (-ids - 1) // max(bvh_tcl, 1), ids
+        ).astype(np.int32).reshape(-1)
+        depth = np.zeros(bvh_nodes, np.int32)
+        for i in range(bvh_nodes):
+            for cid in ids[i]:
+                if cid > 0:
+                    depth[cid] = depth[i] + 1
+        bvh_depth = int(depth.max()) + 1
+    else:
+        slot_kind = np.zeros(8, np.int32)
+        slot_ref = np.zeros(8, np.int32)
+        bvh_depth = 0
+
+    flips = np.asarray(
+        [
+            -1.0 if getattr(i, "flip_normals", False) else 1.0
+            for i in scene.shape_instances
+        ]
+        or [1.0],
+        np.float32,
+    )
+    refit = RefitData(
+        unique_rows=u_table,
+        u_row=t_urow_np.astype(np.int32),
+        tri_inst=tri_inst_np.astype(np.int32),
+        tri_valid=valid,
+        flip_sign=flips,
+        slot_kind=slot_kind,
+        slot_ref=slot_ref,
+        depth=bvh_depth,
+        tcl=max(bvh_tcl, 1),
+        em_tri_row=em_tri_row,
+        em_sphere_inst=em_sphere_inst,
+        em_base_weight=base_w,
+        n_area=n_area,
+        emitter_num=emitter_num,
+        sphere_inst=np.asarray(sphere_inst or [-1], np.int32),
+        n_instances=len(scene.shape_instances),
+        instance_names=[i.name for i in scene.shape_instances],
+    )
+    return data, config, refit
 
 
 def camera_block_from_scene(scene: Scene) -> CameraBlock:

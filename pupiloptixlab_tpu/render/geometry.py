@@ -52,6 +52,11 @@ class LocalGeometry:
     uv: Vec2
     mat_id: jnp.ndarray      # (N,) i32
     emitter_id: jnp.ndarray  # (N,) i32 (-1 when not emissive)
+    front: jnp.ndarray       # (N,) bool: UNFLIPPED normal faces the ray.
+    # Emission is one-sided on the stored normal (render/emitter/area.h
+    # pdf validity); the twosided flip applies to the BSDF only. Using
+    # the flipped normal for emitter Eval double-counts backside light
+    # hits (+10% energy on cornell vs the brute-force oracle).
 
 
 def get_local_geometry(
@@ -125,10 +130,15 @@ def get_local_geometry(
     emitter_id = jnp.where(hit.hit_mask, emitter_id, -1)
 
     # twosided flip toward viewer (geometry.h:91-95)
+    front = (-rd).dot(normal) >= 0.0
     twosided = scene.materials.packed[:, MAT_TWOSIDED][mat_id] > 0.5
-    flip = ((-rd).dot(normal) < 0.0) & twosided
-    normal = where(flip, -normal, normal)
+    normal = where(~front & twosided, -normal, normal)
 
     return LocalGeometry(
-        position=position, normal=normal, uv=uv, mat_id=mat_id, emitter_id=emitter_id
+        position=position,
+        normal=normal,
+        uv=uv,
+        mat_id=mat_id,
+        emitter_id=emitter_id,
+        front=front,
     )

@@ -101,8 +101,15 @@ def _bounce(scene, config, n, carry, depth):
     f_nee, pdf_bsdf = bsdf_mod.evaluate(local, wo_local, wi_local, config.mat_types)
     nol = geo.normal.dot(es.wi)
     nonzero = ~is_zero(f_nee * es.pdf)
-    mis = jnp.where(es.is_delta, 1.0, mis_weight(es.pdf, pdf_bsdf))
+    # DELIBERATE DEVIATION from main.cu:135-137: the reference computes
+    # the balance weight from the emitter pdf WITHOUT the selection
+    # probability while the BSDF-hit side (main.cu:180) includes it, so
+    # its MIS weights sum past 1 whenever select_prob < 1 (measured
+    # +11% energy on the 2-emitter cornell box vs the independent
+    # brute-force oracle, tools/oracle_pt.py). The true NEE sampling
+    # density is select_prob * es.pdf; using it restores w1 + w2 = 1.
     pdf_light = es.pdf * es.select_prob
+    mis = jnp.where(es.is_delta, 1.0, mis_weight(pdf_light, pdf_bsdf))
     scale = nol * mis / jnp.maximum(pdf_light, _TINY)
     contrib = throughput * es.radiance * f_nee * scale
     take = active & (~occluded) & nonzero & (nol > 0.0)
@@ -123,10 +130,12 @@ def _bounce(scene, config, n, carry, depth):
     # bounce directions are incoherent -> the sweep sorts them internally
     hit = intersect_closest(new_ro, new_rd, tmin, tmax, scene, config, coherent=False)
 
-    # escape -> environment MIS (main.cu:166-169)
+    # escape -> environment MIS (main.cu:166-169; same deviation as the
+    # NEE weight above: the env's selection probability belongs in its
+    # sampling density on both sides of the balance heuristic)
     env_rad, env_pdf = emitter_mod.eval_env(em, tex, config, new_rd)
     escaped = active & ~hit.hit_mask
-    mis_env = mis_weight(pdf_s, env_pdf)
+    mis_env = mis_weight(pdf_s, env_pdf * em.env_select_prob)
     radiance = radiance + where(escaped, throughput * env_rad * mis_env, zero3)
     active = active & hit.hit_mask
 
@@ -142,7 +151,10 @@ def _bounce(scene, config, n, carry, depth):
     )
     is_delta = (lobe & bsdf_mod.LOBE_DELTA) != 0
     mis_hit = jnp.where(is_delta, 1.0, mis_weight(pdf_s, emit_pdf * hit_sel_prob))
-    take_e = active & (geo.emitter_id >= 0) & ~is_zero(emit_pdf)
+    # geo.front: emission is one-sided on the STORED normal — a twosided
+    # light material flips the shading normal for backside hits, which
+    # must not re-enable emission (see LocalGeometry.front)
+    take_e = active & (geo.emitter_id >= 0) & ~is_zero(emit_pdf) & geo.front
     radiance = radiance + where(take_e, throughput * emit_rad * mis_hit, zero3)
 
     return (state, active, radiance, throughput, wo_world, geo, local)
@@ -186,8 +198,9 @@ def render_sample(
     env_rad0, _ = emitter_mod.eval_env(em, tex, config, rd)
     radiance = radiance + where(~active, env_rad0, zero3)
 
-    # First-hit emission (main.cu:87-92).
-    is_emitter = active & (geo.emitter_id >= 0)
+    # First-hit emission (main.cu:87-92; one-sided on the stored normal,
+    # consistent with every other emission term — see LocalGeometry.front).
+    is_emitter = active & (geo.emitter_id >= 0) & geo.front
     emit0 = _first_hit_emission(scene, config, geo)
     radiance = radiance + where(is_emitter, emit0, zero3)
 

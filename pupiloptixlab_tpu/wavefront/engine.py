@@ -151,7 +151,9 @@ def render_wavefront(
         # primary rays add env unweighted (main.cu:84); bounced rays MIS
         # against the previous BSDF pdf (main.cu:166-169; the reference
         # applies the balance weight even to delta bounces).
-        mis_env = jnp.where(fresh, 1.0, mis_weight(s["pdf_prev"], env_pdf))
+        mis_env = jnp.where(
+            fresh, 1.0, mis_weight(s["pdf_prev"], env_pdf * em.env_select_prob)
+        )
         radiance = radiance + where(
             escaped, throughput * env_rad * mis_env, Vec3.zeros(pool)
         )
@@ -162,7 +164,7 @@ def render_wavefront(
             em, tex, config, geo.emitter_id,
             geo.position, geo.normal, geo.uv, ro,
         )
-        is_emissive = alive & (geo.emitter_id >= 0)
+        is_emissive = alive & (geo.emitter_id >= 0) & geo.front
         # fresh hit: GetRadiance (main.cu:87-92); bounced: MIS (171-183)
         direct_emit = _first_emit_radiance(scene, config, geo)
         mis_hit = jnp.where(
@@ -213,8 +215,10 @@ def render_wavefront(
             local, wo_local, wi_local, config.mat_types
         )
         nol = geo.normal.dot(es.wi)
-        mis = jnp.where(es.is_delta, 1.0, mis_weight(es.pdf, pdf_bsdf))
+        # selection probability folded into the NEE density on BOTH MIS
+        # sides (see render/integrator.py's documented deviation)
         pdf_light = es.pdf * es.select_prob
+        mis = jnp.where(es.is_delta, 1.0, mis_weight(pdf_light, pdf_bsdf))
         contrib = throughput * es.radiance * f_nee * (
             nol * mis / jnp.maximum(pdf_light, _TINY)
         )

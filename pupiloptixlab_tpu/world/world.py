@@ -101,6 +101,8 @@ class World:
         self._data: SceneData | None = None
         self._config: RenderConfig | None = None
         self._camera_block: CameraBlock | None = None
+        self._refit = None  # static instance/topology metadata
+        self._instance_dirty = False  # transform/visibility edits only
         self._bind_canvas_events()
 
     # -- canvas interaction (world.cpp:15-43 semantics) ---------------------
@@ -161,6 +163,8 @@ class World:
         ]
         self._scene_dirty = True
         self._camera_dirty = True
+        self._data = None   # new topology: full flatten, fresh refit data
+        self._refit = None
         self.events.dispatch(CAMERA_CHANGE)
 
     # -- render objects -------------------------------------------------------
@@ -175,7 +179,8 @@ class World:
         return None
 
     def _on_instance_update(self, index: int) -> None:
-        self._scene_dirty = True
+        # instance-only edit: eligible for the device refit fast path
+        self._instance_dirty = True
         self.events.dispatch(RENDER_INSTANCE_UPDATE, self._render_objects[index])
 
     # -- device data ------------------------------------------------------------
@@ -184,14 +189,27 @@ class World:
         return self.scene.aabb if self.scene else AABB()
 
     def get_scene_data(self) -> tuple[SceneData, RenderConfig]:
-        """Flattened device arrays; rebuilt lazily when dirty
-        (GAS build / IAS refit analog). Hidden instances are degenerated
-        inside flatten_scene rather than pruned, so visibility toggles —
-        like transform edits — keep every array shape and the RenderConfig
-        identical and never retrace the frame program."""
+        """Flattened device arrays; rebuilt lazily when dirty.
+
+        First build = full host flatten + BVH build (GAS build analog).
+        Transform / visibility edits afterwards take the DEVICE REFIT
+        path (flatten/refit.py, the IAS::Update analog): O(instances)
+        bytes uploaded, one cached executable regenerates world-space
+        rows, BVH/chunk boxes and emitter CDFs with identical shapes —
+        no host re-flatten, no retrace."""
         if self._scene_dirty or self._data is None:
-            self._data, self._config = flatten_scene(self.scene)
+            # structural change (new scene, film/sensor edit, external
+            # _scene_dirty pokes): full host flatten + BVH rebuild
+            self._data, self._config, self._refit = flatten_scene(
+                self.scene, return_refit=True
+            )
             self._scene_dirty = False
+            self._instance_dirty = False
+        elif self._instance_dirty:
+            from pupiloptixlab_tpu.flatten.refit import refit_scene
+
+            self._data = refit_scene(self._data, self._refit, self.scene)
+            self._instance_dirty = False
         return self._data, self._config
 
     def get_camera_block(self) -> CameraBlock:

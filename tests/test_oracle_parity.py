@@ -1,0 +1,52 @@
+"""End-to-end accuracy vs the independent brute-force oracle.
+
+tests/data/oracle_cornell_64.exr is a 4096-spp render from
+tools/oracle_pt.py — a standalone numpy path tracer (pure BSDF
+sampling, no NEE/MIS, its own flatten + intersector) that shares only
+the scene loader with the production renderer. Agreement here validates
+the FULL estimator (NEE + MIS + RR + emission sidedness), which
+self-goldens cannot (BASELINE.md accuracy row; mitsuba3 is not
+installable in this image).
+
+This caught two real energy bugs in round 2: the reference's own MIS
+selection-probability asymmetry (main.cu:135-137 vs 180; +5% direct
+with 2 emitters) and twosided backside emission through the flipped
+shading normal (+60% on light-adjacent pixels).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+ORACLE = Path(__file__).parent / "data" / "oracle_cornell_64.exr"
+
+
+@pytest.mark.slow
+def test_cornell_matches_brute_force_oracle(reference_scene_dir):
+    from pupiloptixlab_tpu.flatten import camera_block_from_scene, flatten_scene
+    from pupiloptixlab_tpu.render.integrator import render
+    from pupiloptixlab_tpu.scene import load_scene
+    from pupiloptixlab_tpu.utils.image import read_exr
+
+    scene = load_scene(reference_scene_dir / "cornellbox.xml")
+    scene.sensor.film.w = scene.sensor.film.h = 64
+    data, config = flatten_scene(scene)
+    cam = camera_block_from_scene(scene)
+    img = np.asarray(render(data, cam, config, spp=512))
+    oracle = read_exr(ORACLE)[::-1][..., :3]
+
+    rel_mse = float(np.mean((img - oracle) ** 2) / np.mean(oracle**2))
+    mean_ratio = float(img.mean() / oracle.mean())
+
+    # global energy must agree within a fraction of a percent
+    assert abs(mean_ratio - 1.0) < 0.01, mean_ratio
+    # pixelwise rel MSE at equal-ish variance budgets (oracle 4096 spp
+    # pure-BSDF ~ ours 512 spp NEE+MIS); BASELINE target is 1e-3
+    assert rel_mse < 2e-3, rel_mse
+    # and with a 4x4 box filter (cuts both noise floors) much tighter
+    def box(a):
+        return a.reshape(16, 4, 16, 4, 3).mean((1, 3))
+
+    box_rel = float(np.mean((box(img) - box(oracle)) ** 2) / np.mean(box(oracle) ** 2))
+    assert box_rel < 3e-4, box_rel
