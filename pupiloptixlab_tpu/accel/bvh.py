@@ -84,7 +84,18 @@ def build_bvh(
 ) -> BvhArrays:
     """Build the 8-wide BVH over padded world-space triangle vertices
     ((T,3) each; rows >= valid_count are degenerate padding). T must be
-    a multiple of tcl and > tcl."""
+    a multiple of tcl and > tcl.
+
+    Prefers the C++ builder (native/pupil_native.cpp via
+    pupiloptixlab_tpu/native.py — the GAS-build analog of the
+    reference's C++ host runtime); this numpy implementation is the
+    behavioral specification and the fallback."""
+    from pupiloptixlab_tpu.native import build_bvh8_native
+
+    native = build_bvh8_native(p0, p1, p2, valid_count, tcl)
+    if native is not None:
+        return native
+
     t_pad = p0.shape[0]
     assert t_pad % tcl == 0 and t_pad > tcl
     lo_tri = np.minimum(np.minimum(p0, p1), p2).astype(np.float32)

@@ -94,9 +94,87 @@ def atrous_denoise(
 
 
 @jax.jit
-def temporal_blend(current, previous, alpha: float = 0.2, clamp_k: float = 1.0):
+def reproject(previous, motion):
+    """Warp the previous frame by per-pixel MOTION VECTORS (h, w, 2):
+    motion[y, x] = (dx, dy) from the current pixel to where its surface
+    point was in the previous frame (the optix Denoiser flow-layer
+    convention, denoiser.cpp:145-168). Bilinear sample with edge clamp;
+    returns (warped, valid) where valid marks in-frame source positions.
+    """
+    h, w = previous.shape[:2]
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    sx = xs + motion[..., 0]
+    sy = ys + motion[..., 1]
+    valid = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+    x0 = jnp.clip(jnp.floor(sx), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(sy), 0, h - 1)
+    fx = jnp.clip(sx - x0, 0.0, 1.0)
+    fy = jnp.clip(sy - y0, 0.0, 1.0)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+
+    def tap(yy, xx):
+        return previous[yy, xx]
+
+    warped = (
+        tap(y0i, x0i) * ((1 - fx) * (1 - fy))[..., None]
+        + tap(y0i, x1i) * (fx * (1 - fy))[..., None]
+        + tap(y1i, x0i) * ((1 - fx) * fy)[..., None]
+        + tap(y1i, x1i) * (fx * fy)[..., None]
+    )
+    return warped, valid
+
+
+def camera_motion_vectors(world_pos, hit_mask, prev_camera, width, height):
+    """Flow from the CURRENT frame's first-hit world positions and the
+    PREVIOUS frame's camera (static geometry): motion[y, x] = previous
+    pixel of the surface point minus the current pixel.
+
+    ``prev_camera`` is a CameraBlock (sample_to_camera, camera_to_world)
+    from the previous frame; ``world_pos`` is (h, w, 3); ``hit_mask``
+    (h, w) disables flow for env pixels (flow 0 = reuse in place).
+    """
+    c2w = jnp.asarray(prev_camera.camera_to_world, jnp.float32)
+    s2c = jnp.asarray(prev_camera.sample_to_camera, jnp.float32)
+    w2c = jnp.linalg.inv(c2w)
+    c2s = jnp.linalg.inv(s2c)
+    p = world_pos.reshape(-1, 3)
+    ones = jnp.ones((p.shape[0], 1), jnp.float32)
+    cam = jnp.concatenate([p, ones], 1) @ w2c.T
+    samp = cam @ c2s.T
+    s = samp[:, :2] / jnp.maximum(jnp.abs(samp[:, 3:4]), 1e-12) * jnp.sign(
+        samp[:, 3:4]
+    )
+    prev_px = s[:, 0] * width
+    prev_py = s[:, 1] * height
+    ys, xs = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32),
+        jnp.arange(width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    dx = prev_px.reshape(height, width) - (xs + 0.5)
+    dy = prev_py.reshape(height, width) - (ys + 0.5)
+    flow = jnp.stack([dx, dy], axis=-1)
+    return jnp.where(hit_mask[..., None], flow, 0.0)
+
+
+@jax.jit
+def temporal_blend(
+    current, previous, alpha: float = 0.2, clamp_k: float = 1.0, motion=None
+):
     """Exponential temporal accumulation with neighborhood clamping
-    (the UseTemporal mode analog)."""
+    (the UseTemporal mode analog). With ``motion`` (h, w, 2) the
+    previous frame is REPROJECTED first (denoiser.cpp:145-168's flow
+    input); without it, static-camera in-place reuse."""
+    if motion is not None:
+        previous, valid = reproject(previous, motion)
+        previous = jnp.where(valid[..., None], previous, current)
     # 3x3 neighborhood min/max of current as the clamp window
     mn = current
     mx = current
@@ -125,8 +203,10 @@ def denoise(
     previous=None,
     mode: DenoiserMode = DenoiserMode.USE_ALBEDO | DenoiserMode.USE_NORMAL,
     iterations: int = 5,
+    motion=None,
 ):
-    """One-shot functional interface; inputs are (h, w, 3)."""
+    """One-shot functional interface; inputs are (h, w, 3) (+ optional
+    (h, w, 2) motion vectors for temporal reprojection)."""
     use_albedo = bool(mode & DenoiserMode.USE_ALBEDO) and albedo is not None
     use_normal = bool(mode & DenoiserMode.USE_NORMAL) and normal is not None
     if albedo is None:
@@ -138,7 +218,7 @@ def denoise(
         iterations=iterations, use_albedo=use_albedo, use_normal=use_normal,
     )
     if mode & DenoiserMode.TEMPORAL and previous is not None:
-        out = temporal_blend(out, previous)
+        out = temporal_blend(out, previous, motion=motion)
     if mode & DenoiserMode.UPSCALE_2X:
         out = upscale_2x(out)
     return out
@@ -160,15 +240,19 @@ class Denoiser:
         self._previous = None
 
     def execute(self, layers: dict) -> jnp.ndarray:
-        """layers: {'input': (h,w,3) [, 'albedo', 'normal', 'prev']}."""
+        """layers: {'input': (h,w,3) [, 'albedo', 'normal', 'prev',
+        'motion']} — the optix::Denoiser::Execute layer set
+        (denoiser.cpp:171-267; 'motion' is the temporal flow buffer,
+        see camera_motion_vectors for the camera-only case)."""
         color = layers["input"]
         albedo = layers.get("albedo")
         normal = layers.get("normal")
         previous = layers.get("prev", self._previous)
+        motion = layers.get("motion")
         if self.mode & DenoiserMode.TILED and color.shape[0] > self.tile_size:
             out = self._execute_tiled(color, albedo, normal, previous)
         else:
-            out = denoise(color, albedo, normal, previous, self.mode)
+            out = denoise(color, albedo, normal, previous, self.mode, motion=motion)
         if self.mode & DenoiserMode.TEMPORAL:
             self._previous = out
         return out

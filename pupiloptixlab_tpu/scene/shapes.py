@@ -111,7 +111,16 @@ def _cube_mesh() -> Mesh:
 
 
 def load_obj(path: str | Path) -> Mesh:
-    """Native OBJ reader: v/vt/vn/f, fan-triangulated, corner-deduped."""
+    """OBJ reader: v/vt/vn/f, fan-triangulated, corner-deduped.
+
+    Prefers the C++ parser (native/pupil_native.cpp); this Python
+    implementation is the specification and the fallback."""
+    from pupiloptixlab_tpu.native import parse_obj_native
+
+    native = parse_obj_native(path)
+    if native is not None:
+        pos, nrm, uv, idx = native
+        return Mesh(pos, nrm, uv, idx)
     positions, texcoords, normals = [], [], []
     out_pos, out_uv, out_n, out_idx = [], [], [], []
     corner_map: dict[tuple[int, int, int], int] = {}

@@ -82,3 +82,78 @@ def test_denoiser_temporal_state():
     out2 = d.execute({"input": noisy, "albedo": albedo, "normal": normal})
     assert d._previous is not None
     assert out2.shape == noisy.shape
+
+
+def test_reproject_recovers_shifted_frame():
+    """Constant flow must undo a pure image translation (the motion
+    buffer convention: current pixel -> previous position)."""
+    import jax.numpy as jnp
+    from pupiloptixlab_tpu.denoise.atrous import reproject
+
+    r = np.random.RandomState(0)
+    img = jnp.asarray(r.rand(24, 32, 3).astype(np.float32))
+    # previous frame = current shifted right by 3, down by 2
+    prev = jnp.zeros_like(img)
+    prev = prev.at[2:, 3:].set(img[:-2, :-3])
+    motion = jnp.broadcast_to(jnp.asarray([3.0, 2.0], jnp.float32), (24, 32, 2))
+    warped, valid = reproject(prev, motion)
+    inner = np.asarray(valid)[: 24 - 2, : 32 - 3]
+    assert inner.all()
+    np.testing.assert_allclose(
+        np.asarray(warped)[: 24 - 2, : 32 - 3],
+        np.asarray(img)[: 24 - 2, : 32 - 3],
+        atol=1e-5,
+    )
+
+
+def test_camera_motion_vectors_static_camera_zero():
+    """Same camera both frames -> flow ~ 0 at every hit pixel."""
+    import jax.numpy as jnp
+    from pupiloptixlab_tpu.denoise.atrous import camera_motion_vectors
+    from pupiloptixlab_tpu.flatten import camera_block
+    from pupiloptixlab_tpu.utils.camera import Camera, CameraDesc
+    from pupiloptixlab_tpu.utils.math import Transform
+
+    cam = Camera(CameraDesc(fov_y=60.0, aspect_ratio=1.0, to_world=Transform()))
+    block = camera_block(cam)
+    w = h = 16
+    # world points: push each pixel's center ray out to depth 3
+    import numpy as _np
+
+    s2c = _np.asarray(block.sample_to_camera)
+    c2w = _np.asarray(block.camera_to_world)
+    px, py = _np.meshgrid(_np.arange(w), _np.arange(h))
+    ndc = _np.stack(
+        [(px.ravel() + 0.5) / w, (py.ravel() + 0.5) / h,
+         _np.zeros(w * h), _np.ones(w * h)], 1)
+    pc = ndc @ s2c.T
+    pc = pc[:, :3] / pc[:, 3:4]
+    d = pc / _np.linalg.norm(pc, axis=1, keepdims=True)
+    dw = (_np.concatenate([d, _np.zeros((w * h, 1))], 1) @ c2w.T)[:, :3]
+    pos = (c2w[:3, 3] + dw * 3.0).reshape(h, w, 3).astype(_np.float32)
+
+    flow = camera_motion_vectors(
+        jnp.asarray(pos), jnp.ones((h, w), bool), block, w, h
+    )
+    np.testing.assert_allclose(np.asarray(flow), 0.0, atol=2e-2)
+
+
+def test_temporal_blend_with_motion_beats_unwarped():
+    """Under camera translation the reprojected history must track the
+    moved content better than in-place reuse."""
+    import jax.numpy as jnp
+    from pupiloptixlab_tpu.denoise.atrous import temporal_blend
+
+    r = np.random.RandomState(1)
+    base = r.rand(24, 32, 3).astype(np.float32)
+    prev = np.zeros_like(base)
+    prev[:, 4:] = base[:, :-4]  # scene slid 4 px right last frame
+    cur = base
+    motion = jnp.broadcast_to(jnp.asarray([4.0, 0.0], jnp.float32), (24, 32, 2))
+    with_m = np.asarray(
+        temporal_blend(jnp.asarray(cur), jnp.asarray(prev), motion=motion)
+    )
+    without = np.asarray(temporal_blend(jnp.asarray(cur), jnp.asarray(prev)))
+    err_m = np.mean((with_m[:, : -4] - cur[:, : -4]) ** 2)
+    err_0 = np.mean((without[:, : -4] - cur[:, : -4]) ** 2)
+    assert err_m < err_0
