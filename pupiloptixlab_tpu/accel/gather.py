@@ -192,10 +192,18 @@ def _count_less_pallas(table: jnp.ndarray, q: jnp.ndarray, interpret: bool = Fal
     return out[0, :n]
 
 
+_MAX_COUNT_ROWS = 1024  # linear count is O(N*T): 8k rows = 261 ms at 2M
+
+
 def count_less(table: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
     """Number of ``table`` entries strictly below each query — equal to
-    jnp.searchsorted(table, queries, side='left') for sorted tables."""
+    jnp.searchsorted(table, queries, side='left') for sorted tables.
+
+    The Pallas linear count wins only for SMALL tables (emitter CDFs);
+    big sorted tables (env joint CDFs) take XLA's native binary-search
+    searchsorted (O(N log T); measured 261 ms -> ~40 ms at 8k rows, 2M
+    queries)."""
     on_tpu = jax.default_backend() == "tpu"
-    if not on_tpu or table.shape[0] > _MAX_PALLAS_ROWS:
+    if not on_tpu or table.shape[0] > _MAX_COUNT_ROWS:
         return jnp.searchsorted(table, queries, side="left").astype(jnp.int32)
     return _count_less_pallas(table, queries)

@@ -219,17 +219,22 @@ def _env_sample_direct(em, tex, config, hit_pos: Vec3, hit_normal: Vec3, u1, u2)
             "radiance": Vec3.broadcast(em.env_color, n),
             "pdf": uniform_hemisphere_pdf(local),
         }
-    # env-map importance sampling. The reference walks a row CDF then the
-    # row's column CDF (env.h:24-48); the joint CDF over all texels draws
-    # from the identical product distribution in ONE batched inversion
-    # (count_less = Pallas searchsorted; per-lane row CDFs would need a
-    # huge gather). Deviation: the cell index is exact (the reference's
-    # linear scans land one cell past the bracketing texel).
-    from pupiloptixlab_tpu.accel.gather import count_less
+    # env-map importance sampling: the reference's two-step inversion
+    # (env.h:24-48) — walk the sin-weighted ROW CDF with u1, then that
+    # row's COLUMN CDF with u2. The row CDF is tiny (h+1 entries ->
+    # Pallas count), and the row's column CDF arrives as ONE one-hot
+    # gather of the (h, w+1) table, inverted by a vectorized count.
+    # (A single joint-CDF inversion is equivalent math but costs an
+    # O(N*w*h) count or a 366 ms native searchsorted at 2M lanes.)
+    from pupiloptixlab_tpu.accel.gather import count_less, gather_cols as _gc
 
-    k = jnp.clip(count_less(em.env_joint_cdf, u1), 0, w * h - 1)
-    row = k // w
-    col = k % w
+    row = jnp.clip(count_less(em.env_row_cdf, u1) - 1, 0, h - 1)
+    col_cdf_rows = _gc(em.env_col_cdf, row)  # (w+1, N)
+    col = jnp.clip(
+        jnp.sum((col_cdf_rows < u2[None, :]).astype(jnp.int32), axis=0) - 1,
+        0,
+        w - 1,
+    )
 
     phi = col.astype(jnp.float32) * (2.0 * jnp.pi / w)
     theta = row.astype(jnp.float32) * (jnp.pi / h)

@@ -208,7 +208,7 @@ def fresnel_conductor_rgb(cos_i, eta, k):
     t3 = c2 * a2b2 + s2 * s2
     t4 = t2 * s2
     rp = rs * (t3 - t4) / np.maximum(t3 + t4, 1e-12)
-    return 0.5 * np.clip(rs + rp, 0.0, 1.0)
+    return 0.5 * (np.clip(rs, 0.0, 1.0) + np.clip(rp, 0.0, 1.0))
 
 
 def _onb(n):
