@@ -175,6 +175,10 @@ class _MaterialBuilder:
         self.int_fdr: list[float] = []
         self.ssw: list[float] = []
         self.nonlinear: list[bool] = []
+        # texture ids actually referenced by a material slot (slot
+        # defaults of 0 are never read for the material's type, so they
+        # must not widen the specialization set)
+        self.used_tex_ids: set[int] = set()
 
     def add(self, mat: Material) -> int:
         idx = len(self.mtype)
@@ -183,26 +187,32 @@ class _MaterialBuilder:
         int_fdr = 0.0
         ssw = 0.0
         t = self.textures
+
+        def assign(slot: int, texture) -> None:
+            tid = t.add(texture)
+            slots[slot] = tid
+            self.used_tex_ids.add(tid)
+
         if mat.type == MatType.DIFFUSE:
-            slots[SLOT_REFLECTANCE] = t.add(mat.reflectance)
+            assign(SLOT_REFLECTANCE, mat.reflectance)
         elif mat.type in (MatType.DIELECTRIC, MatType.ROUGH_DIELECTRIC):
             eta = mat.int_ior / mat.ext_ior
-            slots[SLOT_SPECULAR] = t.add(mat.specular_reflectance)
-            slots[SLOT_TRANSMITTANCE] = t.add(mat.specular_transmittance)
+            assign(SLOT_SPECULAR, mat.specular_reflectance)
+            assign(SLOT_TRANSMITTANCE, mat.specular_transmittance)
             if mat.type == MatType.ROUGH_DIELECTRIC:
-                slots[SLOT_ALPHA] = t.add(mat.alpha)
+                assign(SLOT_ALPHA, mat.alpha)
         elif mat.type in (MatType.CONDUCTOR, MatType.ROUGH_CONDUCTOR):
-            slots[SLOT_ETA] = t.add(mat.eta)
-            slots[SLOT_K] = t.add(mat.k)
-            slots[SLOT_SPECULAR] = t.add(mat.specular_reflectance)
+            assign(SLOT_ETA, mat.eta)
+            assign(SLOT_K, mat.k)
+            assign(SLOT_SPECULAR, mat.specular_reflectance)
             if mat.type == MatType.ROUGH_CONDUCTOR:
-                slots[SLOT_ALPHA] = t.add(mat.alpha)
+                assign(SLOT_ALPHA, mat.alpha)
         elif mat.type in (MatType.PLASTIC, MatType.ROUGH_PLASTIC):
             eta = mat.int_ior / mat.ext_ior
-            slots[SLOT_REFLECTANCE] = t.add(mat.diffuse_reflectance)
-            slots[SLOT_SPECULAR] = t.add(mat.specular_reflectance)
+            assign(SLOT_REFLECTANCE, mat.diffuse_reflectance)
+            assign(SLOT_SPECULAR, mat.specular_reflectance)
             if mat.type == MatType.ROUGH_PLASTIC:
-                slots[SLOT_ALPHA] = t.add(mat.alpha)
+                assign(SLOT_ALPHA, mat.alpha)
             # Precompute (optix_material.cpp:87-118).
             dl = _luminance(mat.diffuse_reflectance.average_rgb())
             sl = _luminance(mat.specular_reflectance.average_rgb())
@@ -796,6 +806,26 @@ def flatten_scene(
         textures=textures.build(),
         emitters=emitters,
     )
+    def _tex_group_spec(tex_ids):
+        """(kinds, filters) actually reachable from a set of texture ids —
+        the per-call-site specialization that keeps constant-RGB fetches
+        from compiling 5 pixel-pool gathers just because the scene also
+        has a bitmap somewhere (e.g. the env map)."""
+        ids = sorted({int(i) for i in tex_ids})
+        if not ids:
+            return (0,), (0,)
+        kinds = tuple(sorted({textures.kind[i] for i in ids}))
+        filters = tuple(
+            sorted({textures.filter[i] for i in ids if textures.kind[i] == 2})
+        )
+        return kinds, (filters or (0,))
+
+    mat_tex_kinds, mat_tex_filters = _tex_group_spec(materials.used_tex_ids)
+    em_tex_kinds, em_tex_filters = _tex_group_spec(e["rad_tex"])
+    env_filter = (
+        int(textures.filter[int(env_rad_tex)]) if env_size[0] > 0 else 1
+    )
+
     config = RenderConfig(
         width=scene.sensor.film.w,
         height=scene.sensor.film.h,
@@ -807,6 +837,11 @@ def flatten_scene(
         env_size=env_size,
         mat_types=tuple(sorted(set(materials.mtype))),
         tex_kinds=tuple(sorted(set(textures.kind))),
+        mat_tex_kinds=mat_tex_kinds,
+        mat_tex_filters=mat_tex_filters,
+        em_tex_kinds=em_tex_kinds,
+        em_tex_filters=em_tex_filters,
+        env_filter=env_filter,
         has_sphere_emitter=any(t == 1 for t in e["etype"]),
         has_point_emitter=any(t == 2 for t in e["etype"]),
         has_directional_emitter=any(t == 3 for t in e["etype"]),

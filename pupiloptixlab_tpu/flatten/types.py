@@ -212,6 +212,18 @@ class RenderConfig:
     # the compiled program dramatically (the SBT-specialization analog).
     mat_types: tuple[int, ...] = tuple(range(1, 8))
     tex_kinds: tuple[int, ...] = (0, 1, 2)
+    # Per-call-site texture specialization: the kinds/filter modes
+    # reachable from material texture slots vs area-emitter radiance
+    # textures. Without this split, one bitmap anywhere (e.g. an env
+    # map) makes EVERY texture sample emit 5 pixel-pool gathers — at
+    # 2M lanes each big-pool gather is ~11 ms, so a constant-RGB
+    # material fetch would cost more than the BVH traversal.
+    # Filters: 0 point, 1 bilinear; both present -> runtime select.
+    mat_tex_kinds: tuple[int, ...] = (0, 1, 2)
+    mat_tex_filters: tuple[int, ...] = (0, 1)
+    em_tex_kinds: tuple[int, ...] = (0, 1, 2)
+    em_tex_filters: tuple[int, ...] = (0, 1)
+    env_filter: int = 1
     has_sphere_emitter: bool = True
     has_point_emitter: bool = False
     has_directional_emitter: bool = False

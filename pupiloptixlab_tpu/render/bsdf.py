@@ -104,6 +104,7 @@ def get_local_bsdf(
     uv: Vec2,
     mat_types: tuple[int, ...] = ALL_TYPES,
     tex_kinds: tuple[int, ...] = (0, 1, 2),
+    tex_filters: tuple[int, ...] = (0, 1),
 ) -> LocalBsdf:
     n = mat_id.shape[0]
     mcol = gather_cols(materials.packed, mat_id)  # one gather for all params
@@ -113,7 +114,7 @@ def get_local_bsdf(
         if any(t in mat_types for t in needed_by):
             tex_id = mcol[MAT_TEX0 + idx].astype(jnp.int32)
             cols = gather_cols(textures.packed, tex_id)
-            return sample_texture_cols(cols, textures.pool, uv, tex_kinds)
+            return sample_texture_cols(cols, textures.pool, uv, tex_kinds, tex_filters)
         return zeros3
 
     need_alpha = (ROUGH_DIELECTRIC, ROUGH_CONDUCTOR, ROUGH_PLASTIC)

@@ -36,6 +36,7 @@ from pupiloptixlab_tpu.flatten.types import (
     EM_V2N,
     EM_V2P,
     EM_V2T,
+    TEX_OFFSET,
     EmitterTable,
     RenderConfig,
     TextureTable,
@@ -149,7 +150,9 @@ def sample_direct(
         uv = where2(is_tri, uv, uv_sph)
 
     tex_cols = gather_cols(tex.packed, row[EM_RAD_TEX].astype(jnp.int32))
-    radiance = sample_texture_cols(tex_cols, tex.pool, uv, config.tex_kinds)
+    radiance = sample_texture_cols(
+        tex_cols, tex.pool, uv, config.em_tex_kinds, config.em_tex_filters
+    )
     delta = pos - hit_pos
     dist = delta.length()
     wi = delta * (1.0 / jnp.maximum(dist, 1e-20))
@@ -247,10 +250,18 @@ def _env_sample_direct(em, tex, config, hit_pos: Vec3, hit_normal: Vec3, u1, u2)
         m[1, 0] * local_wi.x + m[1, 1] * local_wi.y + m[1, 2] * local_wi.z,
         m[2, 0] * local_wi.x + m[2, 1] * local_wi.y + m[2, 2] * local_wi.z,
     )
-    uv = Vec2(phi * 0.5 / jnp.pi, theta / jnp.pi)
+    # Radiance of the CDF-chosen texel, fetched DIRECTLY from the pixel
+    # pool: the inversion picks texel (row, col), and the pdf below is
+    # luminance(that texel) * row_weight * norm — a filtered texture
+    # sample here would (a) cost 4-5 big-pool gathers instead of 1 and
+    # (b) break radiance/pdf consistency at texel boundaries. The
+    # reference samples its cudaTexture at the texel's own uv (env.h),
+    # where bilinear weights collapse onto the same texel.
     rad_id = jnp.broadcast_to(em.env_radiance_tex, (n,)).astype(jnp.int32)
     tex_cols = gather_cols(tex.packed, rad_id)
-    radiance = sample_texture_cols(tex_cols, tex.pool, uv, config.tex_kinds) * em.env_scale
+    texel = tex_cols[TEX_OFFSET].astype(jnp.int32) + row_c * w + col
+    pool_cols = gather_cols(tex.pool, texel)
+    radiance = Vec3(pool_cols[0], pool_cols[1], pool_cols[2]) * em.env_scale
     row_w = gather_cols(em.env_row_weight[:, None], row_c)[0]
     pdf = (
         luminance(radiance)
@@ -288,7 +299,9 @@ def eval_hit_emitter(
         lnol > 0.0, dist * dist / jnp.maximum(lnol * row[EM_AREA], 1e-20), 0.0
     )
     tex_cols = gather_cols(tex.packed, row[EM_RAD_TEX].astype(jnp.int32))
-    radiance = sample_texture_cols(tex_cols, tex.pool, hit_uv, config.tex_kinds)
+    radiance = sample_texture_cols(
+        tex_cols, tex.pool, hit_uv, config.em_tex_kinds, config.em_tex_filters
+    )
     ok = emitter_id >= 0
     n = idx.shape[0]
     return (
@@ -328,7 +341,12 @@ def eval_env(
     uv = Vec2(phi * 0.5 / jnp.pi, theta / jnp.pi)
     rad_id = jnp.broadcast_to(em.env_radiance_tex, (n,)).astype(jnp.int32)
     tex_cols = gather_cols(tex.packed, rad_id)
-    radiance = sample_texture_cols(tex_cols, tex.pool, uv, config.tex_kinds) * em.env_scale
+    radiance = (
+        sample_texture_cols(
+            tex_cols, tex.pool, uv, (2,), (config.env_filter,)
+        )
+        * em.env_scale
+    )
     rowf = uv.y * h
     row = jnp.clip(rowf.astype(jnp.int32), 0, h - 2)
     frac = rowf - row.astype(jnp.float32)

@@ -65,7 +65,9 @@ def _first_hit_emission(scene, config, geo) -> Vec3:
     em, tex = scene.emitters, scene.textures
     erow = gather_cols(em.packed, jnp.maximum(geo.emitter_id, 0))
     trow = gather_cols(tex.packed, erow[EM_RAD_TEX].astype(jnp.int32))
-    return sample_texture_cols(trow, tex.pool, geo.uv, config.tex_kinds)
+    return sample_texture_cols(
+        trow, tex.pool, geo.uv, config.em_tex_kinds, config.em_tex_filters
+    )
 
 
 def _bounce(scene, config, n, carry, depth):
@@ -141,7 +143,8 @@ def _bounce(scene, config, n, carry, depth):
 
     geo = get_local_geometry(scene, hit, new_ro, new_rd, config.sphere_count)
     local = bsdf_mod.get_local_bsdf(
-        scene.materials, tex, geo.mat_id, geo.uv, config.mat_types, config.tex_kinds
+        scene.materials, tex, geo.mat_id, geo.uv, config.mat_types,
+        config.mat_tex_kinds, config.mat_tex_filters,
     )
     wo_world = -new_rd
 
@@ -186,7 +189,8 @@ def render_sample(
     hit = intersect_closest(ro, rd, tmin, tmax, scene, config, coherent=False)
     geo = get_local_geometry(scene, hit, ro, rd, config.sphere_count)
     local = bsdf_mod.get_local_bsdf(
-        scene.materials, tex, geo.mat_id, geo.uv, config.mat_types, config.tex_kinds
+        scene.materials, tex, geo.mat_id, geo.uv, config.mat_types,
+        config.mat_tex_kinds, config.mat_tex_filters,
     )
 
     active = hit.hit_mask

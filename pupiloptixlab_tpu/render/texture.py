@@ -57,8 +57,14 @@ def sample_texture_cols(
     pool: jnp.ndarray,
     uv: Vec2,
     kinds: tuple[int, ...] = ALL_KINDS,
+    filters: tuple[int, ...] = (0, 1),
 ) -> Vec3:
-    """Sample from pre-gathered packed descriptor columns (TEX_COLS, N)."""
+    """Sample from pre-gathered packed descriptor columns (TEX_COLS, N).
+
+    ``kinds``/``filters`` specialize the emitted program to the texture
+    kinds and bitmap filter modes reachable at THIS call site
+    (RenderConfig.mat_tex_* / em_tex_*): each skipped filter mode saves
+    pixel-pool gathers, which dominate shading cost on big pools."""
     rgb = Vec3(cols[TEX_RGB.start], cols[TEX_RGB.start + 1], cols[TEX_RGB.start + 2])
     if tuple(kinds) == (0,):
         return rgb  # constant-color-only scene
@@ -94,29 +100,36 @@ def sample_texture_cols(
         wi = wf.astype(jnp.int32)
         hi = hf.astype(jnp.int32)
 
-        ix = jnp.floor(au * wf).astype(jnp.int32)
-        iy = jnp.floor(av * hf).astype(jnp.int32)
-        point = _fetch(pool, offset, wi, hi, ix, iy)
-
-        x = au * wf - 0.5
-        y = av * hf - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        fx = x - x0
-        fy = y - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        c00 = _fetch(pool, offset, wi, hi, x0i, y0i)
-        c10 = _fetch(pool, offset, wi, hi, x0i + 1, y0i)
-        c01 = _fetch(pool, offset, wi, hi, x0i, y0i + 1)
-        c11 = _fetch(pool, offset, wi, hi, x0i + 1, y0i + 1)
-        linear = (
-            c00 * ((1 - fx) * (1 - fy))
-            + c10 * (fx * (1 - fy))
-            + c01 * ((1 - fx) * fy)
-            + c11 * (fx * fy)
-        )
-        bitmap = where(cols[TEX_FILTER] == 1.0, linear, point)
+        point = linear = None
+        if 0 in filters:
+            ix = jnp.floor(au * wf).astype(jnp.int32)
+            iy = jnp.floor(av * hf).astype(jnp.int32)
+            point = _fetch(pool, offset, wi, hi, ix, iy)
+        if 1 in filters:
+            x = au * wf - 0.5
+            y = av * hf - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            fx = x - x0
+            fy = y - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            c00 = _fetch(pool, offset, wi, hi, x0i, y0i)
+            c10 = _fetch(pool, offset, wi, hi, x0i + 1, y0i)
+            c01 = _fetch(pool, offset, wi, hi, x0i, y0i + 1)
+            c11 = _fetch(pool, offset, wi, hi, x0i + 1, y0i + 1)
+            linear = (
+                c00 * ((1 - fx) * (1 - fy))
+                + c10 * (fx * (1 - fy))
+                + c01 * ((1 - fx) * fy)
+                + c11 * (fx * fy)
+            )
+        if point is None:
+            bitmap = linear
+        elif linear is None:
+            bitmap = point
+        else:
+            bitmap = where(cols[TEX_FILTER] == 1.0, linear, point)
         out = where(kind == 2.0, bitmap, out)
 
     return out
@@ -127,7 +140,8 @@ def sample_texture(
     tex_id: jnp.ndarray,
     uv: Vec2,
     kinds: tuple[int, ...] = ALL_KINDS,
+    filters: tuple[int, ...] = (0, 1),
 ) -> Vec3:
     """Sample texture ``tex_id`` (N,) at ``uv`` -> Vec3 linear rgb."""
     cols = gather_cols(tex.packed, tex_id)
-    return sample_texture_cols(cols, tex.pool, uv, kinds)
+    return sample_texture_cols(cols, tex.pool, uv, kinds, filters)

@@ -142,7 +142,7 @@ def render_wavefront(
         geo = get_local_geometry(scene, hit, ro, rd, config.sphere_count)
         local = bsdf_mod.get_local_bsdf(
             scene.materials, tex, geo.mat_id, geo.uv,
-            config.mat_types, config.tex_kinds,
+            config.mat_types, config.mat_tex_kinds, config.mat_tex_filters,
         )
 
         # ---- escaped -> environment -------------------------------------
@@ -273,4 +273,6 @@ def _first_emit_radiance(scene, config, geo) -> Vec3:
     em, tex = scene.emitters, scene.textures
     erow = gather_cols(em.packed, jnp.maximum(geo.emitter_id, 0))
     trow = gather_cols(tex.packed, erow[EM_RAD_TEX].astype(jnp.int32))
-    return sample_texture_cols(trow, tex.pool, geo.uv, config.tex_kinds)
+    return sample_texture_cols(
+        trow, tex.pool, geo.uv, config.em_tex_kinds, config.em_tex_filters
+    )
