@@ -137,7 +137,53 @@ def _ray_sort_key(ro: Vec3, rd: Vec3) -> jnp.ndarray:
 SORT_CHUNK_THRESHOLD = 16  # sort rays when the scene has > this many chunks
 
 
-def _sorted_ray_sweep(ro: Vec3, rd: Vec3, tmin, tmax, coherent, n_chunks, run):
+def _ray_sort_key_leaf(origin_prim, rd: Vec3, config: RenderConfig):
+    """Coherence keys for secondary rays WITH a known origin primitive:
+    (coarse origin-leaf group, 18-bit direction Morton, fine leaf).
+
+    Bounce and NEE shadow rays originate ON a primitive whose row index
+    is already BVH-ordered (accel/bvh.py reorders triangle rows), so
+    ``prim // tcl`` is a spatial cell id for free — finer and cheaper
+    than re-quantizing origins. Measured on dumped 1080p mesh_env rays
+    (48-tile samples, segment-proxy leaf unions per 1024-ray tile):
+
+      key                 bounce1  bounce2  shadow1  shadow2
+      origin-morton|dir     107       50      237      139   (round-2 key)
+      leaf/4 | dir | leaf    33       39      101       75
+
+    The coarse group keeps nearby surfaces together, the direction
+    bits make each tile a cone (critical for env NEE rays), and the
+    fine-leaf tail clusters same-leaf rays within a cone. Returns TWO
+    u32 keys for a 2-key lax.sort (the triple exceeds 32 bits)."""
+    tcl = max(config.bvh_tcl, 1)
+    n_leaves = max(config.tri_count // tcl, 1)
+    # sphere-origin / miss lanes -> one-past-the-end leaf group
+    leaf = jnp.where(
+        (origin_prim >= 0) & (origin_prim < config.tri_count),
+        origin_prim // tcl,
+        n_leaves,
+    ).astype(jnp.uint32)
+
+    def q6(v):
+        return jnp.clip(((v + 1.0) * 32.0).astype(jnp.uint32), 0, 63)
+
+    def expand6(v):  # spread 6 bits to every 3rd position
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    md6 = (
+        (expand6(q6(rd.x)) << 2) | (expand6(q6(rd.y)) << 1) | expand6(q6(rd.z))
+    )
+    k1 = ((leaf >> 2) << 18) | md6
+    return k1, leaf
+
+
+def _sorted_ray_sweep(
+    ro: Vec3, rd: Vec3, tmin, tmax, coherent, n_chunks, run,
+    sort_keys=None,
+):
     """Shared pad + coherence-sort + un-permute wrapper around a sweep
     callable ``run(arrays) -> (t, idx-or-occluded)``."""
     from pupiloptixlab_tpu.accel.pallas_intersect import LANES
@@ -151,18 +197,20 @@ def _sorted_ray_sweep(ro: Vec3, rd: Vec3, tmin, tmax, coherent, n_chunks, run):
 
     arrays = [ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, tmin, tmax]
     # Incoherent (bounce) rays defeat tile-level culling; restore
-    # coherence by sorting rays by direction+origin Morton key. A
-    # multi-operand lax.sort carries all ray planes + the original lane id
-    # through the sort (no big-table gathers).
+    # coherence by sorting rays: by (origin-leaf, direction) when the
+    # caller knows the origin primitive (_ray_sort_key_leaf), else by
+    # direction+origin Morton code. A multi-operand lax.sort carries all
+    # ray planes + the original lane id through (no big-table gathers).
     do_sort = (not coherent) and n_chunks > SORT_CHUNK_THRESHOLD
     if do_sort:
-        key = _ray_sort_key(ro, rd)
+        keys = list(sort_keys) if sort_keys is not None else [_ray_sort_key(ro, rd)]
         lane = jnp.arange(n, dtype=jnp.int32)
         sorted_ops = jax.lax.sort(
-            [key, lane, *arrays], dimension=0, num_keys=1, is_stable=False
+            [*keys, lane, *arrays],
+            dimension=0, num_keys=len(keys), is_stable=False,
         )
-        lane = sorted_ops[1]
-        arrays = list(sorted_ops[2:])
+        lane = sorted_ops[len(keys)]
+        arrays = list(sorted_ops[len(keys) + 1:])
     outs = run([padv(a) for a in arrays])
     outs = [o[:n] for o in outs]
     if do_sort:
@@ -176,9 +224,14 @@ def _sorted_ray_sweep(ro: Vec3, rd: Vec3, tmin, tmax, coherent, n_chunks, run):
 
 def _sweep_tris_pallas(
     ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData,
-    config: RenderConfig, coherent: bool = True,
+    config: RenderConfig, coherent: bool = True, origin_prim=None,
 ):
     n_chunks = scene.tris.chunk_boxes.shape[0]
+    sort_keys = (
+        _ray_sort_key_leaf(origin_prim, rd, config)
+        if origin_prim is not None and config.bvh_nodes > 0
+        else None
+    )
 
     if config.bvh_nodes > 0:
         from pupiloptixlab_tpu.accel.pallas_bvh import bvh_closest
@@ -203,7 +256,9 @@ def _sweep_tris_pallas(
                 rb=PALLAS_RB, tc=64,
             )
 
-    t, idx = _sorted_ray_sweep(ro, rd, tmin, tmax, coherent, n_chunks, run)
+    t, idx = _sorted_ray_sweep(
+        ro, rd, tmin, tmax, coherent, n_chunks, run, sort_keys=sort_keys
+    )
     u, v = _recompute_barycentrics(ro, rd, idx, scene)
     hit = idx >= 0
     return (
@@ -323,7 +378,12 @@ def intersect_closest(
     scene: SceneData,
     config: RenderConfig,
     coherent: bool = True,
+    origin_prim: jnp.ndarray | None = None,
 ) -> Hit:
+    """``origin_prim``: per-lane primitive index the ray originates on
+    (tri row in BVH order; anything out of [0, tri_count) groups as
+    'other'). Enables the measured-best secondary-ray sort key — see
+    _ray_sort_key_leaf."""
     n = ro.x.shape[0]
     best = (
         jnp.full(n, MAX_DISTANCE, jnp.float32),
@@ -334,7 +394,9 @@ def intersect_closest(
     )
     if config.tri_count > 0:
         if _use_pallas():
-            best = _sweep_tris_pallas(ro, rd, tmin, tmax, scene, config, coherent)
+            best = _sweep_tris_pallas(
+                ro, rd, tmin, tmax, scene, config, coherent, origin_prim
+            )
         else:
             best = _sweep_tris_xla(ro, rd, tmin, tmax, scene)
     best_t, best_prim, best_kind, best_u, best_v = best
@@ -358,6 +420,7 @@ def intersect_any(
     scene: SceneData,
     config: RenderConfig,
     coherent: bool = True,
+    origin_prim: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Occlusion test (shadow rays): any hit in (tmin, tmax) -> True.
 
@@ -381,7 +444,14 @@ def intersect_any(
             return (occ.astype(jnp.int32),)
 
         n_chunks = scene.tris.chunk_boxes.shape[0]
-        (occ,) = _sorted_ray_sweep(ro, rd, tmin, tmax, coherent, n_chunks, run)
+        sort_keys = (
+            _ray_sort_key_leaf(origin_prim, rd, config)
+            if origin_prim is not None
+            else None
+        )
+        (occ,) = _sorted_ray_sweep(
+            ro, rd, tmin, tmax, coherent, n_chunks, run, sort_keys=sort_keys
+        )
         occluded = occ != 0
         if config.sphere_count > 0:
             t_s, hit_s = _sphere_tests(ro, rd, scene, tmin, tmax)

@@ -72,7 +72,7 @@ def _first_hit_emission(scene, config, geo) -> Vec3:
 
 def _bounce(scene, config, n, carry, depth):
     """One NEE + BSDF-bounce iteration (the body of main.cu:103-184)."""
-    state, active, radiance, throughput, wo_world, geo, local = carry
+    state, active, radiance, throughput, wo_world, geo, local, oprim = carry
     em, tex = scene.emitters, scene.textures
     tmin = jnp.full(n, RAY_OFFSET, jnp.float32)
     tmax = jnp.full(n, MAX_DISTANCE, jnp.float32)
@@ -93,10 +93,11 @@ def _bounce(scene, config, n, carry, depth):
         geo.position, geo.normal, u_l1, u_l2,
     )
     # shadow directions are importance-sampled (env/emitter surface) ->
-    # incoherent on large scenes; the sweep sorts them internally
+    # incoherent on large scenes; the sweep sorts them internally by
+    # (origin leaf, direction) — see accel/intersect._ray_sort_key_leaf
     occluded = intersect_any(
         geo.position, es.wi, tmin, es.distance - RAY_OFFSET, scene, config,
-        coherent=False,
+        coherent=False, origin_prim=oprim,
     )
     wo_local = to_local(wo_world, geo.normal)
     wi_local = to_local(es.wi, geo.normal)
@@ -130,7 +131,10 @@ def _bounce(scene, config, n, carry, depth):
     new_rd = to_world(wi_s, geo.normal)
     new_ro = geo.position
     # bounce directions are incoherent -> the sweep sorts them internally
-    hit = intersect_closest(new_ro, new_rd, tmin, tmax, scene, config, coherent=False)
+    hit = intersect_closest(
+        new_ro, new_rd, tmin, tmax, scene, config,
+        coherent=False, origin_prim=oprim,
+    )
 
     # escape -> environment MIS (main.cu:166-169; same deviation as the
     # NEE weight above: the env's selection probability belongs in its
@@ -160,7 +164,8 @@ def _bounce(scene, config, n, carry, depth):
     take_e = active & (geo.emitter_id >= 0) & ~is_zero(emit_pdf) & geo.front
     radiance = radiance + where(take_e, throughput * emit_rad * mis_hit, zero3)
 
-    return (state, active, radiance, throughput, wo_world, geo, local)
+    oprim = jnp.where(hit.kind == 0, hit.prim, -1)
+    return (state, active, radiance, throughput, wo_world, geo, local, oprim)
 
 
 def render_sample(
@@ -215,7 +220,8 @@ def render_sample(
     # The reference writes one RNG draw to the debug AOV (main.cu:101).
     state, test_aov = rng.next_float(state)
 
-    carry = (state, active, radiance, throughput, -rd, geo, local)
+    oprim = jnp.where(hit.kind == 0, hit.prim, -1)
+    carry = (state, active, radiance, throughput, -rd, geo, local, oprim)
     if config.max_depth > 1:
         depths = jnp.arange(1, config.max_depth, dtype=jnp.int32)
         carry, _ = jax.lax.scan(
