@@ -137,7 +137,7 @@ def _ray_sort_key(ro: Vec3, rd: Vec3) -> jnp.ndarray:
 SORT_CHUNK_THRESHOLD = 16  # sort rays when the scene has > this many chunks
 
 
-def _ray_sort_key_leaf(origin_prim, rd: Vec3, config: RenderConfig):
+def _ray_sort_key_leaf(origin_prim, rd: Vec3, config: RenderConfig, mask=None):
     """Coherence keys for secondary rays WITH a known origin primitive:
     (coarse origin-leaf group, 18-bit direction Morton, fine leaf).
 
@@ -177,6 +177,10 @@ def _ray_sort_key_leaf(origin_prim, rd: Vec3, config: RenderConfig):
         (expand6(q6(rd.x)) << 2) | (expand6(q6(rd.y)) << 1) | expand6(q6(rd.z))
     )
     k1 = ((leaf >> 2) << 18) | md6
+    if mask is not None:
+        # culled lanes sort LAST: their tiles hold only empty-interval
+        # rays, so the traversal kernel exits at the root slab test
+        k1 = jnp.where(mask, k1, jnp.uint32(0xFFFFFFFF))
     return k1, leaf
 
 
@@ -224,11 +228,11 @@ def _sorted_ray_sweep(
 
 def _sweep_tris_pallas(
     ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData,
-    config: RenderConfig, coherent: bool = True, origin_prim=None,
+    config: RenderConfig, coherent: bool = True, origin_prim=None, mask=None,
 ):
     n_chunks = scene.tris.chunk_boxes.shape[0]
     sort_keys = (
-        _ray_sort_key_leaf(origin_prim, rd, config)
+        _ray_sort_key_leaf(origin_prim, rd, config, mask)
         if origin_prim is not None and config.bvh_nodes > 0
         else None
     )
@@ -379,11 +383,19 @@ def intersect_closest(
     config: RenderConfig,
     coherent: bool = True,
     origin_prim: jnp.ndarray | None = None,
+    mask: jnp.ndarray | None = None,
 ) -> Hit:
     """``origin_prim``: per-lane primitive index the ray originates on
     (tri row in BVH order; anything out of [0, tri_count) groups as
     'other'). Enables the measured-best secondary-ray sort key — see
-    _ray_sort_key_leaf."""
+    _ray_sort_key_leaf.
+
+    ``mask``: lanes whose result the caller will actually use. Culled
+    lanes get an EMPTY ray interval (tmax = -1, guaranteed miss on every
+    backend) and sort to the end, so whole tiles of dead rays terminate
+    at the BVH root — the TPU analog of not launching the ray at all."""
+    if mask is not None:
+        tmax = jnp.where(mask, tmax, -1.0)
     n = ro.x.shape[0]
     best = (
         jnp.full(n, MAX_DISTANCE, jnp.float32),
@@ -395,7 +407,7 @@ def intersect_closest(
     if config.tri_count > 0:
         if _use_pallas():
             best = _sweep_tris_pallas(
-                ro, rd, tmin, tmax, scene, config, coherent, origin_prim
+                ro, rd, tmin, tmax, scene, config, coherent, origin_prim, mask
             )
         else:
             best = _sweep_tris_xla(ro, rd, tmin, tmax, scene)
@@ -421,6 +433,7 @@ def intersect_any(
     config: RenderConfig,
     coherent: bool = True,
     origin_prim: jnp.ndarray | None = None,
+    mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Occlusion test (shadow rays): any hit in (tmin, tmax) -> True.
 
@@ -428,7 +441,12 @@ def intersect_any(
     (the reference's shadow rays, render/emitter.h:91-100) — no
     closest-hit bookkeeping, lanes drop out once occluded. Elsewhere the
     closest-hit sweep doubles as the occlusion test.
+
+    ``mask``: see intersect_closest — culled lanes return un-occluded
+    and cost nothing (empty interval + sorted last).
     """
+    if mask is not None:
+        tmax = jnp.where(mask, tmax, -1.0)
     if config.tri_count > 0 and config.bvh_nodes > 0 and _use_pallas():
         from pupiloptixlab_tpu.accel.pallas_bvh import bvh_anyhit
 
@@ -445,7 +463,7 @@ def intersect_any(
 
         n_chunks = scene.tris.chunk_boxes.shape[0]
         sort_keys = (
-            _ray_sort_key_leaf(origin_prim, rd, config)
+            _ray_sort_key_leaf(origin_prim, rd, config, mask)
             if origin_prim is not None
             else None
         )

@@ -92,18 +92,23 @@ def _bounce(scene, config, n, carry, depth):
         em, tex, config, idx, use_env,
         geo.position, geo.normal, u_l1, u_l2,
     )
-    # shadow directions are importance-sampled (env/emitter surface) ->
-    # incoherent on large scenes; the sweep sorts them internally by
-    # (origin leaf, direction) — see accel/intersect._ray_sort_key_leaf
-    occluded = intersect_any(
-        geo.position, es.wi, tmin, es.distance - RAY_OFFSET, scene, config,
-        coherent=False, origin_prim=oprim,
-    )
     wo_local = to_local(wo_world, geo.normal)
     wi_local = to_local(es.wi, geo.normal)
     f_nee, pdf_bsdf = bsdf_mod.evaluate(local, wo_local, wi_local, config.mat_types)
     nol = geo.normal.dot(es.wi)
     nonzero = ~is_zero(f_nee * es.pdf)
+    # A shadow ray only matters where the NEE contribution can be
+    # nonzero — the BSDF eval runs BEFORE the sweep so delta-lobe lanes
+    # (f_nee = 0), below-horizon light samples and dead lanes are culled
+    # from the traversal entirely (the reference simply doesn't trace
+    # them, main.cu:130-134). Shadow directions are importance-sampled
+    # (env/emitter surface) -> incoherent on large scenes; the sweep
+    # sorts them by (origin leaf, direction), culled lanes last.
+    shadow_mask = active & nonzero & (nol > 0.0)
+    occluded = intersect_any(
+        geo.position, es.wi, tmin, es.distance - RAY_OFFSET, scene, config,
+        coherent=False, origin_prim=oprim, mask=shadow_mask,
+    )
     # DELIBERATE DEVIATION from main.cu:135-137: the reference computes
     # the balance weight from the emitter pdf WITHOUT the selection
     # probability while the BSDF-hit side (main.cu:180) includes it, so
@@ -115,7 +120,7 @@ def _bounce(scene, config, n, carry, depth):
     mis = jnp.where(es.is_delta, 1.0, mis_weight(pdf_light, pdf_bsdf))
     scale = nol * mis / jnp.maximum(pdf_light, _TINY)
     contrib = throughput * es.radiance * f_nee * scale
-    take = active & (~occluded) & nonzero & (nol > 0.0)
+    take = shadow_mask & ~occluded
     radiance = radiance + where(take, contrib, zero3)
 
     # --- BSDF sampling + bounce (main.cu:142-183) ----------------------------
@@ -130,10 +135,11 @@ def _bounce(scene, config, n, carry, depth):
 
     new_rd = to_world(wi_s, geo.normal)
     new_ro = geo.position
-    # bounce directions are incoherent -> the sweep sorts them internally
+    # bounce directions are incoherent -> the sweep sorts them
+    # internally; dead lanes (absorbed / escaped / RR-killed) are culled
     hit = intersect_closest(
         new_ro, new_rd, tmin, tmax, scene, config,
-        coherent=False, origin_prim=oprim,
+        coherent=False, origin_prim=oprim, mask=active,
     )
 
     # escape -> environment MIS (main.cu:166-169; same deviation as the
