@@ -117,7 +117,7 @@ def _slab8(blk, ox, oy, oz, ix, iy, iz, tmn_v, tfar_clamp):
 def _make_closest_kernel(tcl: int):
     def kernel(child_ref, ax_ref, box_ref, tri_ref,
                rox, roy, roz, rdx, rdy, rdz, irx, iry, irz, tmn, tmx,
-               tbest, ibest, stack_ref):
+               tbest, ibest, nstack_ref, lstack_ref):
         tbest[:] = jnp.full_like(tbest[:], MAX_DISTANCE)
         ibest[:] = jnp.full_like(ibest[:], -1)
 
@@ -131,24 +131,31 @@ def _make_closest_kernel(tcl: int):
         sy = (jnp.sum(dy) >= 0.0).astype(jnp.int32)
         sz = (jnp.sum(dz) >= 0.0).astype(jnp.int32)
 
-        stack_ref[0] = 0
+        nstack_ref[0] = 0
 
-        def cond(sp):
-            return sp > 0
+        def cond(c):
+            nsp, lsp = c
+            return (nsp > 0) | (lsp > 0)
 
-        def body(sp):
-            # the stack holds internal (>= 0) AND leaf (< 0) entries;
-            # dispatch at pop. Mosaic constraint (measured): pl.when with
-            # VMEM mutation is only safe at the TOP level of the loop
-            # body — a guarded MT inside the unrolled child loop SIGABRTs
-            # the compiler — and stack stores must be unconditional.
-            node = stack_ref[sp - 1]
-            sp = sp - 1
-            is_leaf = node < 0
+        def body(c):
+            # TWO stacks: internal nodes and leaf row-starts. Each
+            # iteration drains one leaf AND pops one node, so a leaf
+            # visit never pays a wasted wide test and leaf/node work
+            # overlaps (the one-stack pop-dispatch version spent a full
+            # (8, rb, 128) slab test per leaf pop, ~27% of a leaf's MT
+            # cost, and one iteration+sync per entry instead of per
+            # pair). Mosaic constraints (measured, see CLAUDE.md): the
+            # VMEM-mutating pl.when blocks sit at the TOP level of the
+            # body, and all SMEM stack stores are unconditional with
+            # conditional index bumps.
+            nsp, lsp = c
 
-            @pl.when(is_leaf)
+            have_leaf = lsp > 0
+            lstart = lstack_ref[jnp.maximum(lsp - 1, 0)]
+
+            @pl.when(have_leaf)
             def _():
-                start = pl.multiple_of(-node - 1, tcl)
+                start = pl.multiple_of(lstart, tcl)
                 rows = tri_ref[pl.ds(start, tcl), :]
                 t = _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v)
                 tmin_c = jnp.min(t, axis=0)
@@ -157,10 +164,15 @@ def _make_closest_kernel(tcl: int):
                 tbest[:] = jnp.where(better, tmin_c, tbest[:])
                 ibest[:] = jnp.where(better, start + jmin, ibest[:])
 
-            # wide child test (unconditional; a leaf pop reads node 0's
-            # boxes and gates the resulting bits to zero)
-            safe = jnp.where(is_leaf, 0, node)
-            blk = box_ref[pl.ds(pl.multiple_of(safe * 8, 8), 8), :]
+            lsp = lsp - have_leaf.astype(jnp.int32)
+
+            have_node = nsp > 0
+            # dead slots may hold leaf ids (unconditional stores below),
+            # so clamp the idle-pop read to the root (bits gate to 0)
+            node = jnp.where(have_node, nstack_ref[jnp.maximum(nsp - 1, 0)], 0)
+            node = jnp.maximum(node, 0)
+            nsp = nsp - have_node.astype(jnp.int32)
+            blk = box_ref[pl.ds(pl.multiple_of(node * 8, 8), 8), :]
             tn, tf = _slab8(
                 blk, ox, oy, oz, ix, iy, iz, tmn_v,
                 jnp.minimum(tbest[:], tmx_v),
@@ -172,22 +184,26 @@ def _make_closest_kernel(tcl: int):
             want = jnp.any(hit2, axis=1, keepdims=True)  # (8, 1)
             weights = 1 << jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
             bits = jnp.sum(want.astype(jnp.int32) * weights)  # ONE sync
-            bits = jnp.where(is_leaf, 0, bits)
-            axis = ax_ref[safe]
+            bits = jnp.where(have_node, bits, 0)
+            axis = ax_ref[node]
             fwd = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
-            sp2 = sp
+            nsp2, lsp2 = nsp, lsp
             for k in range(8):
                 # children sorted ascending along axis: dir>=0 means low k
                 # is near -> iterate far-to-near so near is popped first
                 kk = jnp.where(fwd == 1, 7 - k, k)
                 take = (bits >> kk) & 1
-                # unconditional store + conditional bump: slot sp2 is
-                # dead until committed
-                stack_ref[sp2] = child_ref[safe * 8 + kk]
-                sp2 = sp2 + take
-            return sp2
+                cid = child_ref[node * 8 + kk]
+                is_leaf_c = (cid < 0).astype(jnp.int32)
+                # unconditional store + conditional bump: uncommitted
+                # slots are dead
+                nstack_ref[nsp2] = cid
+                nsp2 = nsp2 + take * (1 - is_leaf_c)
+                lstack_ref[lsp2] = -cid - 1
+                lsp2 = lsp2 + take * is_leaf_c
+            return (nsp2, lsp2)
 
-        jax.lax.while_loop(cond, body, 1)
+        jax.lax.while_loop(cond, body, (1, 0))
 
     return kernel
 
@@ -195,7 +211,7 @@ def _make_closest_kernel(tcl: int):
 def _make_anyhit_kernel(tcl: int):
     def kernel(child_ref, ax_ref, box_ref, tri_ref,
                rox, roy, roz, rdx, rdy, rdz, irx, iry, irz, tmn, tmx,
-               occ, stack_ref):
+               occ, nstack_ref, lstack_ref):
         occ[:] = jnp.zeros_like(occ[:])
 
         ox, oy, oz = rox[:], roy[:], roz[:]
@@ -203,27 +219,34 @@ def _make_anyhit_kernel(tcl: int):
         ix, iy, iz = irx[:], iry[:], irz[:]
         tmn_v, tmx_v = tmn[:], tmx[:]
 
-        stack_ref[0] = 0
+        nstack_ref[0] = 0
 
-        def cond(sp):
-            return sp > 0
+        def cond(c):
+            nsp, lsp = c
+            return (nsp > 0) | (lsp > 0)
 
-        def body(sp):
-            # pop-dispatch structure: see the closest kernel's Mosaic notes
-            node = stack_ref[sp - 1]
-            sp = sp - 1
-            is_leaf = node < 0
+        def body(c):
+            # two-stack leaf/node overlap: see the closest kernel
+            nsp, lsp = c
 
-            @pl.when(is_leaf)
+            have_leaf = lsp > 0
+            lstart = lstack_ref[jnp.maximum(lsp - 1, 0)]
+
+            @pl.when(have_leaf)
             def _():
-                start = pl.multiple_of(-node - 1, tcl)
+                start = pl.multiple_of(lstart, tcl)
                 rows = tri_ref[pl.ds(start, tcl), :]
                 t = _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v)
                 hit_here = jnp.min(t, axis=0) < MAX_DISTANCE
                 occ[:] = jnp.where(hit_here, 1, occ[:])
 
-            safe = jnp.where(is_leaf, 0, node)
-            blk = box_ref[pl.ds(pl.multiple_of(safe * 8, 8), 8), :]
+            lsp = lsp - have_leaf.astype(jnp.int32)
+
+            have_node = nsp > 0
+            node = jnp.where(have_node, nstack_ref[jnp.maximum(nsp - 1, 0)], 0)
+            node = jnp.maximum(node, 0)
+            nsp = nsp - have_node.astype(jnp.int32)
+            blk = box_ref[pl.ds(pl.multiple_of(node * 8, 8), 8), :]
             # occluded lanes never extend tf past tn -> they stop voting;
             # a fully occluded tile prunes the rest of the tree
             tfar = jnp.where(occ[:] != 0, -MAX_DISTANCE, tmx_v)
@@ -232,15 +255,23 @@ def _make_anyhit_kernel(tcl: int):
             want = jnp.any(hit2, axis=1, keepdims=True)
             weights = 1 << jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
             bits = jnp.sum(want.astype(jnp.int32) * weights)
-            bits = jnp.where(is_leaf, 0, bits)
-            sp2 = sp
+            bits = jnp.where(have_node, bits, 0)
+            nsp2, lsp2 = nsp, lsp
             for k in range(8):  # fixed order: any hit terminates
                 take = (bits >> k) & 1
-                stack_ref[sp2] = child_ref[safe * 8 + k]
-                sp2 = sp2 + take
-            return sp2
+                cid = child_ref[node * 8 + k]
+                is_leaf_c = (cid < 0).astype(jnp.int32)
+                nstack_ref[nsp2] = cid
+                nsp2 = nsp2 + take * (1 - is_leaf_c)
+                lstack_ref[lsp2] = -cid - 1
+                lsp2 = lsp2 + take * is_leaf_c
+            # a fully occluded tile is done: drop both stacks
+            all_occ = jnp.min(occ[:]) > 0
+            nsp2 = jnp.where(all_occ, 0, nsp2)
+            lsp2 = jnp.where(all_occ, 0, lsp2)
+            return (nsp2, lsp2)
 
-        jax.lax.while_loop(cond, body, 1)
+        jax.lax.while_loop(cond, body, (1, 0))
 
     return kernel
 
@@ -255,7 +286,7 @@ def _ray_specs(rb: int, count: int):
     ]
 
 
-def _call(kernel, tri, boxes, n, rb, outs, interpret, flops):
+def _call(kernel, tri, boxes, n, rb, outs, interpret, flops, leaf_count):
     rows = n // LANES
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # child ids + axes in SMEM
@@ -275,7 +306,12 @@ def _call(kernel, tri, boxes, n, rb, outs, interpret, flops):
         )
         if len(outs) > 1
         else pl.BlockSpec((rb, LANES), lambda r, *_: (r, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((STACK_SIZE,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((STACK_SIZE,), jnp.int32),
+            # leaf stack: drained 1/iteration, so worst-case depth is
+            # every leaf pushed before any drain = the whole leaf count
+            pltpu.SMEM((max(leaf_count + 8, 64),), jnp.int32),
+        ],
     )
     out_shape = tuple(
         jax.ShapeDtypeStruct((rows, LANES), dt) for dt in outs
@@ -331,6 +367,7 @@ def bvh_closest(
         _make_closest_kernel(tcl), tri, bvh_boxes, n, rb,
         (jnp.float32, jnp.int32), interpret,
         flops=int(55 * n * max(tri.shape[0] * 0.05, tcl)),
+        leaf_count=tri.shape[0] // tcl,
     )
     tbest, ibest = call(
         bvh_child, bvh_axis, bvh_boxes, tri,
@@ -357,6 +394,7 @@ def bvh_anyhit(
         _make_anyhit_kernel(tcl), tri, bvh_boxes, n, rb,
         (jnp.int32,), interpret,
         flops=int(55 * n * max(tri.shape[0] * 0.025, tcl)),
+        leaf_count=tri.shape[0] // tcl,
     )
     occ = call(
         bvh_child, bvh_axis, bvh_boxes, tri,

@@ -72,7 +72,8 @@ def _first_hit_emission(scene, config, geo) -> Vec3:
 
 def _bounce(scene, config, n, carry, depth):
     """One NEE + BSDF-bounce iteration (the body of main.cu:103-184)."""
-    state, active, radiance, throughput, wo_world, geo, local, oprim = carry
+    (state, active, radiance, throughput, wo_world, geo, local, oprim,
+     esc) = carry
     em, tex = scene.emitters, scene.textures
     tmin = jnp.full(n, RAY_OFFSET, jnp.float32)
     tmax = jnp.full(n, MAX_DISTANCE, jnp.float32)
@@ -142,13 +143,20 @@ def _bounce(scene, config, n, carry, depth):
         coherent=False, origin_prim=oprim, mask=active,
     )
 
-    # escape -> environment MIS (main.cu:166-169; same deviation as the
-    # NEE weight above: the env's selection probability belongs in its
-    # sampling density on both sides of the balance heuristic)
-    env_rad, env_pdf = emitter_mod.eval_env(em, tex, config, new_rd)
-    escaped = active & ~hit.hit_mask
-    mis_env = mis_weight(pdf_s, env_pdf * em.env_select_prob)
-    radiance = radiance + where(escaped, throughput * env_rad * mis_env, zero3)
+    # escape -> environment MIS (main.cu:166-169). A lane escapes at
+    # most ONCE (it goes inactive forever after), so instead of paying
+    # eval_env's pool gathers EVERY bounce the escape is recorded
+    # (direction, throughput, bsdf pdf) and resolved by a single
+    # deferred eval_env after the scan (render_sample). Equivalent
+    # term-for-term; only the float accumulation order changes.
+    if config.has_env:
+        esc_mask, esc_dir, esc_tp, esc_pdf = esc
+        escaped = active & ~hit.hit_mask
+        esc_mask = esc_mask | escaped
+        esc_dir = where(escaped, new_rd, esc_dir)
+        esc_tp = where(escaped, throughput, esc_tp)
+        esc_pdf = jnp.where(escaped, pdf_s, esc_pdf)
+        esc = (esc_mask, esc_dir, esc_tp, esc_pdf)
     active = active & hit.hit_mask
 
     geo = get_local_geometry(scene, hit, new_ro, new_rd, config.sphere_count)
@@ -171,7 +179,8 @@ def _bounce(scene, config, n, carry, depth):
     radiance = radiance + where(take_e, throughput * emit_rad * mis_hit, zero3)
 
     oprim = jnp.where(hit.kind == 0, hit.prim, -1)
-    return (state, active, radiance, throughput, wo_world, geo, local, oprim)
+    return (state, active, radiance, throughput, wo_world, geo, local, oprim,
+            esc)
 
 
 def render_sample(
@@ -209,9 +218,15 @@ def render_sample(
     throughput = Vec3.ones(n)
     zero3 = Vec3.zeros(n)
 
-    # Primary miss -> un-weighted environment radiance (main.cu:84,196-212).
-    env_rad0, _ = emitter_mod.eval_env(em, tex, config, rd)
-    radiance = radiance + where(~active, env_rad0, zero3)
+    # Primary miss -> un-weighted environment radiance (main.cu:84,
+    # 196-212), deferred to the single post-scan eval_env below
+    # (esc_pdf = -1 encodes "no MIS weight"). Env-less scenes carry no
+    # escape state at all (config is static).
+    esc = (
+        (~active, rd, Vec3.ones(n), jnp.full(n, -1.0, jnp.float32))
+        if config.has_env
+        else None
+    )
 
     # First-hit emission (main.cu:87-92; one-sided on the stored normal,
     # consistent with every other emission term — see LocalGeometry.front).
@@ -227,13 +242,30 @@ def render_sample(
     state, test_aov = rng.next_float(state)
 
     oprim = jnp.where(hit.kind == 0, hit.prim, -1)
-    carry = (state, active, radiance, throughput, -rd, geo, local, oprim)
+    carry = (state, active, radiance, throughput, -rd, geo, local, oprim, esc)
     if config.max_depth > 1:
         depths = jnp.arange(1, config.max_depth, dtype=jnp.int32)
         carry, _ = jax.lax.scan(
             lambda c, d: (_bounce(scene, config, n, c, d), None), carry, depths
         )
     radiance = carry[2]
+
+    # Deferred environment resolve: ONE eval_env per sample instead of
+    # one per bounce (each lane escapes at most once). Primary misses
+    # (esc_pdf < 0) take the radiance un-weighted; bounce escapes apply
+    # the balance MIS weight with the env's selection probability in its
+    # sampling density (same deviation as the NEE weight in _bounce).
+    if config.has_env:
+        esc_mask, esc_dir, esc_tp, esc_pdf = carry[8]
+        env_rad, env_pdf = emitter_mod.eval_env(em, tex, config, esc_dir)
+        mis_env = jnp.where(
+            esc_pdf < 0.0,
+            1.0,
+            mis_weight(esc_pdf, env_pdf * em.env_select_prob),
+        )
+        radiance = radiance + where(
+            esc_mask, esc_tp * env_rad * mis_env, zero3
+        )
 
     return {
         "radiance": radiance.to_array(),
