@@ -71,6 +71,28 @@ def _diffuse_fresnel_reflectance(eta: float) -> float:
     )
 
 
+def _quad_pack(pixels: np.ndarray) -> np.ndarray:
+    """(h, w, 3) image -> ((h+1)*(w+1), 12) quad rows: row (yq, xq) holds
+    the border-clamped 2x2 bilinear footprint [c00 c10 c01 c11] whose
+    origin texel is (xq-1, yq-1). Matches render/texture.py's clamped
+    four-fetch bit for bit (same texels, same order)."""
+    h, w = pixels.shape[:2]
+    x0 = np.clip(np.arange(-1, w), 0, w - 1)
+    x1 = np.clip(np.arange(-1, w) + 1, 0, w - 1)
+    y0 = np.clip(np.arange(-1, h), 0, h - 1)
+    y1 = np.clip(np.arange(-1, h) + 1, 0, h - 1)
+    c00 = pixels[y0[:, None], x0[None, :]]
+    c10 = pixels[y0[:, None], x1[None, :]]
+    c01 = pixels[y1[:, None], x0[None, :]]
+    c11 = pixels[y1[:, None], x1[None, :]]
+    return np.concatenate([c00, c10, c01, c11], axis=-1).reshape(-1, 12)
+
+
+# Above this many quad rows (~192 MB f32) the quad pool is dropped and
+# bilinear fetches fall back to four pool gathers.
+_MAX_QUAD_ROWS = 4 * 1024 * 1024
+
+
 class _TextureBuilder:
     def __init__(self):
         self.kind: list[int] = []
@@ -85,6 +107,12 @@ class _TextureBuilder:
         self.pool: list[np.ndarray] = []
         self._pool_size = 0
         self._bitmap_cache: dict[int, int] = {}  # id(data) -> pool offset
+        # 2x2 quad pool: one gather per bilinear fetch instead of four
+        # (render/texture.py). 3x the pixel memory; capped below.
+        self.pool_bi: list[np.ndarray] = []
+        self._pool_bi_size = 0
+        self._bitmap_bi_cache: dict[int, int] = {}  # id(data) -> quad offset
+        self.offset_bi: list[int] = []
 
     def add(self, tex: Texture) -> int:
         idx = len(self.kind)
@@ -101,6 +129,7 @@ class _TextureBuilder:
             self.height.append(0)
             self.filter.append(0)
             self.address.append(0)
+            self.offset_bi.append(0)
         elif tex.type == TextureType.CHECKERBOARD:
             self.rgb.append(np.asarray(tex.patch1, np.float32))
             self.patch2.append(np.asarray(tex.patch2, np.float32))
@@ -109,6 +138,7 @@ class _TextureBuilder:
             self.height.append(0)
             self.filter.append(0)
             self.address.append(0)
+            self.offset_bi.append(0)
         else:  # bitmap: dedupe pixel blocks by array identity
             key = id(tex.data)
             if key not in self._bitmap_cache:
@@ -116,6 +146,10 @@ class _TextureBuilder:
                 pixels = np.ascontiguousarray(tex.data[..., :3], np.float32)
                 self.pool.append(pixels.reshape(-1, 3))
                 self._pool_size += pixels.shape[0] * pixels.shape[1]
+                self._bitmap_bi_cache[key] = self._pool_bi_size
+                quads = _quad_pack(pixels)
+                self.pool_bi.append(quads)
+                self._pool_bi_size += quads.shape[0]
             self.rgb.append(np.zeros(3, np.float32))
             self.patch2.append(np.zeros(3, np.float32))
             self.offset.append(self._bitmap_cache[key])
@@ -123,6 +157,7 @@ class _TextureBuilder:
             self.height.append(tex.height)
             self.filter.append(int(tex.filter_mode))
             self.address.append(int(tex.address_mode))
+            self.offset_bi.append(self._bitmap_bi_cache[key])
         return idx
 
     def build(self) -> TextureTable:
@@ -134,9 +169,14 @@ class _TextureBuilder:
             if self.pool
             else np.zeros((1, 3), np.float32)
         )
+        pool_bi = (
+            np.concatenate(self.pool_bi, axis=0)
+            if self.pool_bi and self._pool_bi_size <= _MAX_QUAD_ROWS
+            else np.zeros((1, 12), np.float32)
+        )
         from pupiloptixlab_tpu.flatten.types import (
             TEX_ADDRESS, TEX_COLS, TEX_FILTER, TEX_H, TEX_KIND, TEX_OFFSET,
-            TEX_PATCH2, TEX_RGB, TEX_UVT, TEX_W,
+            TEX_OFFSET_BI, TEX_PATCH2, TEX_RGB, TEX_UVT, TEX_W,
         )
 
         k = len(self.kind)
@@ -150,6 +190,7 @@ class _TextureBuilder:
         packed[:, TEX_H] = self.height
         packed[:, TEX_FILTER] = self.filter
         packed[:, TEX_ADDRESS] = self.address
+        packed[:, TEX_OFFSET_BI] = self.offset_bi
         return TextureTable(
             packed=jnp.asarray(packed),
             kind=jnp.asarray(self.kind, jnp.int32),
@@ -162,6 +203,7 @@ class _TextureBuilder:
             filter_mode=jnp.asarray(self.filter, jnp.int32),
             address_mode=jnp.asarray(self.address, jnp.int32),
             pool=jnp.asarray(pool, jnp.float32),  # (P, 3) rows
+            pool_bi=jnp.asarray(pool_bi, jnp.float32),  # (Q, 12) quads
         )
 
 

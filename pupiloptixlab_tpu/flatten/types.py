@@ -50,6 +50,7 @@ TEX_KIND = 0
 TEX_RGB, TEX_PATCH2 = slice(1, 4), slice(4, 7)
 TEX_UVT = slice(7, 13)  # row-major (2,3)
 TEX_OFFSET, TEX_W, TEX_H, TEX_FILTER, TEX_ADDRESS = 13, 14, 15, 16, 17
+TEX_OFFSET_BI = 18  # row offset into pool_bi (2x2 quad rows, see texture.py)
 TEX_COLS = 24
 
 # EmitterTable.packed (E, 32)
@@ -83,6 +84,10 @@ class TextureTable:
     filter_mode: jnp.ndarray   # (K,) i32: 0 point, 1 linear
     address_mode: jnp.ndarray  # (K,) i32: 0 wrap, 1 clamp, 2 mirror
     pool: jnp.ndarray          # (P,3) f32 pixel pool (row-major per image)
+    pool_bi: jnp.ndarray       # (Q,12) f32 2x2 quad pool: row (yq,xq) of a
+                               # (w+1,h+1) grid holds the clamped bilinear
+                               # footprint [c00 c10 c01 c11] for origin
+                               # (xq-1, yq-1); (1,12) dummy when disabled
 
 
 @_register

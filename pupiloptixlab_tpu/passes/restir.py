@@ -1,0 +1,135 @@
+"""ReSTIRPass — spatio-temporal reservoir resampling for direct light.
+
+The reference ships restir_test.xml as the intended scene for a
+ReSTIR-style pass but no pass implementation; this goes beyond parity
+(see render/restir.py for the estimator). Fits the Pass protocol exactly
+like PTPass: frame/accum buffers, dirty on camera/instance edits (which
+also resets the temporal reservoir history — a moved camera invalidates
+the identity warp), inspector knobs for M / spatial taps / radius.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pupiloptixlab_tpu.render.restir import N_PACK, restir_frame
+from pupiloptixlab_tpu.system.buffers import BufferFlag
+from pupiloptixlab_tpu.system.pass_base import Pass, PassTag
+from pupiloptixlab_tpu.utils.event import (
+    CAMERA_CHANGE,
+    RENDER_INSTANCE_UPDATE,
+    SCENE_LOAD,
+)
+
+_jit_frame = partial(
+    jax.jit,
+    static_argnames=("config", "m_candidates", "spatial_taps", "spatial_radius"),
+    donate_argnames=("prev_packed", "accum"),
+)(restir_frame)
+
+
+class ReSTIRPass(Pass):
+    def __init__(
+        self,
+        name: str = "ReSTIR DI",
+        m_candidates: int = 8,
+        spatial_taps: int = 3,
+        spatial_radius: int = 16,
+    ):
+        super().__init__(name, PassTag.NONE)
+        self.system = None
+        self.m_candidates = m_candidates
+        self.spatial_taps = spatial_taps
+        self.spatial_radius = spatial_radius
+        self.accumulate = True
+        self.sample_cnt = 0
+        self.seed = 0
+        self._dirty = True
+        self._scene_data = None
+        self._config = None
+        self._accum = None
+        self._reservoirs = None
+
+    def bind(self, system) -> None:
+        self.system = system
+        system.events.bind(SCENE_LOAD, lambda world: self._set_scene(world))
+        system.events.bind(CAMERA_CHANGE, lambda _: self._mark_dirty())
+        system.events.bind(RENDER_INSTANCE_UPDATE, lambda _: self._mark_dirty())
+
+    def _mark_dirty(self) -> None:
+        self._dirty = True
+
+    def _reset_state(self, config) -> None:
+        n = config.width * config.height
+        self._accum = jnp.zeros((n, 3), jnp.float32)
+        self._reservoirs = jnp.zeros((n, N_PACK), jnp.float32)
+        self.sample_cnt = 0
+
+    def _set_scene(self, world) -> None:
+        data, config = world.get_scene_data()
+        config = dataclasses.replace(config, accumulate=self.accumulate)
+        self._scene_data, self._config = data, config
+        self._reset_state(config)
+        bm = self.system.buffers
+        n = config.width * config.height
+        w, h = config.width, config.height
+        bm.add("restir frame", jnp.zeros((n, 3), jnp.float32), BufferFlag.ALLOW_DISPLAY, w, h)
+        bm.add("restir accum", jnp.zeros((n, 3), jnp.float32), BufferFlag.ALLOW_DISPLAY, w, h)
+        self._dirty = True
+
+    def on_run(self) -> None:
+        if self._scene_data is None:
+            return
+        if self._dirty:
+            world = self.system.world
+            data, config = world.get_scene_data()
+            config = dataclasses.replace(config, accumulate=self.accumulate)
+            self._scene_data, self._config = data, config
+            # a camera/scene edit invalidates the identity temporal warp
+            self._reset_state(config)
+            self._dirty = False
+
+        camera = self.system.world.get_camera_block()
+        self._accum, self._reservoirs, frame = _jit_frame(
+            self._scene_data,
+            camera,
+            jnp.uint32(self.seed),
+            self._reservoirs,
+            self._accum,
+            jnp.int32(self.sample_cnt),
+            self._config,
+            m_candidates=self.m_candidates,
+            spatial_taps=self.spatial_taps,
+            spatial_radius=self.spatial_radius,
+        )
+        bm = self.system.buffers
+        bm.set_array("restir frame", self._accum)
+        bm.set_array("restir accum", self._accum)
+        if "final result" in bm:
+            bm.set_array("final result", self._accum)
+        self.sample_cnt += 1
+        self.seed += 1
+
+    def inspector(self) -> dict:
+        info = super().inspector()
+        info.update(
+            m_candidates=self.m_candidates,
+            spatial_taps=self.spatial_taps,
+            spatial_radius=self.spatial_radius,
+            sample_cnt=self.sample_cnt,
+        )
+        return info
+
+    def set_candidates(self, m: int) -> None:
+        self.m_candidates = max(1, min(int(m), 64))
+        self._mark_dirty()
+
+    def set_spatial(self, taps: int, radius: int | None = None) -> None:
+        self.spatial_taps = max(0, min(int(taps), 8))
+        if radius is not None:
+            self.spatial_radius = max(1, min(int(radius), 64))
+        self._mark_dirty()

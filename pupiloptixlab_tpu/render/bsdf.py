@@ -114,7 +114,10 @@ def get_local_bsdf(
         if any(t in mat_types for t in needed_by):
             tex_id = mcol[MAT_TEX0 + idx].astype(jnp.int32)
             cols = gather_cols(textures.packed, tex_id)
-            return sample_texture_cols(cols, textures.pool, uv, tex_kinds, tex_filters)
+            return sample_texture_cols(
+                cols, textures.pool, uv, tex_kinds, tex_filters,
+                textures.pool_bi,
+            )
         return zeros3
 
     need_alpha = (ROUGH_DIELECTRIC, ROUGH_CONDUCTOR, ROUGH_PLASTIC)

@@ -73,6 +73,8 @@ class EmitterSample:
     pdf: jnp.ndarray       # (N,) solid-angle pdf (0 when invalid)
     select_prob: jnp.ndarray  # (N,)
     is_delta: jnp.ndarray  # (N,) bool
+    light_normal: Vec3     # sampled light-surface normal (-wi for
+                           # env/delta lights); consumed by render/restir.py
 
 
 def select_emitter(em: EmitterTable, config: RenderConfig, u: jnp.ndarray):
@@ -151,7 +153,8 @@ def sample_direct(
 
     tex_cols = gather_cols(tex.packed, row[EM_RAD_TEX].astype(jnp.int32))
     radiance = sample_texture_cols(
-        tex_cols, tex.pool, uv, config.em_tex_kinds, config.em_tex_filters
+        tex_cols, tex.pool, uv, config.em_tex_kinds, config.em_tex_filters,
+        tex.pool_bi,
     )
     delta = pos - hit_pos
     dist = delta.length()
@@ -200,6 +203,8 @@ def sample_direct(
         if config.has_point_emitter or config.has_directional_emitter:
             is_delta = is_delta & ~use_env
 
+    if config.has_env:
+        nrm = where(use_env, -wi, nrm)
     return EmitterSample(
         wi=wi,
         distance=dist,
@@ -207,6 +212,9 @@ def sample_direct(
         pdf=pdf,
         select_prob=select_prob,
         is_delta=is_delta,
+        light_normal=where(is_delta, -wi, nrm) if (
+            config.has_point_emitter or config.has_directional_emitter
+        ) else nrm,
     )
 
 
@@ -300,7 +308,8 @@ def eval_hit_emitter(
     )
     tex_cols = gather_cols(tex.packed, row[EM_RAD_TEX].astype(jnp.int32))
     radiance = sample_texture_cols(
-        tex_cols, tex.pool, hit_uv, config.em_tex_kinds, config.em_tex_filters
+        tex_cols, tex.pool, hit_uv, config.em_tex_kinds, config.em_tex_filters,
+        tex.pool_bi,
     )
     ok = emitter_id >= 0
     n = idx.shape[0]
@@ -343,7 +352,7 @@ def eval_env(
     tex_cols = gather_cols(tex.packed, rad_id)
     radiance = (
         sample_texture_cols(
-            tex_cols, tex.pool, uv, (2,), (config.env_filter,)
+            tex_cols, tex.pool, uv, (2,), (config.env_filter,), tex.pool_bi
         )
         * em.env_scale
     )

@@ -129,9 +129,14 @@ def get_local_geometry(
     mat_id = jnp.where(hit.hit_mask, mat_id, 0)
     emitter_id = jnp.where(hit.hit_mask, emitter_id, -1)
 
-    # twosided flip toward viewer (geometry.h:91-95)
+    # twosided flip toward viewer (geometry.h:91-95); the flag rides the
+    # one-hot gather path (the material table is small), not a native
+    # per-ray XLA gather
     front = (-rd).dot(normal) >= 0.0
-    twosided = scene.materials.packed[:, MAT_TWOSIDED][mat_id] > 0.5
+    twosided = (
+        gather_cols(scene.materials.packed[:, MAT_TWOSIDED][:, None], mat_id)[0]
+        > 0.5
+    )
     normal = where(~front & twosided, -normal, normal)
 
     return LocalGeometry(

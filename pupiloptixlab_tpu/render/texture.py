@@ -24,6 +24,7 @@ from pupiloptixlab_tpu.flatten.types import (
     TEX_H,
     TEX_KIND,
     TEX_OFFSET,
+    TEX_OFFSET_BI,
     TEX_PATCH2,
     TEX_RGB,
     TEX_UVT,
@@ -58,13 +59,20 @@ def sample_texture_cols(
     uv: Vec2,
     kinds: tuple[int, ...] = ALL_KINDS,
     filters: tuple[int, ...] = (0, 1),
+    pool_bi: jnp.ndarray | None = None,
 ) -> Vec3:
     """Sample from pre-gathered packed descriptor columns (TEX_COLS, N).
 
     ``kinds``/``filters`` specialize the emitted program to the texture
     kinds and bitmap filter modes reachable at THIS call site
     (RenderConfig.mat_tex_* / em_tex_*): each skipped filter mode saves
-    pixel-pool gathers, which dominate shading cost on big pools."""
+    pixel-pool gathers, which dominate shading cost on big pools.
+
+    ``pool_bi``: the flattener's (Q, 12) quad pool — when present (Q > 1,
+    a static shape check) a bilinear fetch is ONE gather of the packed
+    2x2 footprint instead of four pool gathers (measured 27 -> ~9 ms per
+    2M-lane env fetch). Texel values and blend order match the
+    four-fetch path bit for bit (flatten._quad_pack)."""
     rgb = Vec3(cols[TEX_RGB.start], cols[TEX_RGB.start + 1], cols[TEX_RGB.start + 2])
     if tuple(kinds) == (0,):
         return rgb  # constant-color-only scene
@@ -114,10 +122,20 @@ def sample_texture_cols(
             fy = y - y0
             x0i = x0.astype(jnp.int32)
             y0i = y0.astype(jnp.int32)
-            c00 = _fetch(pool, offset, wi, hi, x0i, y0i)
-            c10 = _fetch(pool, offset, wi, hi, x0i + 1, y0i)
-            c01 = _fetch(pool, offset, wi, hi, x0i, y0i + 1)
-            c11 = _fetch(pool, offset, wi, hi, x0i + 1, y0i + 1)
+            if pool_bi is not None and pool_bi.shape[0] > 1:
+                offset_bi = cols[TEX_OFFSET_BI].astype(jnp.int32)
+                xq = jnp.clip(x0i, -1, wi - 1) + 1
+                yq = jnp.clip(y0i, -1, hi - 1) + 1
+                q = gather_cols(pool_bi, offset_bi + yq * (wi + 1) + xq)
+                c00 = Vec3(q[0], q[1], q[2])
+                c10 = Vec3(q[3], q[4], q[5])
+                c01 = Vec3(q[6], q[7], q[8])
+                c11 = Vec3(q[9], q[10], q[11])
+            else:
+                c00 = _fetch(pool, offset, wi, hi, x0i, y0i)
+                c10 = _fetch(pool, offset, wi, hi, x0i + 1, y0i)
+                c01 = _fetch(pool, offset, wi, hi, x0i, y0i + 1)
+                c11 = _fetch(pool, offset, wi, hi, x0i + 1, y0i + 1)
             linear = (
                 c00 * ((1 - fx) * (1 - fy))
                 + c10 * (fx * (1 - fy))
@@ -144,4 +162,4 @@ def sample_texture(
 ) -> Vec3:
     """Sample texture ``tex_id`` (N,) at ``uv`` -> Vec3 linear rgb."""
     cols = gather_cols(tex.packed, tex_id)
-    return sample_texture_cols(cols, tex.pool, uv, kinds, filters)
+    return sample_texture_cols(cols, tex.pool, uv, kinds, filters, tex.pool_bi)

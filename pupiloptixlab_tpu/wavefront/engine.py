@@ -274,5 +274,6 @@ def _first_emit_radiance(scene, config, geo) -> Vec3:
     erow = gather_cols(em.packed, jnp.maximum(geo.emitter_id, 0))
     trow = gather_cols(tex.packed, erow[EM_RAD_TEX].astype(jnp.int32))
     return sample_texture_cols(
-        trow, tex.pool, geo.uv, config.em_tex_kinds, config.em_tex_filters
+        trow, tex.pool, geo.uv, config.em_tex_kinds, config.em_tex_filters,
+        tex.pool_bi,
     )

@@ -1,0 +1,131 @@
+"""ReSTIR-DI estimator tests.
+
+1. Reservoir streaming statistics: selection frequencies converge to
+   w_i / sum(w) (the weighted-reservoir-sampling invariant).
+2. End-to-end unbiasedness: the ReSTIR-DI image of a many-light scene
+   converges to the brute NEE+MIS PT image restricted to direct light
+   (depth 2) within statistical tolerance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pupiloptixlab_tpu.flatten import camera_block_from_scene, flatten_scene
+from pupiloptixlab_tpu.render.integrator import render
+from pupiloptixlab_tpu.render.restir import N_PACK, Reservoir, restir_frame
+from pupiloptixlab_tpu.render.vec import Vec3
+from pupiloptixlab_tpu.scene import load_scene
+
+RESTIR_XML = "/root/reference/data/static/restir_test.xml"
+
+
+def test_reservoir_selection_frequencies():
+    rng = np.random.RandomState(7)
+    n = 4096
+    weights = np.array([0.1, 1.0, 2.5, 0.4], np.float32)
+    r = Reservoir.zeros(n)
+    for i, w in enumerate(weights):
+        u = jnp.asarray(rng.rand(n), jnp.float32)
+        tag = float(i)
+        r = r.update(
+            u,
+            Vec3.broadcast(jnp.asarray([tag, 0.0, 0.0]), n),
+            Vec3.zeros(n),
+            Vec3.zeros(n),
+            jnp.ones(n),
+            jnp.full(n, w),
+            jnp.full(n, w),
+            jnp.ones(n),
+        )
+    sel = np.asarray(r.y_pos.x)
+    freq = np.array([(sel == i).mean() for i in range(len(weights))])
+    expect = weights / weights.sum()
+    assert np.abs(freq - expect).max() < 0.03, (freq, expect)
+    # w_sum accumulates every candidate; m counts them
+    assert np.allclose(np.asarray(r.w_sum), weights.sum())
+    assert np.allclose(np.asarray(r.m), len(weights))
+
+
+@pytest.fixture(scope="module")
+def restir_scene():
+    scene = load_scene(RESTIR_XML)
+    scene.sensor.film.w, scene.sensor.film.h = 96, 54
+    data, config = flatten_scene(scene)
+    camera = camera_block_from_scene(scene)
+    return data, config, camera
+
+
+def _downsample(img, f=8):
+    h, w = img.shape[:2]
+    return img[: h // f * f, : w // f * f].reshape(
+        h // f, f, w // f, f, 3
+    ).mean(axis=(1, 3))
+
+
+def test_restir_di_matches_pt_direct(restir_scene):
+    data, config, camera = restir_scene
+    n = config.width * config.height
+
+    # reference: PT at depth 2 = emission + direct light (NEE + MIS)
+    cfg2 = dataclasses.replace(config, max_depth=2, accumulate=True)
+    ref = np.asarray(render(data, camera, cfg2, spp=48))
+
+    accum = jnp.zeros((n, 3), jnp.float32)
+    packed = jnp.zeros((n, N_PACK), jnp.float32)
+    for s in range(24):
+        accum, packed, _ = restir_frame(
+            data, camera, jnp.uint32(1000 + s), packed, accum,
+            jnp.int32(s), cfg2, m_candidates=4, spatial_taps=2,
+            spatial_radius=8,
+        )
+    img = np.asarray(accum).reshape(config.height, config.width, 3)
+
+    # global unbiasedness: measured ratio 1.0006 at 48 frames (spatio-
+    # temporal reuse on) and 1.00007 with RIS only
+    ratio = img.mean() / ref.mean()
+    assert abs(ratio - 1.0) < 0.02, ratio
+
+    a = _downsample(img)
+    b = _downsample(ref)
+    mask = b.mean(axis=-1) > 1e-3
+    rel = np.abs(a - b).sum(axis=-1)[mask] / (b.sum(axis=-1)[mask] + 1e-3)
+    # bucket means track the reference (loose: both images carry MC
+    # noise at these sample counts)
+    assert np.median(rel) < 0.25, np.median(rel)
+
+
+def test_restir_variance_beats_single_nee(restir_scene):
+    """One ReSTIR frame (M=8 candidates, 1 shadow ray) should have far
+    lower direct-light variance than one NEE sample — the whole point.
+    Proxy: per-pixel luminance deviation from the converged reference."""
+    data, config, camera = restir_scene
+    n = config.width * config.height
+    cfg2 = dataclasses.replace(config, max_depth=2, accumulate=True)
+    ref = np.asarray(render(data, camera, cfg2, spp=48)).reshape(-1, 3)
+
+    accum = jnp.zeros((n, 3), jnp.float32)
+    packed = jnp.zeros((n, N_PACK), jnp.float32)
+    accum, packed, frame = restir_frame(
+        data, camera, jnp.uint32(5), packed, accum, jnp.int32(0), cfg2,
+        m_candidates=8, spatial_taps=0,
+    )
+    one_pt = np.asarray(
+        render(data, camera, dataclasses.replace(cfg2, accumulate=False),
+               spp=1, seed0=5)
+    ).reshape(-1, 3)
+
+    lum = np.array([0.2126, 0.7152, 0.0722])
+    err_restir = np.abs((np.asarray(frame) - ref) @ lum)
+    err_pt = np.abs((one_pt - ref) @ lum)
+    # compare robust (median) error: the 8-candidate reservoir must
+    # clearly beat one NEE draw (measured 0.0082 vs 0.0120; the PT side
+    # also carries indirect-light variance, so the gap understates the
+    # direct-light win)
+    assert np.median(err_restir) < 0.8 * np.median(err_pt), (
+        np.median(err_restir), np.median(err_pt)
+    )
