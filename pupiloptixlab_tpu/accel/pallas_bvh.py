@@ -114,12 +114,13 @@ def _slab8(blk, ox, oy, oz, ix, iy, iz, tmn_v, tfar_clamp):
     return tn, tf
 
 
-def _make_closest_kernel(tcl: int):
+def _make_closest_kernel(tcl: int, stream: bool = False):
     def kernel(child_ref, ax_ref, box_ref, tri_ref,
                rox, roy, roz, rdx, rdy, rdz, irx, iry, irz, tmn, tmx,
-               tbest, ibest, nstack_ref, lstack_ref):
+               tbest, ibest, nstack_ref, lstack_ref, *dma):
         tbest[:] = jnp.full_like(tbest[:], MAX_DISTANCE)
         ibest[:] = jnp.full_like(ibest[:], -1)
+        t_rows = tri_ref.shape[0]
 
         ox, oy, oz = rox[:], roy[:], roz[:]
         dx, dy, dz = rdx[:], rdy[:], rdz[:]
@@ -152,17 +153,43 @@ def _make_closest_kernel(tcl: int):
 
             have_leaf = lsp > 0
             lstart = lstack_ref[jnp.maximum(lsp - 1, 0)]
+            # clamp: the dead slot under an empty stack may hold garbage
+            start = pl.multiple_of(
+                jnp.clip(lstart, 0, t_rows - tcl), tcl
+            )
+            if stream:
+                # triangle table lives in HBM: DMA the leaf slice into
+                # VMEM scratch NOW (unconditionally — a dead fetch of
+                # row 0 is 1.5 KB) and overlap it with the wide test;
+                # waited right before the MT below
+                leaf_ref, sem = dma
+                copy = pltpu.make_async_copy(
+                    tri_ref.at[pl.ds(start, tcl), :], leaf_ref, sem
+                )
+                copy.start()
+
+            def leaf_rows():
+                if stream:
+                    copy.wait()
+                    return dma[0][:]
+                return tri_ref[pl.ds(start, tcl), :]
 
             @pl.when(have_leaf)
             def _():
-                start = pl.multiple_of(lstart, tcl)
-                rows = tri_ref[pl.ds(start, tcl), :]
+                rows = leaf_rows()
                 t = _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v)
                 tmin_c = jnp.min(t, axis=0)
                 jmin = jnp.argmin(t, axis=0)
                 better = tmin_c < tbest[:]
                 tbest[:] = jnp.where(better, tmin_c, tbest[:])
                 ibest[:] = jnp.where(better, start + jmin, ibest[:])
+
+            if stream:
+                # the DMA must complete exactly once per issue; a leaf
+                # drain waits inside the pl.when, idle iterations here
+                @pl.when(~have_leaf)
+                def _():
+                    copy.wait()
 
             lsp = lsp - have_leaf.astype(jnp.int32)
 
@@ -208,11 +235,12 @@ def _make_closest_kernel(tcl: int):
     return kernel
 
 
-def _make_anyhit_kernel(tcl: int):
+def _make_anyhit_kernel(tcl: int, stream: bool = False):
     def kernel(child_ref, ax_ref, box_ref, tri_ref,
                rox, roy, roz, rdx, rdy, rdz, irx, iry, irz, tmn, tmx,
-               occ, nstack_ref, lstack_ref):
+               occ, nstack_ref, lstack_ref, *dma):
         occ[:] = jnp.zeros_like(occ[:])
+        t_rows = tri_ref.shape[0]
 
         ox, oy, oz = rox[:], roy[:], roz[:]
         dx, dy, dz = rdx[:], rdy[:], rdz[:]
@@ -231,14 +259,33 @@ def _make_anyhit_kernel(tcl: int):
 
             have_leaf = lsp > 0
             lstart = lstack_ref[jnp.maximum(lsp - 1, 0)]
+            start = pl.multiple_of(
+                jnp.clip(lstart, 0, t_rows - tcl), tcl
+            )
+            if stream:
+                leaf_ref, sem = dma
+                copy = pltpu.make_async_copy(
+                    tri_ref.at[pl.ds(start, tcl), :], leaf_ref, sem
+                )
+                copy.start()
+
+            def leaf_rows():
+                if stream:
+                    copy.wait()
+                    return dma[0][:]
+                return tri_ref[pl.ds(start, tcl), :]
 
             @pl.when(have_leaf)
             def _():
-                start = pl.multiple_of(lstart, tcl)
-                rows = tri_ref[pl.ds(start, tcl), :]
+                rows = leaf_rows()
                 t = _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v)
                 hit_here = jnp.min(t, axis=0) < MAX_DISTANCE
                 occ[:] = jnp.where(hit_here, 1, occ[:])
+
+            if stream:
+                @pl.when(~have_leaf)
+                def _():
+                    copy.wait()
 
             lsp = lsp - have_leaf.astype(jnp.int32)
 
@@ -286,8 +333,24 @@ def _ray_specs(rb: int, count: int):
     ]
 
 
-def _call(kernel, tri, boxes, n, rb, outs, interpret, flops, leaf_count):
+def _call(kernel, tri, boxes, n, rb, outs, interpret, flops, leaf_count,
+          tcl=16, stream=False):
     rows = n // LANES
+    scratch = [
+        pltpu.SMEM((STACK_SIZE,), jnp.int32),
+        # leaf stack: drained 1/iteration, so worst-case depth is
+        # every leaf pushed before any drain = the whole leaf count
+        pltpu.SMEM((max(leaf_count + 8, 64),), jnp.int32),
+    ]
+    if stream:
+        # streaming mode (tables too big for VMEM): leaf slices are
+        # DMA'd from HBM into this scratch, overlapped with slab tests.
+        # The HBM table minor dim is padded to 128 because Mosaic only
+        # slices HBM memrefs on (1,128) tile boundaries.
+        scratch += [
+            pltpu.VMEM((tcl, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # child ids + axes in SMEM
         grid=(rows // rb,),
@@ -296,7 +359,8 @@ def _call(kernel, tri, boxes, n, rb, outs, interpret, flops, leaf_count):
                 boxes.shape, lambda r, *_: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                tri.shape, lambda r, *_: (0, 0), memory_space=pltpu.VMEM
+                tri.shape, lambda r, *_: (0, 0),
+                memory_space=pltpu.ANY if stream else pltpu.VMEM,
             ),
         ]
         + _ray_specs(rb, 11),
@@ -306,12 +370,7 @@ def _call(kernel, tri, boxes, n, rb, outs, interpret, flops, leaf_count):
         )
         if len(outs) > 1
         else pl.BlockSpec((rb, LANES), lambda r, *_: (r, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.SMEM((STACK_SIZE,), jnp.int32),
-            # leaf stack: drained 1/iteration, so worst-case depth is
-            # every leaf pushed before any drain = the whole leaf count
-            pltpu.SMEM((max(leaf_count + 8, 64),), jnp.int32),
-        ],
+        scratch_shapes=scratch,
     )
     out_shape = tuple(
         jax.ShapeDtypeStruct((rows, LANES), dt) for dt in outs
@@ -349,7 +408,19 @@ def _planes(n, rb, rox, roy, roz, rdx, rdy, rdz, tmin, tmax):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("rb", "tcl", "interpret"))
+# Triangle tables above this many bytes stay in HBM and stream leaf
+# slices by DMA (VMEM is ~16 MB/core and the rays/boxes/outputs need
+# room too).
+STREAM_TRI_BYTES = 8 * 1024 * 1024
+
+
+def _streaming(tri, stream):
+    if stream is None:
+        return tri.shape[0] * tri.shape[1] * 4 > STREAM_TRI_BYTES
+    return stream
+
+
+@functools.partial(jax.jit, static_argnames=("rb", "tcl", "interpret", "stream"))
 def bvh_closest(
     rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
     tri: jnp.ndarray,        # (T, 12) packed [p0, e1, e2, pad]
@@ -359,15 +430,19 @@ def bvh_closest(
     rb: int = DEFAULT_RB,
     tcl: int = 16,
     interpret: bool = False,
+    stream: bool | None = None,
 ):
     """Closest-hit traversal over ray planes; returns (t, idx)."""
     n = rox.shape[0]
     assert n % (rb * LANES) == 0, n
+    stream = _streaming(tri, stream)
+    if stream:
+        tri = jnp.pad(tri, ((0, 0), (0, 128 - tri.shape[1])))
     call = _call(
-        _make_closest_kernel(tcl), tri, bvh_boxes, n, rb,
+        _make_closest_kernel(tcl, stream), tri, bvh_boxes, n, rb,
         (jnp.float32, jnp.int32), interpret,
         flops=int(55 * n * max(tri.shape[0] * 0.05, tcl)),
-        leaf_count=tri.shape[0] // tcl,
+        leaf_count=tri.shape[0] // tcl, tcl=tcl, stream=stream,
     )
     tbest, ibest = call(
         bvh_child, bvh_axis, bvh_boxes, tri,
@@ -376,7 +451,7 @@ def bvh_closest(
     return tbest.reshape(n), ibest.reshape(n)
 
 
-@functools.partial(jax.jit, static_argnames=("rb", "tcl", "interpret"))
+@functools.partial(jax.jit, static_argnames=("rb", "tcl", "interpret", "stream"))
 def bvh_anyhit(
     rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
     tri: jnp.ndarray,
@@ -386,15 +461,19 @@ def bvh_anyhit(
     rb: int = DEFAULT_RB,
     tcl: int = 16,
     interpret: bool = False,
+    stream: bool | None = None,
 ):
     """Occlusion-only traversal; returns (N,) bool (True = occluded)."""
     n = rox.shape[0]
     assert n % (rb * LANES) == 0, n
+    stream = _streaming(tri, stream)
+    if stream:
+        tri = jnp.pad(tri, ((0, 0), (0, 128 - tri.shape[1])))
     call = _call(
-        _make_anyhit_kernel(tcl), tri, bvh_boxes, n, rb,
+        _make_anyhit_kernel(tcl, stream), tri, bvh_boxes, n, rb,
         (jnp.int32,), interpret,
         flops=int(55 * n * max(tri.shape[0] * 0.025, tcl)),
-        leaf_count=tri.shape[0] // tcl,
+        leaf_count=tri.shape[0] // tcl, tcl=tcl, stream=stream,
     )
     occ = call(
         bvh_child, bvh_axis, bvh_boxes, tri,

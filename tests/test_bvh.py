@@ -194,3 +194,32 @@ def test_flatten_builds_bvh_for_mesh_scene():
     pts = np.concatenate([p0[nz], (p0 + e1)[nz], (p0 + e2)[nz]], 0)
     assert (root_lo <= pts.min(0) + 1e-4).all()
     assert (root_hi >= pts.max(0) - 1e-4).all()
+
+
+def test_bvh_streaming_matches_resident():
+    """Forced HBM-streaming traversal (leaf DMA) must agree with the
+    VMEM-resident kernel exactly (interpret mode emulates the DMA)."""
+    r = np.random.RandomState(11)
+    tcl = 16
+    p0, p1, p2, t_pad = _random_soup(r, 3000, tcl)
+    bvh = build_bvh(p0, p1, p2, 3000, tcl)
+    o = bvh.order
+    p0o, p1o, p2o = p0[o], p1[o], p2[o]
+    tri = jnp.asarray(np.concatenate(
+        [p0o, p1o - p0o, p2o - p0o, np.zeros((t_pad, 3), np.float32)], 1
+    ))
+    n = 2048
+    ro, rd, tmin, tmax = _rays(r, n)
+    args = (
+        *[jnp.asarray(a) for a in (ro[:, 0], ro[:, 1], ro[:, 2],
+                                   rd[:, 0], rd[:, 1], rd[:, 2], tmin, tmax)],
+        tri,
+        jnp.asarray(bvh.child), jnp.asarray(bvh.axis), jnp.asarray(bvh.boxes),
+    )
+    t_a, i_a = bvh_closest(*args, tcl=tcl, interpret=True, stream=False)
+    t_b, i_b = bvh_closest(*args, tcl=tcl, interpret=True, stream=True)
+    np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+    np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
+    occ_a = bvh_anyhit(*args, tcl=tcl, interpret=True, stream=False)
+    occ_b = bvh_anyhit(*args, tcl=tcl, interpret=True, stream=True)
+    np.testing.assert_array_equal(np.asarray(occ_a), np.asarray(occ_b))
