@@ -134,65 +134,30 @@ def _make_closest_kernel(tcl: int, stream: bool = False):
 
         nstack_ref[0] = 0
 
-        def cond(c):
-            nsp, lsp = c
-            return (nsp > 0) | (lsp > 0)
-
-        def body(c):
-            # TWO stacks: internal nodes and leaf row-starts. Each
-            # iteration drains one leaf AND pops one node, so a leaf
-            # visit never pays a wasted wide test and leaf/node work
-            # overlaps (the one-stack pop-dispatch version spent a full
-            # (8, rb, 128) slab test per leaf pop, ~27% of a leaf's MT
-            # cost, and one iteration+sync per entry instead of per
-            # pair). Mosaic constraints (measured, see CLAUDE.md): the
-            # VMEM-mutating pl.when blocks sit at the TOP level of the
-            # body, and all SMEM stack stores are unconditional with
-            # conditional index bumps.
-            nsp, lsp = c
-
-            have_leaf = lsp > 0
-            lstart = lstack_ref[jnp.maximum(lsp - 1, 0)]
-            # clamp: the dead slot under an empty stack may hold garbage
-            start = pl.multiple_of(
-                jnp.clip(lstart, 0, t_rows - tcl), tcl
+        def leaf_copy(start):
+            leaf_ref, sem = dma
+            return pltpu.make_async_copy(
+                tri_ref.at[pl.ds(start, tcl), :], leaf_ref, sem
             )
-            if stream:
-                # triangle table lives in HBM: DMA the leaf slice into
-                # VMEM scratch NOW (unconditionally — a dead fetch of
-                # row 0 is 1.5 KB) and overlap it with the wide test;
-                # waited right before the MT below
-                leaf_ref, sem = dma
-                copy = pltpu.make_async_copy(
-                    tri_ref.at[pl.ds(start, tcl), :], leaf_ref, sem
-                )
-                copy.start()
 
-            def leaf_rows():
-                if stream:
-                    copy.wait()
-                    return dma[0][:]
-                return tri_ref[pl.ds(start, tcl), :]
+        def clamp_leaf(s):
+            return pl.multiple_of(jnp.clip(s, 0, t_rows - tcl), tcl)
 
-            @pl.when(have_leaf)
-            def _():
-                rows = leaf_rows()
-                t = _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v)
-                tmin_c = jnp.min(t, axis=0)
-                jmin = jnp.argmin(t, axis=0)
-                better = tmin_c < tbest[:]
-                tbest[:] = jnp.where(better, tmin_c, tbest[:])
-                ibest[:] = jnp.where(better, start + jmin, ibest[:])
+        def mt_update(rows, start):
+            t = _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v)
+            tmin_c = jnp.min(t, axis=0)
+            jmin = jnp.argmin(t, axis=0)
+            better = tmin_c < tbest[:]
+            tbest[:] = jnp.where(better, tmin_c, tbest[:])
+            ibest[:] = jnp.where(better, start + jmin, ibest[:])
 
-            if stream:
-                # the DMA must complete exactly once per issue; a leaf
-                # drain waits inside the pl.when, idle iterations here
-                @pl.when(~have_leaf)
-                def _():
-                    copy.wait()
-
-            lsp = lsp - have_leaf.astype(jnp.int32)
-
+        def pop_and_push(nsp, lsp):
+            """Pop one internal node, wide-test its 8 children, push
+            (this is the vector work a streamed leaf DMA overlaps).
+            Mosaic constraints (measured, see CLAUDE.md): the
+            VMEM-mutating pl.when blocks sit at the TOP level of the
+            loop body, and all SMEM stack stores are unconditional with
+            conditional index bumps."""
             have_node = nsp > 0
             # dead slots may hold leaf ids (unconditional stores below),
             # so clamp the idle-pop read to the root (bits gate to 0)
@@ -228,9 +193,61 @@ def _make_closest_kernel(tcl: int, stream: bool = False):
                 nsp2 = nsp2 + take * (1 - is_leaf_c)
                 lstack_ref[lsp2] = -cid - 1
                 lsp2 = lsp2 + take * is_leaf_c
-            return (nsp2, lsp2)
+            return nsp2, lsp2
 
-        jax.lax.while_loop(cond, body, (1, 0))
+        if stream:
+            # PREFETCHED two-stack traversal: the leaf DMA for this
+            # iteration's MT was issued at the END of the previous
+            # iteration, so it flies across the wide test + pushes and
+            # the wait here is (nearly) free. Carry holds the in-flight
+            # leaf's row start (-1 = dead fetch of row 0).
+            def cond(c):
+                nsp, lsp, pstart = c
+                return (nsp > 0) | (lsp > 0) | (pstart >= 0)
+
+            def body(c):
+                nsp, lsp, pstart = c
+                nsp2, lsp2 = pop_and_push(nsp, lsp)
+
+                leaf_copy(clamp_leaf(pstart)).wait()
+
+                @pl.when(pstart >= 0)
+                def _():
+                    mt_update(dma[0][:], clamp_leaf(pstart))
+
+                have_next = lsp2 > 0
+                nstart_raw = lstack_ref[jnp.maximum(lsp2 - 1, 0)]
+                nstart = jnp.where(have_next, nstart_raw, -1)
+                leaf_copy(clamp_leaf(nstart)).start()
+                lsp2 = lsp2 - have_next.astype(jnp.int32)
+                return (nsp2, lsp2, nstart)
+
+            leaf_copy(0).start()  # prime the pipeline (dead fetch)
+            jax.lax.while_loop(cond, body, (1, 0, -1))
+            leaf_copy(0).wait()  # retire the final in-flight fetch
+        else:
+            # VMEM-resident table: drain one leaf + pop one node per
+            # iteration (a leaf visit never pays a wasted wide test and
+            # leaf/node work overlaps; the one-stack pop-dispatch
+            # version spent a full (8, rb, 128) slab test per leaf pop)
+            def cond(c):
+                nsp, lsp = c
+                return (nsp > 0) | (lsp > 0)
+
+            def body(c):
+                nsp, lsp = c
+                have_leaf = lsp > 0
+                lstart = lstack_ref[jnp.maximum(lsp - 1, 0)]
+                start = clamp_leaf(lstart)
+
+                @pl.when(have_leaf)
+                def _():
+                    mt_update(tri_ref[pl.ds(start, tcl), :], start)
+
+                lsp = lsp - have_leaf.astype(jnp.int32)
+                return pop_and_push(nsp, lsp)
+
+            jax.lax.while_loop(cond, body, (1, 0))
 
     return kernel
 
@@ -249,46 +266,22 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False):
 
         nstack_ref[0] = 0
 
-        def cond(c):
-            nsp, lsp = c
-            return (nsp > 0) | (lsp > 0)
-
-        def body(c):
-            # two-stack leaf/node overlap: see the closest kernel
-            nsp, lsp = c
-
-            have_leaf = lsp > 0
-            lstart = lstack_ref[jnp.maximum(lsp - 1, 0)]
-            start = pl.multiple_of(
-                jnp.clip(lstart, 0, t_rows - tcl), tcl
+        def leaf_copy(start):
+            leaf_ref, sem = dma
+            return pltpu.make_async_copy(
+                tri_ref.at[pl.ds(start, tcl), :], leaf_ref, sem
             )
-            if stream:
-                leaf_ref, sem = dma
-                copy = pltpu.make_async_copy(
-                    tri_ref.at[pl.ds(start, tcl), :], leaf_ref, sem
-                )
-                copy.start()
 
-            def leaf_rows():
-                if stream:
-                    copy.wait()
-                    return dma[0][:]
-                return tri_ref[pl.ds(start, tcl), :]
+        def clamp_leaf(s):
+            return pl.multiple_of(jnp.clip(s, 0, t_rows - tcl), tcl)
 
-            @pl.when(have_leaf)
-            def _():
-                rows = leaf_rows()
-                t = _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v)
-                hit_here = jnp.min(t, axis=0) < MAX_DISTANCE
-                occ[:] = jnp.where(hit_here, 1, occ[:])
+        def occ_update(rows):
+            t = _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v)
+            hit_here = jnp.min(t, axis=0) < MAX_DISTANCE
+            occ[:] = jnp.where(hit_here, 1, occ[:])
 
-            if stream:
-                @pl.when(~have_leaf)
-                def _():
-                    copy.wait()
-
-            lsp = lsp - have_leaf.astype(jnp.int32)
-
+        def pop_and_push(nsp, lsp):
+            # two-stack leaf/node overlap: see the closest kernel
             have_node = nsp > 0
             node = jnp.where(have_node, nstack_ref[jnp.maximum(nsp - 1, 0)], 0)
             node = jnp.maximum(node, 0)
@@ -316,9 +309,53 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False):
             all_occ = jnp.min(occ[:]) > 0
             nsp2 = jnp.where(all_occ, 0, nsp2)
             lsp2 = jnp.where(all_occ, 0, lsp2)
-            return (nsp2, lsp2)
+            return nsp2, lsp2
 
-        jax.lax.while_loop(cond, body, (1, 0))
+        if stream:
+            # prefetched variant: see the closest kernel
+            def cond(c):
+                nsp, lsp, pstart = c
+                return (nsp > 0) | (lsp > 0) | (pstart >= 0)
+
+            def body(c):
+                nsp, lsp, pstart = c
+                nsp2, lsp2 = pop_and_push(nsp, lsp)
+
+                leaf_copy(clamp_leaf(pstart)).wait()
+
+                @pl.when(pstart >= 0)
+                def _():
+                    occ_update(dma[0][:])
+
+                have_next = lsp2 > 0
+                nstart_raw = lstack_ref[jnp.maximum(lsp2 - 1, 0)]
+                nstart = jnp.where(have_next, nstart_raw, -1)
+                leaf_copy(clamp_leaf(nstart)).start()
+                lsp2 = lsp2 - have_next.astype(jnp.int32)
+                return (nsp2, lsp2, nstart)
+
+            leaf_copy(0).start()
+            jax.lax.while_loop(cond, body, (1, 0, -1))
+            leaf_copy(0).wait()
+        else:
+            def cond(c):
+                nsp, lsp = c
+                return (nsp > 0) | (lsp > 0)
+
+            def body(c):
+                nsp, lsp = c
+                have_leaf = lsp > 0
+                lstart = lstack_ref[jnp.maximum(lsp - 1, 0)]
+                start = clamp_leaf(lstart)
+
+                @pl.when(have_leaf)
+                def _():
+                    occ_update(tri_ref[pl.ds(start, tcl), :])
+
+                lsp = lsp - have_leaf.astype(jnp.int32)
+                return pop_and_push(nsp, lsp)
+
+            jax.lax.while_loop(cond, body, (1, 0))
 
     return kernel
 
