@@ -192,6 +192,12 @@ class Scene:
     def _load_shape(self, obj: XmlObject) -> None:
         ins = ShapeInstance(name=obj.id)
         stype = obj.type
+        if stype == "obj" and obj.properties.get("split_groups") == "true":
+            # beyond the reference (single-mesh assimp import,
+            # resource/shape.cpp:219-278): split usemtl/g groups into
+            # one instance each, materials resolved from the MTL
+            self._load_obj_groups(obj)
+            return
         if stype == "rectangle":
             ins.shape = self.shape_manager.load_rectangle()
         elif stype == "cube":
@@ -234,6 +240,58 @@ class Scene:
             else:
                 ins.is_emitter = True
         self.shape_instances.append(ins)
+
+    def _material_from_mtl(self, desc: dict, obj_dir) -> "Material":
+        """MTL -> framework material mapping (documented, lossy):
+        map_Kd/Kd -> diffuse reflectance; a non-black Ks adds a coated
+        lobe as ROUGH_PLASTIC with GGX alpha ~ sqrt(2/(Ns+2)) (the
+        classic Phong-exponent conversion); d/Ke are ignored."""
+        from pupiloptixlab_tpu.scene.materials import Material, MatType
+        from pupiloptixlab_tpu.scene.textures import rgb_texture
+
+        kd = desc.get("Kd", (0.6, 0.6, 0.6))
+        if "map_Kd" in desc:
+            reflectance = self.texture_manager.get_texture(
+                obj_dir / desc["map_Kd"]
+            )
+        else:
+            reflectance = rgb_texture(*kd)
+        ks = desc.get("Ks", (0.0, 0.0, 0.0))
+        if max(ks) > 1e-3:
+            ns = float(desc.get("Ns", 30.0))
+            alpha = min(max((2.0 / (ns + 2.0)) ** 0.5, 0.01), 0.5)
+            return Material(
+                type=MatType.ROUGH_PLASTIC,
+                diffuse_reflectance=reflectance,
+                specular_reflectance=rgb_texture(*ks),
+                alpha=rgb_texture(alpha),
+            )
+        return Material(type=MatType.DIFFUSE, reflectance=reflectance)
+
+    def _load_obj_groups(self, obj: XmlObject) -> None:
+        from pupiloptixlab_tpu.scene.shapes import parse_mtl
+
+        path = self.root_path / obj.properties.get("filename", "")
+        groups, mtllib = self.shape_manager.load_mesh_groups(path)
+        mtl = parse_mtl(path.parent / mtllib) if mtllib else {}
+        bsdf_obj = obj.get_unique_sub_object("bsdf")
+        override = (
+            load_material_from_xml(bsdf_obj, self) if bsdf_obj is not None else None
+        )
+        to_world = self.load_transform(obj.get_unique_sub_object("transform"))
+        flip_normals = obj.properties.get("flip_normals") == "true"
+        flip_tex = obj.properties.get("flip_tex_coords", "true") != "false"
+        for gname, mname, shape in groups:
+            ins = ShapeInstance(name=f"{obj.id or path.stem}/{gname}")
+            ins.shape = shape
+            ins.transform = to_world
+            ins.flip_normals = flip_normals
+            ins.flip_tex_coords = flip_tex
+            if override is not None:
+                ins.material = override
+            elif mname in mtl:
+                ins.material = self._material_from_mtl(mtl[mname], path.parent)
+            self.shape_instances.append(ins)
 
     def load_from_xml(self, path: str | Path) -> "Scene":
         path = Path(path)

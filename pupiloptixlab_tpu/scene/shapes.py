@@ -179,11 +179,130 @@ def load_obj(path: str | Path) -> Mesh:
     )
 
 
+def parse_mtl(path: str | Path) -> dict[str, dict]:
+    """Minimal MTL reader: newmtl, Kd/Ks/Ke, Ns, d, map_Kd. Returns
+    {material name: {key: value}} with colors as float tuples and
+    map_Kd as a (relative) path string.
+
+    Beyond the reference, which imports each OBJ as ONE mesh with the
+    XML-assigned material (resource/shape.cpp:219-278, single-mesh
+    assimp import)."""
+    mats: dict[str, dict] = {}
+    cur: dict | None = None
+    try:
+        lines = Path(path).read_text(errors="replace").splitlines()
+    except OSError:
+        return mats
+    for line in lines:
+        p = line.split()
+        if not p or p[0].startswith("#"):
+            continue
+        if p[0] == "newmtl" and len(p) > 1:
+            cur = mats.setdefault(p[1], {})
+        elif cur is None:
+            continue
+        elif p[0] in ("Kd", "Ks", "Ke") and len(p) >= 4:
+            cur[p[0]] = (float(p[1]), float(p[2]), float(p[3]))
+        elif p[0] in ("Ns", "d") and len(p) >= 2:
+            cur[p[0]] = float(p[1])
+        elif p[0] == "map_Kd" and len(p) >= 2:
+            cur["map_Kd"] = p[-1]
+    return mats
+
+
+def load_obj_groups(
+    path: str | Path,
+) -> tuple[list[tuple[str, str | None, Mesh]], str | None]:
+    """OBJ reader preserving usemtl/g/o group structure: returns
+    ([(group name, mtl name, Mesh)], mtllib filename). Faces before any
+    group statement land in group "default". Each group deduplicates
+    its own corners (independent index spaces)."""
+    positions, texcoords, normals = [], [], []
+    groups: dict[tuple[str, str | None], dict] = {}
+    gname, mtl = "default", None
+    mtllib = None
+
+    def bucket():
+        key = (gname, mtl)
+        if key not in groups:
+            groups[key] = {
+                "pos": [], "uv": [], "n": [], "idx": [],
+                "map": {}, "has_uv": False, "has_n": False,
+            }
+        return groups[key]
+
+    def corner(b, spec: str) -> int:
+        parts = spec.split("/")
+        vi = int(parts[0])
+        ti = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+        ni = int(parts[2]) if len(parts) > 2 and parts[2] else 0
+        vi = vi - 1 if vi > 0 else len(positions) + vi
+        ti = ti - 1 if ti > 0 else (len(texcoords) + ti if ti else -1)
+        ni = ni - 1 if ni > 0 else (len(normals) + ni if ni else -1)
+        key = (vi, ti, ni)
+        if key in b["map"]:
+            return b["map"][key]
+        idx = len(b["pos"])
+        b["map"][key] = idx
+        b["pos"].append(positions[vi])
+        if ti >= 0:
+            b["has_uv"] = True
+            b["uv"].append(texcoords[ti])
+        else:
+            b["uv"].append((0.0, 0.0))
+        if ni >= 0:
+            b["has_n"] = True
+            b["n"].append(normals[ni])
+        else:
+            b["n"].append((0.0, 0.0, 0.0))
+        return idx
+
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            p = line.split()
+            if not p:
+                continue
+            if p[0] == "v":
+                positions.append((float(p[1]), float(p[2]), float(p[3])))
+            elif p[0] == "vt":
+                texcoords.append((float(p[1]), float(p[2]) if len(p) > 2 else 0.0))
+            elif p[0] == "vn":
+                normals.append((float(p[1]), float(p[2]), float(p[3])))
+            elif p[0] in ("g", "o") and len(p) > 1:
+                gname = p[1]
+            elif p[0] == "usemtl" and len(p) > 1:
+                mtl = p[1]
+            elif p[0] == "mtllib" and len(p) > 1:
+                mtllib = p[-1]
+            elif p[0] == "f":
+                b = bucket()
+                ids = [corner(b, s) for s in p[1:]]
+                for k in range(1, len(ids) - 1):
+                    b["idx"].append((ids[0], ids[k], ids[k + 1]))
+
+    out = []
+    for (g, m), b in groups.items():
+        if not b["idx"]:
+            continue
+        out.append((
+            g,
+            m,
+            Mesh(
+                np.asarray(b["pos"], np.float32),
+                np.asarray(b["n"], np.float32) if b["has_n"] else None,
+                np.asarray(b["uv"], np.float32) if b["has_uv"] else None,
+                np.asarray(b["idx"], np.uint32),
+            ),
+        ))
+    return out, mtllib
+
+
 class ShapeManager:
     """Shape registry deduping built-ins and mesh files by key."""
 
     def __init__(self):
         self._cache: dict[str, Shape] = {}
+        self._group_cache: dict[str, tuple] = {}
 
     def _get(self, key: str, builder) -> Shape:
         if key not in self._cache:
@@ -241,5 +360,26 @@ class ShapeManager:
 
         return self._get(key, build)
 
+    def load_mesh_groups(
+        self, path: str | Path
+    ) -> tuple[list[tuple[str, str | None, Shape]], str | None]:
+        """OBJ split into per-usemtl/g groups, each its own cached
+        Shape; returns ([(group, mtl name, Shape)], mtllib filename)."""
+        key = str(Path(path))
+        probe = f"{key}#groups"
+        if probe not in self._group_cache:
+            groups, mtllib = load_obj_groups(key)
+            shapes = []
+            for g, m, mesh in groups:
+                def build(mesh=mesh):
+                    s = Shape(ShapeType.OBJ, mesh)
+                    s.aabb.merge_points(mesh.positions)
+                    return s
+
+                shapes.append((g, m, self._get(f"{key}#{g}#{m}", build)))
+            self._group_cache[probe] = (shapes, mtllib)
+        return self._group_cache[probe]
+
     def clear(self) -> None:
         self._cache.clear()
+        self._group_cache.clear()
