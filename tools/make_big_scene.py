@@ -15,7 +15,7 @@ XML = """<scene version="3.0.0">
     <sensor type="perspective">
         <float name="fov" value="50" />
         <transform name="to_world">
-            <lookat origin="0, 1.2, 2.6" target="0, 0.25, 0" up="0, 1, 0"/>
+            <lookat origin="1.8, 1.4, 2.4" target="0, 0.25, 0" up="0, 1, 0"/>
         </transform>
         <film type="hdrfilm">
             <integer name="width" value="{w}" />
@@ -39,7 +39,7 @@ XML = """<scene version="3.0.0">
     </shape>
     <emitter type="envmap">
         <string name="filename" value="{env}" />
-        <float name="scale" value="1.0" />
+        <float name="scale" value="2.5" />
     </emitter>
 </scene>
 """
@@ -54,7 +54,7 @@ def make(out_dir: str, grid: int = 450, w: int = 320, h: int = 180) -> str:
     X, Z = np.meshgrid(xs, zs, indexing="ij")
     # deterministic rolling-hills displacement with high-frequency detail
     Y = (
-        0.25 * np.sin(2.3 * X) * np.cos(1.7 * Z)
+        0.18 * np.sin(2.3 * X) * np.cos(1.7 * Z)
         + 0.08 * np.sin(9.0 * X + 3.0 * Z)
         + 0.03 * np.cos(23.0 * X) * np.sin(19.0 * Z)
         + 0.3
@@ -65,8 +65,9 @@ def make(out_dir: str, grid: int = 450, w: int = 320, h: int = 180) -> str:
     v10 = v00 + (g + 1)
     v01 = v00 + 1
     v11 = v10 + 1
+    # winding chosen so face normals point +Y (v10 is +X, v01 is +Z)
     faces = np.concatenate(
-        [np.stack([v00, v10, v11], 1), np.stack([v00, v11, v01], 1)], 0
+        [np.stack([v00, v11, v10], 1), np.stack([v00, v01, v11], 1)], 0
     )
     obj = out / f"hills_{g}.obj"
     with open(obj, "w") as f:
