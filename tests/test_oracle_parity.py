@@ -50,3 +50,38 @@ def test_cornell_matches_brute_force_oracle(reference_scene_dir):
 
     box_rel = float(np.mean((box(img) - box(oracle)) ** 2) / np.mean(box(oracle) ** 2))
     assert box_rel < 3e-4, box_rel
+
+
+ORACLE_VEACH = Path(__file__).parent / "data" / "oracle_veach_96.exr"
+
+
+@pytest.mark.slow
+def test_veach_matches_brute_force_oracle(reference_scene_dir):
+    """mis.xml (veach): rough-conductor strips + sphere lights — the
+    scene MIS exists for. The oracle is pure BSDF sampling at 8192 spp,
+    so its noise floor is high on the small bright lights; gates are
+    energy ratio + box-filtered MSE."""
+    from pupiloptixlab_tpu.flatten import camera_block_from_scene, flatten_scene
+    from pupiloptixlab_tpu.render.integrator import render
+    from pupiloptixlab_tpu.scene import load_scene
+    from pupiloptixlab_tpu.utils.image import read_exr
+    import dataclasses
+
+    scene = load_scene(reference_scene_dir / "mis.xml")
+    scene.sensor.film.w = scene.sensor.film.h = 96  # oracle is square
+    data, config = flatten_scene(scene)
+    config = dataclasses.replace(config, max_depth=4)  # oracle default
+    cam = camera_block_from_scene(scene)
+    img = np.asarray(render(data, cam, config, spp=384))
+    oracle = read_exr(ORACLE_VEACH)[::-1][..., :3]
+
+    mean_ratio = float(img.mean() / oracle.mean())
+    assert abs(mean_ratio - 1.0) < 0.02, mean_ratio
+
+    def box(a):
+        return a.reshape(12, 8, 12, 8, 3).mean((1, 3))
+
+    box_rel = float(
+        np.mean((box(img) - box(oracle)) ** 2) / np.mean(box(oracle) ** 2)
+    )
+    assert box_rel < 2e-3, box_rel
