@@ -176,7 +176,10 @@ def _ray_sort_key_leaf(origin_prim, rd: Vec3, config: RenderConfig, mask=None):
     md6 = (
         (expand6(q6(rd.x)) << 2) | (expand6(q6(rd.y)) << 1) | expand6(q6(rd.z))
     )
-    k1 = ((leaf >> 2) << 18) | md6
+    # clamp the coarse group to 14 bits: past 2^14 groups (~2.1M tris at
+    # tcl=32) the shift would wrap the u32, scrambling sort coherence and
+    # colliding with the 0xFFFFFFFF masked-lane sentinel
+    k1 = (jnp.minimum(leaf >> 2, jnp.uint32((1 << 14) - 1)) << 18) | md6
     if mask is not None:
         # culled lanes sort LAST: their tiles hold only empty-interval
         # rays, so the traversal kernel exits at the root slab test

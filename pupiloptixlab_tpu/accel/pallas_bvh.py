@@ -50,6 +50,9 @@ STACK_SIZE = 96
 # sublane counts divisible by 8, so 1024 rays (8 x 128) is the smallest
 # legal tile; ray sorting (accel/intersect.py) keeps those coherent.
 DEFAULT_RB = 8
+# In-flight leaf DMAs in streaming mode (ring of scratch buffers); the
+# fetch consumed at iteration i was issued at i - depth.
+DEFAULT_STREAM_DEPTH = 2
 
 
 def _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v):
@@ -114,7 +117,7 @@ def _slab8(blk, ox, oy, oz, ix, iy, iz, tmn_v, tfar_clamp):
     return tn, tf
 
 
-def _make_closest_kernel(tcl: int, stream: bool = False):
+def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2):
     def kernel(child_ref, ax_ref, box_ref, tri_ref,
                rox, roy, roz, rdx, rdy, rdz, irx, iry, irz, tmn, tmx,
                tbest, ibest, nstack_ref, lstack_ref, *dma):
@@ -134,10 +137,10 @@ def _make_closest_kernel(tcl: int, stream: bool = False):
 
         nstack_ref[0] = 0
 
-        def leaf_copy(start):
-            leaf_ref, sem = dma
+        def leaf_copy(start, j=0):
+            nbuf = len(dma) // 2
             return pltpu.make_async_copy(
-                tri_ref.at[pl.ds(start, tcl), :], leaf_ref, sem
+                tri_ref.at[pl.ds(start, tcl), :], dma[j], dma[nbuf + j]
             )
 
         def clamp_leaf(s):
@@ -196,35 +199,55 @@ def _make_closest_kernel(tcl: int, stream: bool = False):
             return nsp2, lsp2
 
         if stream:
-            # PREFETCHED two-stack traversal: the leaf DMA for this
-            # iteration's MT was issued at the END of the previous
-            # iteration, so it flies across the wide test + pushes and
-            # the wait here is (nearly) free. Carry holds the in-flight
-            # leaf's row start (-1 = dead fetch of row 0).
+            # PIPELINED two-stack traversal: a rotating ring of
+            # ``stream_depth`` scratch buffers keeps that many leaf DMAs
+            # in flight, so the fetch consumed at iteration i was issued
+            # at iteration i - depth and had depth iterations of wide
+            # tests + MTs to land (round 2's single-buffer prefetch gave
+            # it ONE iteration — still DMA-latency bound at ~10 us/pop).
+            # Carry holds the ring of in-flight row starts, oldest
+            # first (-1 = dead fetch of row 0, run through the MT
+            # UNGUARDED: testing leaf 0's real triangles on a dead slot
+            # only ever records true intersections, so closest/any-hit
+            # results are unchanged and no conditional VMEM store is
+            # needed). Each iteration waits + restarts the SAME ring
+            # slot, keeping every DMA waited exactly once.
+            nbuf = stream_depth
+
             def cond(c):
-                nsp, lsp, pstart = c
-                return (nsp > 0) | (lsp > 0) | (pstart >= 0)
+                live = (c[0] > 0) | (c[1] > 0)
+                for s in c[3:]:
+                    live = live | (s >= 0)
+                return live
 
             def body(c):
-                nsp, lsp, pstart = c
+                nsp, lsp, phase = c[0], c[1], c[2]
+                sq = c[3:]
                 nsp2, lsp2 = pop_and_push(nsp, lsp)
-
-                leaf_copy(clamp_leaf(pstart)).wait()
-
-                @pl.when(pstart >= 0)
-                def _():
-                    mt_update(dma[0][:], clamp_leaf(pstart))
 
                 have_next = lsp2 > 0
                 nstart_raw = lstack_ref[jnp.maximum(lsp2 - 1, 0)]
                 nstart = jnp.where(have_next, nstart_raw, -1)
-                leaf_copy(clamp_leaf(nstart)).start()
                 lsp2 = lsp2 - have_next.astype(jnp.int32)
-                return (nsp2, lsp2, nstart)
 
-            leaf_copy(0).start()  # prime the pipeline (dead fetch)
-            jax.lax.while_loop(cond, body, (1, 0, -1))
-            leaf_copy(0).wait()  # retire the final in-flight fetch
+                s0 = sq[0]
+                for j in range(nbuf):
+                    @pl.when(phase == j)
+                    def _(j=j):
+                        leaf_copy(clamp_leaf(s0), j).wait()
+                        mt_update(dma[j][:], clamp_leaf(s0))
+                        leaf_copy(clamp_leaf(nstart), j).start()
+
+                phase2 = jnp.where(phase + 1 >= nbuf, 0, phase + 1)
+                return (nsp2, lsp2, phase2) + sq[1:] + (nstart,)
+
+            for j in range(nbuf):  # prime the ring (dead fetches)
+                leaf_copy(0, j).start()
+            jax.lax.while_loop(
+                cond, body, (1, 0, 0) + (-1,) * nbuf
+            )
+            for j in range(nbuf):  # retire the final in-flight fetches
+                leaf_copy(0, j).wait()
         else:
             # VMEM-resident table: drain one leaf + pop one node per
             # iteration (a leaf visit never pays a wasted wide test and
@@ -252,7 +275,7 @@ def _make_closest_kernel(tcl: int, stream: bool = False):
     return kernel
 
 
-def _make_anyhit_kernel(tcl: int, stream: bool = False):
+def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2):
     def kernel(child_ref, ax_ref, box_ref, tri_ref,
                rox, roy, roz, rdx, rdy, rdz, irx, iry, irz, tmn, tmx,
                occ, nstack_ref, lstack_ref, *dma):
@@ -266,10 +289,10 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False):
 
         nstack_ref[0] = 0
 
-        def leaf_copy(start):
-            leaf_ref, sem = dma
+        def leaf_copy(start, j=0):
+            nbuf = len(dma) // 2
             return pltpu.make_async_copy(
-                tri_ref.at[pl.ds(start, tcl), :], leaf_ref, sem
+                tri_ref.at[pl.ds(start, tcl), :], dma[j], dma[nbuf + j]
             )
 
         def clamp_leaf(s):
@@ -312,31 +335,43 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False):
             return nsp2, lsp2
 
         if stream:
-            # prefetched variant: see the closest kernel
+            # pipelined ring variant: see the closest kernel
+            nbuf = stream_depth
+
             def cond(c):
-                nsp, lsp, pstart = c
-                return (nsp > 0) | (lsp > 0) | (pstart >= 0)
+                live = (c[0] > 0) | (c[1] > 0)
+                for s in c[3:]:
+                    live = live | (s >= 0)
+                return live
 
             def body(c):
-                nsp, lsp, pstart = c
+                nsp, lsp, phase = c[0], c[1], c[2]
+                sq = c[3:]
                 nsp2, lsp2 = pop_and_push(nsp, lsp)
-
-                leaf_copy(clamp_leaf(pstart)).wait()
-
-                @pl.when(pstart >= 0)
-                def _():
-                    occ_update(dma[0][:])
 
                 have_next = lsp2 > 0
                 nstart_raw = lstack_ref[jnp.maximum(lsp2 - 1, 0)]
                 nstart = jnp.where(have_next, nstart_raw, -1)
-                leaf_copy(clamp_leaf(nstart)).start()
                 lsp2 = lsp2 - have_next.astype(jnp.int32)
-                return (nsp2, lsp2, nstart)
 
-            leaf_copy(0).start()
-            jax.lax.while_loop(cond, body, (1, 0, -1))
-            leaf_copy(0).wait()
+                s0 = sq[0]
+                for j in range(nbuf):
+                    @pl.when(phase == j)
+                    def _(j=j):
+                        leaf_copy(clamp_leaf(s0), j).wait()
+                        occ_update(dma[j][:])
+                        leaf_copy(clamp_leaf(nstart), j).start()
+
+                phase2 = jnp.where(phase + 1 >= nbuf, 0, phase + 1)
+                return (nsp2, lsp2, phase2) + sq[1:] + (nstart,)
+
+            for j in range(nbuf):
+                leaf_copy(0, j).start()
+            jax.lax.while_loop(
+                cond, body, (1, 0, 0) + (-1,) * nbuf
+            )
+            for j in range(nbuf):
+                leaf_copy(0, j).wait()
         else:
             def cond(c):
                 nsp, lsp = c
@@ -371,7 +406,7 @@ def _ray_specs(rb: int, count: int):
 
 
 def _call(kernel, tri, boxes, n, rb, outs, interpret, flops, leaf_count,
-          tcl=16, stream=False):
+          tcl=16, stream=False, stream_depth=2):
     rows = n // LANES
     scratch = [
         pltpu.SMEM((STACK_SIZE,), jnp.int32),
@@ -381,13 +416,13 @@ def _call(kernel, tri, boxes, n, rb, outs, interpret, flops, leaf_count,
     ]
     if stream:
         # streaming mode (tables too big for VMEM): leaf slices are
-        # DMA'd from HBM into this scratch, overlapped with slab tests.
+        # DMA'd from HBM into a ring of stream_depth scratch buffers,
+        # overlapped with slab tests + the MTs of older leaves.
         # The HBM table minor dim is padded to 128 because Mosaic only
         # slices HBM memrefs on (1,128) tile boundaries.
         scratch += [
-            pltpu.VMEM((tcl, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ]
+            pltpu.VMEM((tcl, 128), jnp.float32) for _ in range(stream_depth)
+        ] + [pltpu.SemaphoreType.DMA for _ in range(stream_depth)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # child ids + axes in SMEM
         grid=(rows // rb,),
@@ -457,7 +492,10 @@ def _streaming(tri, stream):
     return stream
 
 
-@functools.partial(jax.jit, static_argnames=("rb", "tcl", "interpret", "stream"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("rb", "tcl", "interpret", "stream", "stream_depth"),
+)
 def bvh_closest(
     rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
     tri: jnp.ndarray,        # (T, 12) packed [p0, e1, e2, pad]
@@ -468,6 +506,7 @@ def bvh_closest(
     tcl: int = 16,
     interpret: bool = False,
     stream: bool | None = None,
+    stream_depth: int = DEFAULT_STREAM_DEPTH,
 ):
     """Closest-hit traversal over ray planes; returns (t, idx)."""
     n = rox.shape[0]
@@ -476,10 +515,11 @@ def bvh_closest(
     if stream:
         tri = jnp.pad(tri, ((0, 0), (0, 128 - tri.shape[1])))
     call = _call(
-        _make_closest_kernel(tcl, stream), tri, bvh_boxes, n, rb,
+        _make_closest_kernel(tcl, stream, stream_depth), tri, bvh_boxes, n, rb,
         (jnp.float32, jnp.int32), interpret,
         flops=int(55 * n * max(tri.shape[0] * 0.05, tcl)),
         leaf_count=tri.shape[0] // tcl, tcl=tcl, stream=stream,
+        stream_depth=stream_depth,
     )
     tbest, ibest = call(
         bvh_child, bvh_axis, bvh_boxes, tri,
@@ -488,7 +528,10 @@ def bvh_closest(
     return tbest.reshape(n), ibest.reshape(n)
 
 
-@functools.partial(jax.jit, static_argnames=("rb", "tcl", "interpret", "stream"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("rb", "tcl", "interpret", "stream", "stream_depth"),
+)
 def bvh_anyhit(
     rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
     tri: jnp.ndarray,
@@ -499,6 +542,7 @@ def bvh_anyhit(
     tcl: int = 16,
     interpret: bool = False,
     stream: bool | None = None,
+    stream_depth: int = DEFAULT_STREAM_DEPTH,
 ):
     """Occlusion-only traversal; returns (N,) bool (True = occluded)."""
     n = rox.shape[0]
@@ -507,10 +551,11 @@ def bvh_anyhit(
     if stream:
         tri = jnp.pad(tri, ((0, 0), (0, 128 - tri.shape[1])))
     call = _call(
-        _make_anyhit_kernel(tcl, stream), tri, bvh_boxes, n, rb,
+        _make_anyhit_kernel(tcl, stream, stream_depth), tri, bvh_boxes, n, rb,
         (jnp.int32,), interpret,
         flops=int(55 * n * max(tri.shape[0] * 0.025, tcl)),
         leaf_count=tri.shape[0] // tcl, tcl=tcl, stream=stream,
+        stream_depth=stream_depth,
     )
     occ = call(
         bvh_child, bvh_axis, bvh_boxes, tri,

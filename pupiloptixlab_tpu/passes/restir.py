@@ -107,7 +107,7 @@ class ReSTIRPass(Pass):
             spatial_radius=self.spatial_radius,
         )
         bm = self.system.buffers
-        bm.set_array("restir frame", self._accum)
+        bm.set_array("restir frame", frame)
         bm.set_array("restir accum", self._accum)
         if "final result" in bm:
             bm.set_array("final result", self._accum)

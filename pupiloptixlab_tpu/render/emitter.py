@@ -121,11 +121,17 @@ def sample_direct(
     hit_normal: Vec3,
     u1: jnp.ndarray,
     u2: jnp.ndarray,
+    allow_env: bool = True,
 ) -> EmitterSample:
+    """``allow_env=False`` (static) promises every lane has use_env=False
+    and skips the env CDF-inversion branch entirely — callers that draw
+    area-only candidates (render/restir.py) otherwise pay the full
+    row-CDF count + column-CDF gather per candidate for nothing."""
     n = u1.shape[0]
+    has_env = config.has_env and allow_env
     row = gather_cols(em.packed, idx)  # one gather for the emitter record
     select_prob = row[EM_SELECT_PROB]
-    if config.emitter_count == 0 or config.has_env:
+    if config.emitter_count == 0 or has_env:
         select_prob = jnp.where(use_env, em.env_select_prob, select_prob)
 
     # --- triangle area emitter (area.h:17-35) -------------------------------
@@ -194,7 +200,7 @@ def sample_direct(
         is_delta = is_delta | isd
 
     # --- environment ----------------------------------------------------------
-    if config.has_env:
+    if has_env:
         env = _env_sample_direct(em, tex, config, hit_pos, hit_normal, u1, u2)
         wi = where(use_env, env["wi"], wi)
         dist = jnp.where(use_env, env["distance"], dist)
@@ -203,7 +209,7 @@ def sample_direct(
         if config.has_point_emitter or config.has_directional_emitter:
             is_delta = is_delta & ~use_env
 
-    if config.has_env:
+    if has_env:
         nrm = where(use_env, -wi, nrm)
     return EmitterSample(
         wi=wi,

@@ -136,12 +136,23 @@ def initial_candidates(
     gb = _GBuf(position=geo.position, normal=geo.normal, wo_world=wo_world)
     r = Reservoir.zeros(n)
 
+    # Candidates are AREA lights only (env light handled separately, see
+    # module doc), so the selection distribution must be the CONDITIONAL
+    # area distribution: squeeze u_sel into the area CDF range (which
+    # spans [0, 1 - env_select_prob)) and divide the nominal per-emitter
+    # select_prob by the area mass. Without this, u_sel values past the
+    # area CDF clamp onto the last area emitter while parea still uses
+    # its nominal select_prob — a pdf that doesn't match the draw.
+    area_mass = (
+        jnp.maximum(1.0 - em.env_select_prob, _TINY)
+        if config.has_env else 1.0
+    )
     for _ in range(m_candidates):
         state, (u_sel, u1, u2, u_res) = _draw4(state)
-        idx, _use_env = emitter_mod.select_emitter(em, config, u_sel)
+        idx, _use_env = emitter_mod.select_emitter(em, config, u_sel * area_mass)
         es = emitter_mod.sample_direct(
             em, tex, config, idx, jnp.zeros(n, bool),
-            geo.position, geo.normal, u1, u2,
+            geo.position, geo.normal, u1, u2, allow_env=False,
         )
         # solid-angle -> area measure: p_area = p_solid * cos_L / d^2
         delta_l = es.wi * es.distance
@@ -150,7 +161,8 @@ def initial_candidates(
         # is d^2/(cos_L * A); steal cos_L via stored planes
         y_nrm = es.light_normal
         cos_l = jnp.maximum(y_nrm.dot(-es.wi), 0.0)
-        parea = es.pdf * es.select_prob * cos_l / jnp.maximum(
+        sel_prob = es.select_prob / area_mass  # conditional area prob
+        parea = es.pdf * sel_prob * cos_l / jnp.maximum(
             es.distance * es.distance, _TINY
         )
         phat, _, _, _ = _eval_target(gb, local, config.mat_types, y_pos, y_nrm, es.radiance)
@@ -368,7 +380,11 @@ def restir_frame(
             geo.position, wi, tmin, jnp.full(n, MAX_DISTANCE, jnp.float32),
             scene, config, coherent=False, origin_prim=oprim, mask=need,
         )
-        scale = nol / jnp.maximum(pdf * jnp.maximum(em.env_select_prob, _TINY), _TINY)
+        # The env sample is drawn deterministically every pixel (not
+        # probabilistically selected), so the estimator divides by the
+        # RAW env pdf only — dividing by env_select_prob too would
+        # over-count the environment by 1/env_select_prob.
+        scale = nol / jnp.maximum(pdf, _TINY)
         radiance = radiance + where(
             need & ~occ, es["radiance"] * f * scale, Vec3.zeros(n)
         )

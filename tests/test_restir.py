@@ -99,6 +99,41 @@ def test_restir_di_matches_pt_direct(restir_scene):
     assert np.median(rel) < 0.25, np.median(rel)
 
 
+def test_restir_di_matches_pt_direct_with_env():
+    """Energy parity on a scene with BOTH area lights and an environment
+    light — the case where round 2's estimator was 1.61x over-bright
+    (env NEE divided by env_select_prob, and candidate u_sel clamped
+    past the area CDF onto the last area emitter)."""
+    from pupiloptixlab_tpu.scene.emitters import Emitter, EmitterType
+
+    scene = load_scene(RESTIR_XML)
+    scene.sensor.film.w, scene.sensor.film.h = 96, 54
+    scene.emitters.append(
+        Emitter(
+            type=EmitterType.CONST_ENV,
+            color=np.array([0.3, 0.3, 0.3], np.float32),
+        )
+    )
+    data, config = flatten_scene(scene)
+    camera = camera_block_from_scene(scene)
+    n = config.width * config.height
+
+    cfg2 = dataclasses.replace(config, max_depth=2, accumulate=True)
+    ref = np.asarray(render(data, camera, cfg2, spp=48))
+
+    accum = jnp.zeros((n, 3), jnp.float32)
+    packed = jnp.zeros((n, N_PACK), jnp.float32)
+    for s in range(24):
+        accum, packed, _ = restir_frame(
+            data, camera, jnp.uint32(1000 + s), packed, accum,
+            jnp.int32(s), cfg2, m_candidates=4, spatial_taps=2,
+            spatial_radius=8,
+        )
+    img = np.asarray(accum).reshape(config.height, config.width, 3)
+    ratio = img.mean() / ref.mean()
+    assert abs(ratio - 1.0) < 0.03, ratio
+
+
 def test_restir_variance_beats_single_nee(restir_scene):
     """One ReSTIR frame (M=8 candidates, 1 shadow ray) should have far
     lower direct-light variance than one NEE sample — the whole point.
