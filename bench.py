@@ -52,11 +52,63 @@ def _bench_scene(path: str, width=1920, height=1080, iters=4):
     return rays_per_frame / dt / 1e6, dt * 1e3, config
 
 
+def _bench_big_env(width=1920, height=1080, iters=3):
+    """Streamed-BVH scene (~405k tris > the 8 MB VMEM residency cutoff):
+    generated on first use under /tmp, cached across runs."""
+    import pathlib
+    import subprocess
+    import sys
+
+    xml = pathlib.Path("/tmp/pupil_big_env/big_env.xml")
+    if not xml.exists():
+        subprocess.run(
+            [sys.executable, "tools/make_big_scene.py", str(xml.parent), "450"],
+            check=True, capture_output=True, timeout=300,
+            cwd=pathlib.Path(__file__).parent,
+        )
+        if not xml.exists():
+            raise FileNotFoundError(xml)
+    return _bench_scene(str(xml), width, height, iters)
+
+
+def _bench_denoise(width=1920, height=1080, iters=6):
+    """A-trous denoiser (5 iterations, albedo+normal guides) at 1080p."""
+    import time
+
+    import numpy as np
+
+    from pupiloptixlab_tpu.denoise.atrous import atrous_denoise
+
+    rs = np.random.RandomState(3)
+    color = jnp.asarray(rs.rand(height, width, 3).astype(np.float32))
+    albedo = jnp.asarray(rs.rand(height, width, 3).astype(np.float32))
+    nr = rs.randn(height, width, 3).astype(np.float32)
+    nr /= np.maximum(np.linalg.norm(nr, axis=-1, keepdims=True), 1e-9)
+    normal = jnp.asarray(nr)
+    out = atrous_denoise(color, albedo, normal)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = atrous_denoise(out, albedo, normal)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def main() -> None:
     cornell_mrays, cornell_ms, config = _bench_scene(
         "/root/reference/data/static/cornellbox.xml"
     )
     mesh_mrays, mesh_ms, mesh_config = _bench_scene("/root/repo/data/mesh_env.xml")
+    try:
+        big_mrays, big_ms, big_config = _bench_big_env()
+        big = {
+            "big_env_mrays": round(big_mrays, 2),
+            "big_env_ms": round(big_ms, 2),
+            "big_env_tris": big_config.tri_count,
+        }
+    except Exception as exc:  # generator/asset failure must not kill bench
+        big = {"big_env_error": str(exc)[:120]}
+    denoise_ms = _bench_denoise()
 
     print(
         json.dumps(
@@ -70,6 +122,8 @@ def main() -> None:
                 "mesh_env_ms": round(mesh_ms, 2),
                 "mesh_env_tris": mesh_config.tri_count,
                 "mesh_env_bvh_nodes": mesh_config.bvh_nodes,
+                **big,
+                "denoise_ms": round(denoise_ms, 2),
                 "device": str(jax.devices()[0].platform),
                 "max_depth": config.max_depth,
             }

@@ -60,7 +60,13 @@ def pick_leaf_size(t_pad: int, min_tcl: int = 32) -> int:
     min_tcl = 32 is the measured frame-time optimum on the 20k-tri
     mesh_env scene (693/711/748/838 ms at tcl 32/16/64/128): traversal
     cost is part per-iteration scalar sync, part leaf Moller-Trumbore
-    vector work, and 32 balances tree depth against leaf width."""
+    vector work, and 32 balances tree depth against leaf width.
+    PUPIL_TCL overrides for sweeps (debug knob)."""
+    import os
+
+    env = os.environ.get("PUPIL_TCL")
+    if env:
+        min_tcl = int(env)
     tcl = min_tcl
     while True:
         n_leaves = max((t_pad + tcl - 1) // tcl, 1)
@@ -86,6 +92,7 @@ def build_bvh(
     p2: np.ndarray,
     valid_count: int,
     tcl: int,
+    allow_native: bool = True,
 ) -> BvhArrays:
     """Build the 8-wide BVH over padded world-space triangle vertices
     ((T,3) each; rows >= valid_count are degenerate padding). T must be
@@ -94,12 +101,15 @@ def build_bvh(
     Prefers the C++ builder (native/pupil_native.cpp via
     pupiloptixlab_tpu/native.py — the GAS-build analog of the
     reference's C++ host runtime); this numpy implementation is the
-    behavioral specification and the fallback."""
-    from pupiloptixlab_tpu.native import build_bvh8_native
+    behavioral specification and the fallback. ``allow_native=False``
+    forces numpy (the instanced leaf-box build uses tcl=1, which the
+    native builder does not support)."""
+    if allow_native:
+        from pupiloptixlab_tpu.native import build_bvh8_native
 
-    native = build_bvh8_native(p0, p1, p2, valid_count, tcl)
-    if native is not None:
-        return native
+        native = build_bvh8_native(p0, p1, p2, valid_count, tcl)
+        if native is not None:
+            return native
 
     t_pad = p0.shape[0]
     assert t_pad % tcl == 0 and t_pad > tcl

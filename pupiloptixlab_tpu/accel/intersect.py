@@ -41,10 +41,14 @@ def _register(cls):
 @dataclass
 class Hit:
     t: jnp.ndarray        # (N,) hit distance; MAX_DISTANCE on miss
-    prim: jnp.ndarray     # (N,) i32 primitive index (tri or sphere)
+    prim: jnp.ndarray     # (N,) i32 primitive index (tri or sphere).
+                          # Instanced scenes (config.instanced): the
+                          # UNIQUE object-space tri row.
     kind: jnp.ndarray     # (N,) i32: 0 tri, 1 sphere, -1 miss
     u: jnp.ndarray        # (N,) barycentric u (weight of p1)
     v: jnp.ndarray        # (N,) barycentric v (weight of p2)
+    inst: jnp.ndarray     # (N,) i32 instance id (instanced scenes only;
+                          # zeros otherwise)
 
     @property
     def hit_mask(self) -> jnp.ndarray:
@@ -68,15 +72,30 @@ def _mt_planes(ro: Vec3, rd: Vec3, p0: Vec3, e1: Vec3, e2: Vec3):
     return det, t, u, v
 
 
-def _recompute_barycentrics(ro: Vec3, rd: Vec3, idx, scene: SceneData):
+def _recompute_barycentrics(ro: Vec3, rd: Vec3, idx, scene: SceneData,
+                            inst=None):
     """One Moller-Trumbore re-test of the winning triangle per ray —
-    cheaper than carrying u/v through the sweep."""
+    cheaper than carrying u/v through the sweep. ``inst`` (instanced
+    scenes): per-lane instance ids; rays are transformed into object
+    space first (barycentrics are affine-invariant)."""
     from pupiloptixlab_tpu.accel.gather import gather_cols
 
     cols = gather_cols(scene.tris.packed[:, :9], jnp.maximum(idx, 0))
     p0 = Vec3(cols[0], cols[1], cols[2])
     e1 = Vec3(cols[3], cols[4], cols[5])
     e2 = Vec3(cols[6], cols[7], cols[8])
+    if inst is not None:
+        w = gather_cols(scene.tris.inst_w2o, inst)  # (12, N)
+        ro = Vec3(
+            w[0] * ro.x + w[1] * ro.y + w[2] * ro.z + w[3],
+            w[4] * ro.x + w[5] * ro.y + w[6] * ro.z + w[7],
+            w[8] * ro.x + w[9] * ro.y + w[10] * ro.z + w[11],
+        )
+        rd = Vec3(
+            w[0] * rd.x + w[1] * rd.y + w[2] * rd.z,
+            w[4] * rd.x + w[5] * rd.y + w[6] * rd.z,
+            w[8] * rd.x + w[9] * rd.y + w[10] * rd.z,
+        )
     _, _, u, v = _mt_planes(ro, rd, p0, e1, e2)
     return u, v
 
@@ -180,6 +199,10 @@ def _ray_sort_key_leaf(origin_prim, rd: Vec3, config: RenderConfig, mask=None):
     # tcl=32) the shift would wrap the u32, scrambling sort coherence and
     # colliding with the 0xFFFFFFFF masked-lane sentinel
     k1 = (jnp.minimum(leaf >> 2, jnp.uint32((1 << 14) - 1)) << 18) | md6
+    # live keys never reach the dead sentinel (a max-coarse, max-Morton
+    # lane would otherwise alias it and get culled by the tmax-from-key
+    # reconstruction in _sorted_ray_sweep)
+    k1 = jnp.minimum(k1, jnp.uint32(0xFFFFFFFE))
     if mask is not None:
         # culled lanes sort LAST: their tiles hold only empty-interval
         # rays, so the traversal kernel exits at the root slab test
@@ -189,10 +212,17 @@ def _ray_sort_key_leaf(origin_prim, rd: Vec3, config: RenderConfig, mask=None):
 
 def _sorted_ray_sweep(
     ro: Vec3, rd: Vec3, tmin, tmax, coherent, n_chunks, run,
-    sort_keys=None,
+    sort_keys=None, const_tmin=None, const_tmax=None,
 ):
     """Shared pad + coherence-sort + un-permute wrapper around a sweep
-    callable ``run(arrays) -> (t, idx-or-occluded)``."""
+    callable ``run(arrays) -> (t, idx-or-occluded)``.
+
+    ``const_tmin`` / ``const_tmax`` (floats) promise the respective
+    interval bound is constant over LIVE lanes, so it rides through the
+    sort as a rebuilt constant instead of a carried operand (each
+    operand costs ~2 ms per 2M-lane sweep). A const_tmax with masked
+    lanes is reconstructed from the dead-lane sort-key sentinel
+    (0xFFFFFFFF -> empty interval)."""
     from pupiloptixlab_tpu.accel.pallas_intersect import LANES
 
     n = ro.x.shape[0]
@@ -202,13 +232,19 @@ def _sorted_ray_sweep(
     def padv(a):
         return jnp.concatenate([a, jnp.zeros(pad, a.dtype)], 0) if pad else a
 
-    arrays = [ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, tmin, tmax]
     # Incoherent (bounce) rays defeat tile-level culling; restore
     # coherence by sorting rays: by (origin-leaf, direction) when the
     # caller knows the origin primitive (_ray_sort_key_leaf), else by
     # direction+origin Morton code. A multi-operand lax.sort carries all
     # ray planes + the original lane id through (no big-table gathers).
     do_sort = (not coherent) and n_chunks > SORT_CHUNK_THRESHOLD
+    trim_tmin = do_sort and const_tmin is not None
+    trim_tmax = do_sort and const_tmax is not None and sort_keys is not None
+    arrays = [ro.x, ro.y, ro.z, rd.x, rd.y, rd.z]
+    if not trim_tmin:
+        arrays.append(tmin)
+    if not trim_tmax:
+        arrays.append(tmax)
     if do_sort:
         keys = list(sort_keys) if sort_keys is not None else [_ray_sort_key(ro, rd)]
         lane = jnp.arange(n, dtype=jnp.int32)
@@ -218,6 +254,11 @@ def _sorted_ray_sweep(
         )
         lane = sorted_ops[len(keys)]
         arrays = list(sorted_ops[len(keys) + 1:])
+        if trim_tmax:
+            dead = sorted_ops[0] == jnp.uint32(0xFFFFFFFF)
+            arrays.append(jnp.where(dead, -1.0, const_tmax))
+        if trim_tmin:
+            arrays.insert(6, jnp.full(n, const_tmin, jnp.float32))
     outs = run([padv(a) for a in arrays])
     outs = [o[:n] for o in outs]
     if do_sort:
@@ -229,9 +270,26 @@ def _sorted_ray_sweep(
     return outs
 
 
+def origin_sort_prim(hit: "Hit", scene: SceneData, config: RenderConfig):
+    """Per-lane origin value for secondary-ray sort keys
+    (_ray_sort_key_leaf groups rays by ``value // tcl``): the BVH-
+    ordered world tri row for baked scenes, or an (instance, shape-leaf)
+    -unique value for instanced scenes (two instances of one shape are
+    far apart in world space — sharing their key would scramble tile
+    locality). -1 for sphere hits / misses."""
+    base = jnp.where(hit.kind == 0, hit.prim, -1)
+    if not config.instanced:
+        return base
+    tcl = max(config.bvh_tcl, 1)
+    shape_leaves = scene.tris.packed.shape[0] // tcl
+    leafed = (hit.inst * shape_leaves + hit.prim // tcl) * tcl
+    return jnp.where(hit.kind == 0, leafed, -1)
+
+
 def _sweep_tris_pallas(
     ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData,
     config: RenderConfig, coherent: bool = True, origin_prim=None, mask=None,
+    const_tmin=None, const_tmax=None,
 ):
     n_chunks = scene.tris.chunk_boxes.shape[0]
     sort_keys = (
@@ -239,6 +297,42 @@ def _sweep_tris_pallas(
         if origin_prim is not None and config.bvh_nodes > 0
         else None
     )
+
+    if config.bvh_nodes > 0 and config.instanced:
+        from pupiloptixlab_tpu.accel.pallas_bvh import bvh_closest
+
+        def run(arrays):
+            return bvh_closest(
+                *arrays,
+                scene.tris.packed,
+                scene.tris.bvh_child,
+                scene.tris.bvh_axis,
+                scene.tris.bvh_boxes,
+                tcl=config.bvh_tcl,
+                instanced=True,
+                leaf_start=scene.tris.leaf_start,
+                leaf_inst=scene.tris.leaf_inst,
+                inst_w2o=scene.tris.inst_w2o,
+            )
+
+        t, idx, leaf = _sorted_ray_sweep(
+            ro, rd, tmin, tmax, coherent, n_chunks, run,
+            sort_keys=sort_keys, const_tmin=const_tmin,
+            const_tmax=const_tmax,
+        )
+        inst = jnp.take(
+            scene.tris.leaf_inst, jnp.maximum(leaf, 0), axis=0
+        ).astype(jnp.int32)
+        u, v = _recompute_barycentrics(ro, rd, idx, scene, inst=inst)
+        hit = idx >= 0
+        return (
+            jnp.where(hit, t, MAX_DISTANCE),
+            jnp.where(hit, idx, 0),
+            jnp.where(hit, 0, -1),
+            jnp.where(hit, u, 0.0),
+            jnp.where(hit, v, 0.0),
+            jnp.where(hit, inst, 0),
+        )
 
     if config.bvh_nodes > 0:
         from pupiloptixlab_tpu.accel.pallas_bvh import bvh_closest
@@ -264,16 +358,19 @@ def _sweep_tris_pallas(
             )
 
     t, idx = _sorted_ray_sweep(
-        ro, rd, tmin, tmax, coherent, n_chunks, run, sort_keys=sort_keys
+        ro, rd, tmin, tmax, coherent, n_chunks, run, sort_keys=sort_keys,
+        const_tmin=const_tmin, const_tmax=const_tmax,
     )
     u, v = _recompute_barycentrics(ro, rd, idx, scene)
     hit = idx >= 0
+    n = ro.x.shape[0]
     return (
         jnp.where(hit, t, MAX_DISTANCE),
         jnp.where(hit, idx, 0),
         jnp.where(hit, 0, -1),
         jnp.where(hit, u, 0.0),
         jnp.where(hit, v, 0.0),
+        jnp.zeros(n, jnp.int32),
     )
 
 
@@ -336,6 +433,71 @@ def _sweep_tris_xla(ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData):
     return carry
 
 
+def _sweep_tris_xla_instanced(ro: Vec3, rd: Vec3, tmin, tmax,
+                              scene: SceneData, config: RenderConfig):
+    """CPU/debug fallback for INSTANCED scenes: scan over world leaves,
+    transforming rays into each leaf's instance object space (same
+    semantics as the Pallas instanced kernel; the correctness oracle for
+    it)."""
+    tris = scene.tris
+    tcl = max(config.bvh_tcl, 1)
+    n = ro.x.shape[0]
+    packed = tris.packed
+
+    def body(carry, leaf):
+        bt, bp, bk, bu, bv, bi = carry
+        start, inst = leaf
+        rows = jax.lax.dynamic_slice(
+            packed, (start, jnp.int32(0)), (tcl, packed.shape[1])
+        )
+        w = tris.inst_w2o[inst]
+        rox = w[0] * ro.x + w[1] * ro.y + w[2] * ro.z + w[3]
+        roy = w[4] * ro.x + w[5] * ro.y + w[6] * ro.z + w[7]
+        roz = w[8] * ro.x + w[9] * ro.y + w[10] * ro.z + w[11]
+        rdx = w[0] * rd.x + w[1] * rd.y + w[2] * rd.z
+        rdy = w[4] * rd.x + w[5] * rd.y + w[6] * rd.z
+        rdz = w[8] * rd.x + w[9] * rd.y + w[10] * rd.z
+        p0 = Vec3(rows[:, 0][None], rows[:, 1][None], rows[:, 2][None])
+        e1 = Vec3(rows[:, 3][None], rows[:, 4][None], rows[:, 5][None])
+        e2 = Vec3(rows[:, 6][None], rows[:, 7][None], rows[:, 8][None])
+        ro_b = Vec3(rox[:, None], roy[:, None], roz[:, None])
+        rd_b = Vec3(rdx[:, None], rdy[:, None], rdz[:, None])
+        det, t, u, v = _mt_planes(ro_b, rd_b, p0, e1, e2)
+        ok = (
+            (jnp.abs(det) >= _DET_EPS)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > tmin[:, None])
+            & (t < tmax[:, None])
+        )
+        t = jnp.where(ok, t, MAX_DISTANCE)
+        j = jnp.argmin(t, axis=1)
+        rows_idx = jnp.arange(t.shape[0])
+        tj = t[rows_idx, j]
+        better = tj < bt
+        bt = jnp.where(better, tj, bt)
+        bp = jnp.where(better, start + j.astype(jnp.int32), bp)
+        bk = jnp.where(better, 0, bk)
+        bu = jnp.where(better, u[rows_idx, j], bu)
+        bv = jnp.where(better, v[rows_idx, j], bv)
+        bi = jnp.where(better, inst, bi)
+        return (bt, bp, bk, bu, bv, bi), None
+
+    init = (
+        jnp.full(n, MAX_DISTANCE, jnp.float32),
+        jnp.zeros(n, jnp.int32),
+        jnp.full(n, -1, jnp.int32),
+        jnp.zeros(n, jnp.float32),
+        jnp.zeros(n, jnp.float32),
+        jnp.zeros(n, jnp.int32),
+    )
+    carry, _ = jax.lax.scan(
+        body, init, (tris.leaf_start, tris.leaf_inst)
+    )
+    return carry
+
+
 def _sphere_tests(ro: Vec3, rd: Vec3, scene: SceneData, tmin, tmax):
     """Analytic unit-sphere hits in each sphere's object frame.
 
@@ -387,6 +549,8 @@ def intersect_closest(
     coherent: bool = True,
     origin_prim: jnp.ndarray | None = None,
     mask: jnp.ndarray | None = None,
+    const_tmin: float | None = None,
+    const_tmax: float | None = None,
 ) -> Hit:
     """``origin_prim``: per-lane primitive index the ray originates on
     (tri row in BVH order; anything out of [0, tri_count) groups as
@@ -396,7 +560,11 @@ def intersect_closest(
     ``mask``: lanes whose result the caller will actually use. Culled
     lanes get an EMPTY ray interval (tmax = -1, guaranteed miss on every
     backend) and sort to the end, so whole tiles of dead rays terminate
-    at the BVH root — the TPU analog of not launching the ray at all."""
+    at the BVH root — the TPU analog of not launching the ray at all.
+
+    ``const_tmin`` / ``const_tmax``: static promises that the bound is
+    that constant on live lanes, letting the ray sort drop the operand
+    (see _sorted_ray_sweep)."""
     if mask is not None:
         tmax = jnp.where(mask, tmax, -1.0)
     n = ro.x.shape[0]
@@ -406,15 +574,23 @@ def intersect_closest(
         jnp.full(n, -1, jnp.int32),
         jnp.zeros(n, jnp.float32),
         jnp.zeros(n, jnp.float32),
+        jnp.zeros(n, jnp.int32),
     )
     if config.tri_count > 0:
         if _use_pallas():
             best = _sweep_tris_pallas(
-                ro, rd, tmin, tmax, scene, config, coherent, origin_prim, mask
+                ro, rd, tmin, tmax, scene, config, coherent, origin_prim,
+                mask, const_tmin, const_tmax,
+            )
+        elif config.instanced:
+            best = _sweep_tris_xla_instanced(
+                ro, rd, tmin, tmax, scene, config
             )
         else:
-            best = _sweep_tris_xla(ro, rd, tmin, tmax, scene)
-    best_t, best_prim, best_kind, best_u, best_v = best
+            best = _sweep_tris_xla(ro, rd, tmin, tmax, scene) + (
+                jnp.zeros(n, jnp.int32),
+            )
+    best_t, best_prim, best_kind, best_u, best_v, best_inst = best
 
     if config.sphere_count > 0:
         t_s, hit_s = _sphere_tests(ro, rd, scene, tmin, tmax)  # (S, N)
@@ -424,7 +600,8 @@ def intersect_closest(
         best_t = jnp.where(better, tj, best_t)
         best_prim = jnp.where(better, j.astype(jnp.int32), best_prim)
         best_kind = jnp.where(better, 1, best_kind)
-    return Hit(t=best_t, prim=best_prim, kind=best_kind, u=best_u, v=best_v)
+    return Hit(t=best_t, prim=best_prim, kind=best_kind, u=best_u,
+               v=best_v, inst=best_inst)
 
 
 def intersect_any(
@@ -437,6 +614,7 @@ def intersect_any(
     coherent: bool = True,
     origin_prim: jnp.ndarray | None = None,
     mask: jnp.ndarray | None = None,
+    const_tmin: float | None = None,
 ) -> jnp.ndarray:
     """Occlusion test (shadow rays): any hit in (tmin, tmax) -> True.
 
@@ -461,6 +639,10 @@ def intersect_any(
                 scene.tris.bvh_axis,
                 scene.tris.bvh_boxes,
                 tcl=config.bvh_tcl,
+                instanced=config.instanced,
+                leaf_start=scene.tris.leaf_start if config.instanced else None,
+                leaf_inst=scene.tris.leaf_inst if config.instanced else None,
+                inst_w2o=scene.tris.inst_w2o if config.instanced else None,
             )
             return (occ.astype(jnp.int32),)
 
@@ -471,7 +653,8 @@ def intersect_any(
             else None
         )
         (occ,) = _sorted_ray_sweep(
-            ro, rd, tmin, tmax, coherent, n_chunks, run, sort_keys=sort_keys
+            ro, rd, tmin, tmax, coherent, n_chunks, run, sort_keys=sort_keys,
+            const_tmin=const_tmin,
         )
         occluded = occ != 0
         if config.sphere_count > 0:

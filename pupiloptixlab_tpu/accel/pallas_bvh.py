@@ -117,10 +117,25 @@ def _slab8(blk, ox, oy, oz, ix, iy, iz, tmn_v, tfar_clamp):
     return tn, tf
 
 
-def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2):
-    def kernel(child_ref, ax_ref, box_ref, tri_ref,
-               rox, roy, roz, rdx, rdy, rdz, irx, iry, irz, tmn, tmx,
-               tbest, ibest, nstack_ref, lstack_ref, *dma):
+def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
+                         count_iters: bool = False, instanced: bool = False):
+    def kernel(*refs):
+        if instanced:
+            # extra scalar-prefetch tables: world-leaf payloads + 3x4
+            # world->object matrices (flat f32). The leaf drain
+            # transforms the ray TILE into the leaf instance's object
+            # space; directions are NOT renormalized so the MT's t stays
+            # the world parameter and tbest pruning is unchanged.
+            (child_ref, ax_ref, ls_ref, li_ref, w2o_ref,
+             box_ref, tri_ref,
+             rox, roy, roz, rdx, rdy, rdz, irx, iry, irz, tmn, tmx,
+             tbest, ibest, lbest, nstack_ref, lstack_ref, *dma) = refs
+            lbest[:] = jnp.full_like(lbest[:], -1)
+            n_leaf_tab = ls_ref.shape[0]
+        else:
+            (child_ref, ax_ref, box_ref, tri_ref,
+             rox, roy, roz, rdx, rdy, rdz, irx, iry, irz, tmn, tmx,
+             tbest, ibest, nstack_ref, lstack_ref, *dma) = refs
         tbest[:] = jnp.full_like(tbest[:], MAX_DISTANCE)
         ibest[:] = jnp.full_like(ibest[:], -1)
         t_rows = tri_ref.shape[0]
@@ -153,6 +168,31 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2):
             better = tmin_c < tbest[:]
             tbest[:] = jnp.where(better, tmin_c, tbest[:])
             ibest[:] = jnp.where(better, start + jmin, ibest[:])
+
+        def mt_update_inst(li):
+            li = jnp.clip(li, 0, n_leaf_tab - 1)
+            start = clamp_leaf(ls_ref[li])
+            inst = li_ref[li]
+
+            def w(k):
+                return w2o_ref[inst * 12 + k]
+
+            oxo = w(0) * ox + w(1) * oy + w(2) * oz + w(3)
+            oyo = w(4) * ox + w(5) * oy + w(6) * oz + w(7)
+            ozo = w(8) * ox + w(9) * oy + w(10) * oz + w(11)
+            dxo = w(0) * dx + w(1) * dy + w(2) * dz
+            dyo = w(4) * dx + w(5) * dy + w(6) * dz
+            dzo = w(8) * dx + w(9) * dy + w(10) * dz
+            t = _moller_trumbore(
+                tri_ref[pl.ds(start, tcl), :],
+                oxo, oyo, ozo, dxo, dyo, dzo, tmn_v, tmx_v,
+            )
+            tmin_c = jnp.min(t, axis=0)
+            jmin = jnp.argmin(t, axis=0)
+            better = tmin_c < tbest[:]
+            tbest[:] = jnp.where(better, tmin_c, tbest[:])
+            ibest[:] = jnp.where(better, start + jmin, ibest[:])
+            lbest[:] = jnp.where(better, li, lbest[:])
 
         def pop_and_push(nsp, lsp):
             """Pop one internal node, wide-test its 8 children, push
@@ -249,36 +289,64 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2):
             for j in range(nbuf):  # retire the final in-flight fetches
                 leaf_copy(0, j).wait()
         else:
-            # VMEM-resident table: drain one leaf + pop one node per
-            # iteration (a leaf visit never pays a wasted wide test and
-            # leaf/node work overlaps; the one-stack pop-dispatch
-            # version spent a full (8, rb, 128) slab test per leaf pop)
+            # VMEM-resident table: an INNER while drains every stacked
+            # leaf (the loop condition guarantees one, so the MT needs
+            # no pl.when and — crucially — no vector->scalar sync),
+            # then the outer body pops one node. Iteration counts on
+            # real 1080p bounce rays are near the ideal leaf-union bound
+            # (29.8/tile vs ~25 minimal) but the old 1-leaf-per-
+            # iteration loop paid ~1.7 us of sync + slab + scalar pushes
+            # around each ~0.5 us MT; with ~26 leaves but only ~10 node
+            # pops per tile this moves all of that overhead to the pops.
+            def drain_cond(s):
+                return s > 0
+
+            def drain_body(s):
+                lstart = lstack_ref[s - 1]
+                if instanced:
+                    mt_update_inst(lstart)
+                else:
+                    start = clamp_leaf(lstart)
+                    mt_update(tri_ref[pl.ds(start, tcl), :], start)
+                return s - 1
+
             def cond(c):
-                nsp, lsp = c
+                nsp, lsp = c[0], c[1]
                 return (nsp > 0) | (lsp > 0)
 
             def body(c):
-                nsp, lsp = c
-                have_leaf = lsp > 0
-                lstart = lstack_ref[jnp.maximum(lsp - 1, 0)]
-                start = clamp_leaf(lstart)
+                nsp, lsp = c[0], c[1]
+                jax.lax.while_loop(drain_cond, drain_body, lsp)
+                nsp2, lsp2 = pop_and_push(nsp, jnp.int32(0))
+                if count_iters:
+                    # the drain always empties the stack: leaves += lsp
+                    return (nsp2, lsp2, c[2] + 1, c[3] + lsp)
+                return (nsp2, lsp2)
 
-                @pl.when(have_leaf)
-                def _():
-                    mt_update(tri_ref[pl.ds(start, tcl), :], start)
-
-                lsp = lsp - have_leaf.astype(jnp.int32)
-                return pop_and_push(nsp, lsp)
-
-            jax.lax.while_loop(cond, body, (1, 0))
+            if count_iters:
+                _, _, iters, leaves = jax.lax.while_loop(
+                    cond, body, (1, 0, 0, 0)
+                )
+                ibest[:] = jnp.full_like(ibest[:], iters * 65536 + leaves)
+            else:
+                jax.lax.while_loop(cond, body, (1, 0))
 
     return kernel
 
 
-def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2):
-    def kernel(child_ref, ax_ref, box_ref, tri_ref,
-               rox, roy, roz, rdx, rdy, rdz, irx, iry, irz, tmn, tmx,
-               occ, nstack_ref, lstack_ref, *dma):
+def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
+                        instanced: bool = False):
+    def kernel(*refs):
+        if instanced:
+            (child_ref, ax_ref, ls_ref, li_ref, w2o_ref,
+             box_ref, tri_ref,
+             rox, roy, roz, rdx, rdy, rdz, irx, iry, irz, tmn, tmx,
+             occ, nstack_ref, lstack_ref, *dma) = refs
+            n_leaf_tab = ls_ref.shape[0]
+        else:
+            (child_ref, ax_ref, box_ref, tri_ref,
+             rox, roy, roz, rdx, rdy, rdz, irx, iry, irz, tmn, tmx,
+             occ, nstack_ref, lstack_ref, *dma) = refs
         occ[:] = jnp.zeros_like(occ[:])
         t_rows = tri_ref.shape[0]
 
@@ -300,6 +368,27 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2):
 
         def occ_update(rows):
             t = _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v)
+            hit_here = jnp.min(t, axis=0) < MAX_DISTANCE
+            occ[:] = jnp.where(hit_here, 1, occ[:])
+
+        def occ_update_inst(li):
+            li = jnp.clip(li, 0, n_leaf_tab - 1)
+            start = clamp_leaf(ls_ref[li])
+            inst = li_ref[li]
+
+            def w(k):
+                return w2o_ref[inst * 12 + k]
+
+            oxo = w(0) * ox + w(1) * oy + w(2) * oz + w(3)
+            oyo = w(4) * ox + w(5) * oy + w(6) * oz + w(7)
+            ozo = w(8) * ox + w(9) * oy + w(10) * oz + w(11)
+            dxo = w(0) * dx + w(1) * dy + w(2) * dz
+            dyo = w(4) * dx + w(5) * dy + w(6) * dz
+            dzo = w(8) * dx + w(9) * dy + w(10) * dz
+            t = _moller_trumbore(
+                tri_ref[pl.ds(start, tcl), :],
+                oxo, oyo, ozo, dxo, dyo, dzo, tmn_v, tmx_v,
+            )
             hit_here = jnp.min(t, axis=0) < MAX_DISTANCE
             occ[:] = jnp.where(hit_here, 1, occ[:])
 
@@ -373,22 +462,29 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2):
             for j in range(nbuf):
                 leaf_copy(0, j).wait()
         else:
+            # inner leaf-drain while: no pl.when, no per-leaf sync (see
+            # the closest kernel); the fully-occluded early exit stays
+            # at node-pop granularity (a per-leaf check would cost the
+            # vector->scalar sync this structure removes)
+            def drain_cond(s):
+                return s > 0
+
+            def drain_body(s):
+                lstart = lstack_ref[s - 1]
+                if instanced:
+                    occ_update_inst(lstart)
+                else:
+                    occ_update(tri_ref[pl.ds(clamp_leaf(lstart), tcl), :])
+                return s - 1
+
             def cond(c):
                 nsp, lsp = c
                 return (nsp > 0) | (lsp > 0)
 
             def body(c):
                 nsp, lsp = c
-                have_leaf = lsp > 0
-                lstart = lstack_ref[jnp.maximum(lsp - 1, 0)]
-                start = clamp_leaf(lstart)
-
-                @pl.when(have_leaf)
-                def _():
-                    occ_update(tri_ref[pl.ds(start, tcl), :])
-
-                lsp = lsp - have_leaf.astype(jnp.int32)
-                return pop_and_push(nsp, lsp)
+                jax.lax.while_loop(drain_cond, drain_body, lsp)
+                return pop_and_push(nsp, jnp.int32(0))
 
             jax.lax.while_loop(cond, body, (1, 0))
 
@@ -406,7 +502,7 @@ def _ray_specs(rb: int, count: int):
 
 
 def _call(kernel, tri, boxes, n, rb, outs, interpret, flops, leaf_count,
-          tcl=16, stream=False, stream_depth=2):
+          tcl=16, stream=False, stream_depth=2, instanced=False):
     rows = n // LANES
     scratch = [
         pltpu.SMEM((STACK_SIZE,), jnp.int32),
@@ -424,7 +520,8 @@ def _call(kernel, tri, boxes, n, rb, outs, interpret, flops, leaf_count,
             pltpu.VMEM((tcl, 128), jnp.float32) for _ in range(stream_depth)
         ] + [pltpu.SemaphoreType.DMA for _ in range(stream_depth)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # child ids + axes in SMEM
+        # child ids + axes (+ instanced leaf payload tables + w2o mats)
+        num_scalar_prefetch=5 if instanced else 2,
         grid=(rows // rb,),
         in_specs=[
             pl.BlockSpec(
@@ -494,7 +591,10 @@ def _streaming(tri, stream):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rb", "tcl", "interpret", "stream", "stream_depth"),
+    static_argnames=(
+        "rb", "tcl", "interpret", "stream", "stream_depth", "count_iters",
+        "instanced",
+    ),
 )
 def bvh_closest(
     rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
@@ -507,30 +607,55 @@ def bvh_closest(
     interpret: bool = False,
     stream: bool | None = None,
     stream_depth: int = DEFAULT_STREAM_DEPTH,
+    count_iters: bool = False,
+    instanced: bool = False,
+    leaf_start: jnp.ndarray | None = None,  # (L,) i32 (instanced)
+    leaf_inst: jnp.ndarray | None = None,   # (L,) i32 (instanced)
+    inst_w2o: jnp.ndarray | None = None,    # (I, 12) f32 (instanced)
 ):
-    """Closest-hit traversal over ray planes; returns (t, idx)."""
+    """Closest-hit traversal over ray planes; returns (t, idx) — or
+    (t, idx, leaf) in instanced mode, with idx = UNIQUE tri row and leaf
+    the winning world-leaf table index (leaf_inst[leaf] = instance).
+    ``count_iters`` (debug, non-stream): idx instead carries per-tile
+    iterations*65536 + leaf visits."""
     n = rox.shape[0]
     assert n % (rb * LANES) == 0, n
-    stream = _streaming(tri, stream)
+    stream = False if instanced else _streaming(tri, stream)
     if stream:
         tri = jnp.pad(tri, ((0, 0), (0, 128 - tri.shape[1])))
+    outs = (
+        (jnp.float32, jnp.int32, jnp.int32)
+        if instanced
+        else (jnp.float32, jnp.int32)
+    )
     call = _call(
-        _make_closest_kernel(tcl, stream, stream_depth), tri, bvh_boxes, n, rb,
-        (jnp.float32, jnp.int32), interpret,
+        _make_closest_kernel(tcl, stream, stream_depth, count_iters,
+                             instanced),
+        tri, bvh_boxes, n, rb,
+        outs, interpret,
         flops=int(55 * n * max(tri.shape[0] * 0.05, tcl)),
-        leaf_count=tri.shape[0] // tcl, tcl=tcl, stream=stream,
-        stream_depth=stream_depth,
+        leaf_count=(
+            leaf_start.shape[0] if instanced else tri.shape[0] // tcl
+        ),
+        tcl=tcl, stream=stream, stream_depth=stream_depth,
+        instanced=instanced,
     )
-    tbest, ibest = call(
-        bvh_child, bvh_axis, bvh_boxes, tri,
-        *_planes(n, rb, rox, roy, roz, rdx, rdy, rdz, tmin, tmax),
-    )
+    planes = _planes(n, rb, rox, roy, roz, rdx, rdy, rdz, tmin, tmax)
+    if instanced:
+        tbest, ibest, lbest = call(
+            bvh_child, bvh_axis, leaf_start, leaf_inst,
+            inst_w2o.reshape(-1), bvh_boxes, tri, *planes,
+        )
+        return tbest.reshape(n), ibest.reshape(n), lbest.reshape(n)
+    tbest, ibest = call(bvh_child, bvh_axis, bvh_boxes, tri, *planes)
     return tbest.reshape(n), ibest.reshape(n)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rb", "tcl", "interpret", "stream", "stream_depth"),
+    static_argnames=(
+        "rb", "tcl", "interpret", "stream", "stream_depth", "instanced"
+    ),
 )
 def bvh_anyhit(
     rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
@@ -543,20 +668,35 @@ def bvh_anyhit(
     interpret: bool = False,
     stream: bool | None = None,
     stream_depth: int = DEFAULT_STREAM_DEPTH,
+    instanced: bool = False,
+    leaf_start: jnp.ndarray | None = None,
+    leaf_inst: jnp.ndarray | None = None,
+    inst_w2o: jnp.ndarray | None = None,
 ):
     """Occlusion-only traversal; returns (N,) bool (True = occluded)."""
     n = rox.shape[0]
     assert n % (rb * LANES) == 0, n
-    stream = _streaming(tri, stream)
+    stream = False if instanced else _streaming(tri, stream)
     if stream:
         tri = jnp.pad(tri, ((0, 0), (0, 128 - tri.shape[1])))
     call = _call(
-        _make_anyhit_kernel(tcl, stream, stream_depth), tri, bvh_boxes, n, rb,
+        _make_anyhit_kernel(tcl, stream, stream_depth, instanced),
+        tri, bvh_boxes, n, rb,
         (jnp.int32,), interpret,
         flops=int(55 * n * max(tri.shape[0] * 0.025, tcl)),
-        leaf_count=tri.shape[0] // tcl, tcl=tcl, stream=stream,
-        stream_depth=stream_depth,
+        leaf_count=(
+            leaf_start.shape[0] if instanced else tri.shape[0] // tcl
+        ),
+        tcl=tcl, stream=stream, stream_depth=stream_depth,
+        instanced=instanced,
     )
+    if instanced:
+        occ = call(
+            bvh_child, bvh_axis, leaf_start, leaf_inst,
+            inst_w2o.reshape(-1), bvh_boxes, tri,
+            *_planes(n, rb, rox, roy, roz, rdx, rdy, rdz, tmin, tmax),
+        )
+        return occ.reshape(n) != 0
     occ = call(
         bvh_child, bvh_axis, bvh_boxes, tri,
         *_planes(n, rb, rox, roy, roz, rdx, rdy, rdz, tmin, tmax),

@@ -40,11 +40,21 @@ class DenoiserMode(enum.IntFlag):
 
 
 def _shift2d(img, dy, dx):
-    """Shift with edge clamping (img is (h, w, c))."""
+    """Shift with edge clamping (img is (h, w, c) or (h, w)).
+
+    Implemented as edge-pad + STATIC slice (dy/dx are Python ints), not
+    an index-array gather: XLA fuses static slices of a shared pad into
+    the consumer, while gathers materialize 25 shifted copies per
+    a-trous iteration (measured 2.3x slower at 1080p)."""
     h, w = img.shape[:2]
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return img[ys][:, xs]
+    pys, pxs = abs(dy), abs(dx)
+    pad_spec = [(pys, pys), (pxs, pxs)] + [(0, 0)] * (img.ndim - 2)
+    padded = jnp.pad(img, pad_spec, mode="edge")
+    return jax.lax.slice(
+        padded,
+        [pys + dy, pxs + dx] + [0] * (img.ndim - 2),
+        [pys + dy + h, pxs + dx + w] + list(img.shape[2:]),
+    )
 
 
 def _luminance(c):
@@ -66,31 +76,78 @@ def atrous_denoise(
     sigma_albedo: float = 0.15,
     sigma_normal: float = 0.25,
 ):
-    out = color
+    # All arithmetic runs on (h, w) CHANNEL PLANES: a (h, w, 3) layout
+    # pads the minor dim 3 to the 128-lane TPU tile, multiplying HBM
+    # traffic ~42x (the render/vec.py Vec3 rule applied to images;
+    # measured 28.5 -> ~4 ms for the 5-iteration filter at 1080p).
+    def planes(img):
+        return [img[..., c] for c in range(3)]
+
+    h, w_ = color.shape[:2]
+    cr, cg, cb = planes(color)
+    ar, ag, ab_ = planes(albedo)
+    nr, ng, nb = planes(normal)
+    inv_2sc = 1.0 / (2.0 * sigma_color**2)
+    inv_2sa = 1.0 / (2.0 * sigma_albedo**2)
+    n_pow = 1.0 / max(sigma_normal, 1e-3)
+
+    def npow(x):
+        # integer exponents avoid transcendental pow (default 1/0.25=4)
+        if abs(n_pow - round(n_pow)) < 1e-6 and 1 <= round(n_pow) <= 8:
+            y = x
+            for _ in range(int(round(n_pow)) - 1):
+                y = y * x
+            return y
+        return jnp.power(x, n_pow)
+
     for it in range(iterations):
         step = 1 << it
-        acc = jnp.zeros_like(out)
-        wsum = jnp.zeros(out.shape[:2], out.dtype)
-        lum_c = _luminance(out)
+        halo = 2 * step
+        # pad each input plane ONCE per iteration; all 25 taps are then
+        # static slices of the shared pad (fuse-friendly, no per-tap
+        # copies)
+        pads = [
+            jnp.pad(p, ((halo, halo), (halo, halo)), mode="edge")
+            for p in (cr, cg, cb, ar, ag, ab_, nr, ng, nb)
+        ]
+        pcr, pcg, pcb, par, pag, pab, pnr, png_, pnb = pads
+        acc_r = jnp.zeros_like(cr)
+        acc_g = jnp.zeros_like(cr)
+        acc_b = jnp.zeros_like(cr)
+        wsum = jnp.zeros_like(cr)
+        lum_c = 0.2126 * cr + 0.7152 * cg + 0.0722 * cb
         for iy in range(-2, 3):
             for ix in range(-2, 3):
                 k = float(_B3[iy + 2] * _B3[ix + 2])
-                sc = _shift2d(out, iy * step, ix * step)
-                w = jnp.full(out.shape[:2], k, out.dtype)
-                dl = _luminance(sc) - lum_c
-                w = w * jnp.exp(-(dl * dl) / (2.0 * sigma_color**2))
+                y0 = halo + iy * step
+                x0 = halo + ix * step
+
+                def sh(p):
+                    return jax.lax.slice(p, (y0, x0), (y0 + h, x0 + w_))
+
+                scr, scg, scb = sh(pcr), sh(pcg), sh(pcb)
+                dl = 0.2126 * scr + 0.7152 * scg + 0.0722 * scb - lum_c
+                w = k * jnp.exp(-(dl * dl) * inv_2sc)
                 if use_albedo:
-                    sa = _shift2d(albedo, iy * step, ix * step)
-                    da = jnp.sum((sa - albedo) ** 2, axis=-1)
-                    w = w * jnp.exp(-da / (2.0 * sigma_albedo**2))
+                    da = (
+                        (sh(par) - ar) ** 2
+                        + (sh(pag) - ag) ** 2
+                        + (sh(pab) - ab_) ** 2
+                    )
+                    w = w * jnp.exp(-da * inv_2sa)
                 if use_normal:
-                    sn = _shift2d(normal, iy * step, ix * step)
-                    ndot = jnp.clip(jnp.sum(sn * normal, axis=-1), 0.0, 1.0)
-                    w = w * jnp.power(ndot, 1.0 / max(sigma_normal, 1e-3))
-                acc = acc + sc * w[..., None]
+                    ndot = jnp.clip(
+                        sh(pnr) * nr + sh(png_) * ng + sh(pnb) * nb,
+                        0.0, 1.0,
+                    )
+                    w = w * npow(ndot)
+                acc_r = acc_r + scr * w
+                acc_g = acc_g + scg * w
+                acc_b = acc_b + scb * w
                 wsum = wsum + w
-        out = acc / jnp.maximum(wsum, 1e-8)[..., None]
-    return out
+        inv_w = 1.0 / jnp.maximum(wsum, 1e-8)
+        cr, cg, cb = acc_r * inv_w, acc_g * inv_w, acc_b * inv_w
+    return jnp.stack([cr, cg, cb], axis=-1)
 
 
 @jax.jit

@@ -217,6 +217,7 @@ class _MaterialBuilder:
         self.int_fdr: list[float] = []
         self.ssw: list[float] = []
         self.nonlinear: list[bool] = []
+        self.aniso: list[bool] = []
         # texture ids actually referenced by a material slot (slot
         # defaults of 0 are never read for the material's type, so they
         # must not widen the specialization set)
@@ -267,14 +268,15 @@ class _MaterialBuilder:
         self.int_fdr.append(int_fdr)
         self.ssw.append(ssw)
         self.nonlinear.append(bool(mat.nonlinear))
+        self.aniso.append(bool(getattr(mat, "anisotropic", False)))
         return idx
 
     def build(self) -> MaterialTable:
         if not self.mtype:
             self.add(Material(type=MatType.DIFFUSE))
         from pupiloptixlab_tpu.flatten.types import (
-            MAT_COLS, MAT_ETA, MAT_INT_FDR, MAT_NONLINEAR, MAT_SSW,
-            MAT_TEX0, MAT_TWOSIDED, MAT_TYPE,
+            MAT_ANISO, MAT_COLS, MAT_ETA, MAT_INT_FDR, MAT_NONLINEAR,
+            MAT_SSW, MAT_TEX0, MAT_TWOSIDED, MAT_TYPE,
         )
 
         m = len(self.mtype)
@@ -285,6 +287,7 @@ class _MaterialBuilder:
         packed[:, MAT_INT_FDR] = self.int_fdr
         packed[:, MAT_SSW] = self.ssw
         packed[:, MAT_NONLINEAR] = self.nonlinear
+        packed[:, MAT_ANISO] = self.aniso
         packed[:, MAT_TEX0 : MAT_TEX0 + 6] = self.tex
         return MaterialTable(
             packed=jnp.asarray(packed),
@@ -303,7 +306,8 @@ def _round_up(n: int, m: int) -> int:
 
 
 def flatten_scene(
-    scene: Scene, pad_tris_to: int = 64, return_refit: bool = False
+    scene: Scene, pad_tris_to: int = 64, return_refit: bool = False,
+    allow_instanced: bool = True,
 ):
     """Scene -> (SceneData, RenderConfig[, RefitData]).
 
@@ -323,6 +327,9 @@ def flatten_scene(
     unique_rows: list[np.ndarray] = []  # (nf, 18) blocks per unique shape
     unique_base: dict[str, int] = {}    # shape key -> base row
     unique_count = 0
+    # device-side instancing capture (flatten/instanced.py)
+    shape_store: dict[str, dict] = {}
+    inst_meta: list[dict] = []
     em_base_w: list[float] = []         # per emitter: radiance weight basis
     sphere_inst: list[int] = []         # instance index per sphere row
     # spheres
@@ -499,6 +506,37 @@ def flatten_scene(
         else:
             t_emit.extend([-1] * nf)
 
+        # instanced-mode capture: object-space per-shape blocks (stored
+        # once) + per-instance metadata (flatten/instanced.py)
+        if key not in shape_store:
+            op = mesh.positions.astype(np.float32)
+            op0, op1, op2 = op[f0], op[f1], op[f2]
+            if obj_n is not None:
+                on = mesh.normals.astype(np.float32)
+                on0, on1, on2 = on[f0], on[f1], on[f2]
+            else:
+                ofn = np.cross(op1 - op0, op2 - op0)
+                ofn /= np.maximum(
+                    np.linalg.norm(ofn, axis=-1, keepdims=True), 1e-20
+                )
+                on0 = on1 = on2 = ofn
+            uv_raw = (
+                mesh.texcoords.astype(np.float32)
+                if mesh.texcoords is not None
+                else np.zeros((len(op), 2), np.float32)
+            )
+            shape_store[key] = dict(
+                p0=op0, e1=op1 - op0, e2=op2 - op0,
+                n0=on0, n1=on1, n2=on2,
+                uv0=uv_raw[f0], uv1=uv_raw[f1], uv2=uv_raw[f2],
+            )
+        inst_meta.append(dict(
+            key=key, matrix=np.asarray(m, np.float64), mat_id=mat_id,
+            emitter_base=emitter_base, flip=bool(ins.flip_normals),
+            uv_flip=bool(ins.flip_tex_coords and mesh.texcoords is not None),
+            hidden=bool(hidden),
+        ))
+
     # -- delta lights (point / directional) ----------------------------------
     # The reference parses these but never flattens them (the TODO at
     # world/emitter.cpp:314-316); here they join the same packed table:
@@ -621,6 +659,24 @@ def flatten_scene(
     bvh_tcl = pick_leaf_size(_round_up(tri_count, pad_tris_to)) if use_bvh else 0
     t_pad = _round_up(tri_count, max(pad_tris_to, bvh_tcl))
 
+    # Device-side instancing (flatten/instanced.py): when shapes repeat
+    # enough that deduplicated object-space storage pays for the per-leaf
+    # ray transform, the world tables below are replaced by unique rows
+    # + a leaf-(start, instance) BVH. Refit mode keeps the baked path
+    # (its device-refit tables assume world rows).
+    inst_tab = None
+    if (allow_instanced and use_bvh and not return_refit and unique_count
+            and tri_count / unique_count >= 1.5):
+        from pupiloptixlab_tpu.flatten.instanced import build_instanced_tables
+
+        try:
+            inst_tab = build_instanced_tables(
+                shape_store, inst_meta, tcl0=max(bvh_tcl, 32)
+            )
+        except np.linalg.LinAlgError:
+            inst_tab = None
+    build_world_bvh = use_bvh and inst_tab is None
+
     # --- Morton-order triangles (LBVH-lite): sorting by centroid code
     # groups spatially-local triangles into the same sweep chunk so the
     # per-chunk AABBs (computed in the Pallas wrapper) cull effectively.
@@ -699,7 +755,7 @@ def flatten_scene(
     bvh_ch = bvh_ax = np.zeros(8, np.int32)
     bvh_bx = np.zeros((8, 8), np.float32)
     bvh_nodes = 0
-    if use_bvh:
+    if build_world_bvh:
         bvh = build_bvh(p0_np, p1w, p2w, tri_count, bvh_tcl)
         o = bvh.order
         packed = packed[o]
@@ -723,16 +779,48 @@ def flatten_scene(
     boxes[:, 0:3] = lo_all.reshape(n_chunks, tc, 3).min(axis=1)
     boxes[:, 3:6] = hi_all.reshape(n_chunks, tc, 3).max(axis=1)
 
-    tris = TriSoup(
-        packed=jnp.asarray(packed),
-        chunk_boxes=jnp.asarray(boxes),
-        attrs=jnp.asarray(attrs),
-        mat_id=jnp.asarray(attrs[:, TRI_MAT].astype(np.int32)),
-        emitter_id=jnp.asarray(attrs[:, TRI_EMITTER].astype(np.int32)),
-        bvh_child=jnp.asarray(bvh_ch),
-        bvh_axis=jnp.asarray(bvh_ax),
-        bvh_boxes=jnp.asarray(bvh_bx),
-    )
+    if inst_tab is not None:
+        # deduplicated tables replace the baked world geometry entirely
+        packed = inst_tab["packed"]
+        attrs = inst_tab["attrs"]
+        bvh_ch = inst_tab["bvh_child"]
+        bvh_ax = inst_tab["bvh_axis"]
+        bvh_bx = inst_tab["bvh_boxes"]
+        bvh_nodes = inst_tab["bvh_nodes"]
+        bvh_tcl = inst_tab["tcl"]
+        boxes = np.zeros((max(packed.shape[0] // tc, 1), 8), np.float32)
+        tris = TriSoup(
+            packed=jnp.asarray(packed),
+            chunk_boxes=jnp.asarray(boxes),
+            attrs=jnp.asarray(attrs),
+            mat_id=jnp.zeros(packed.shape[0], jnp.int32),
+            emitter_id=jnp.asarray(
+                attrs[:, TRI_EMITTER].astype(np.int32)
+            ),
+            bvh_child=jnp.asarray(bvh_ch),
+            bvh_axis=jnp.asarray(bvh_ax),
+            bvh_boxes=jnp.asarray(bvh_bx),
+            leaf_start=jnp.asarray(inst_tab["leaf_start"]),
+            leaf_inst=jnp.asarray(inst_tab["leaf_inst"]),
+            inst_w2o=jnp.asarray(inst_tab["inst_w2o"]),
+            inst_packed=jnp.asarray(inst_tab["inst_packed"]),
+        )
+        tri_count = inst_tab["tri_count_padded"]
+    else:
+        tris = TriSoup(
+            packed=jnp.asarray(packed),
+            chunk_boxes=jnp.asarray(boxes),
+            attrs=jnp.asarray(attrs),
+            mat_id=jnp.asarray(attrs[:, TRI_MAT].astype(np.int32)),
+            emitter_id=jnp.asarray(attrs[:, TRI_EMITTER].astype(np.int32)),
+            bvh_child=jnp.asarray(bvh_ch),
+            bvh_axis=jnp.asarray(bvh_ax),
+            bvh_boxes=jnp.asarray(bvh_bx),
+            leaf_start=jnp.zeros(1, jnp.int32),
+            leaf_inst=jnp.zeros(1, jnp.int32),
+            inst_w2o=jnp.zeros((1, 12), jnp.float32),
+            inst_packed=jnp.zeros((1, 16), jnp.float32),
+        )
 
     sphere_count = len(s_mat)
     s_pad = max(sphere_count, 1)
@@ -889,6 +977,7 @@ def flatten_scene(
         has_directional_emitter=any(t == 3 for t in e["etype"]),
         bvh_nodes=bvh_nodes,
         bvh_tcl=bvh_tcl,
+        instanced=inst_tab is not None,
     )
     if not return_refit:
         return data, config

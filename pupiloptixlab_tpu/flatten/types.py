@@ -43,6 +43,7 @@ TRI_ATTR_COLS = 24
 # MaterialTable.packed (M, 16)
 MAT_TYPE, MAT_TWOSIDED, MAT_ETA, MAT_INT_FDR, MAT_SSW, MAT_NONLINEAR = range(6)
 MAT_TEX0 = 6  # 6 texture-slot ids follow
+MAT_ANISO = 12  # 1.0 = the alpha texture's r/g hold (alpha_u, alpha_v)
 MAT_COLS = 16
 
 # TextureTable.packed (K, 24)
@@ -124,12 +125,33 @@ class TriSoup:
     bvh_child: jnp.ndarray   # (M*8,) i32; >=0 child node, <0 leaf start
     bvh_axis: jnp.ndarray    # (M,) i32 dominant split axis
     bvh_boxes: jnp.ndarray   # (M*8, 8) f32 child AABB rows
+    # --- device-side instancing (config.instanced; the GAS-reuse half
+    # of the two-level accel, world/gas_manager.cpp:10-27): ``packed`` /
+    # ``attrs`` hold UNIQUE OBJECT-space rows (one copy per shape, HBM
+    # O(unique)), the world BVH's leaves index (leaf_start, leaf_inst),
+    # and the traversal transforms ray tiles into object space per leaf
+    # (t stays the world parameter: directions are NOT renormalized).
+    # Minimal (1-row) placeholders when instanced is off.
+    leaf_start: jnp.ndarray  # (L,) i32 tcl-aligned row start per world leaf
+    leaf_inst: jnp.ndarray   # (L,) i32 instance per world leaf
+    inst_w2o: jnp.ndarray    # (I, 12) f32 world->object 3x4 row-major
+    inst_packed: jnp.ndarray  # (I, INST_COLS) f32 shading row (see below)
 
 
 # Spheres.attrs (S, 16): w2o rows flat (12), mat_id, emitter_id, flip
 SPH_W2O = slice(0, 12)
 SPH_MAT, SPH_EMITTER, SPH_FLIP = 12, 13, 14
 SPH_COLS = 16
+
+# TriSoup.inst_packed (I, 16): per-instance shading row (instanced mode)
+INST_NRM = slice(0, 9)   # normal matrix: inverse-transpose 3x3 row-major,
+                         # flip_normals sign folded in
+INST_MAT = 9             # material id
+INST_EMIT_BASE = 10      # emitter table base (-1 = not an emitter); the
+                         # hit's emitter_id = base + attrs[TRI_EMITTER]
+                         # (which holds the shape-local face index)
+INST_W2O0 = 11           # unused (w2o lives in its own table)
+INST_COLS = 16
 
 
 @_register
@@ -236,3 +258,8 @@ class RenderConfig:
     # chunk-culled sweep instead (small scenes, where it wins).
     bvh_nodes: int = 0
     bvh_tcl: int = 0
+    # Device-side instancing: the tri/attr tables hold unique object-
+    # space rows, the BVH's leaves carry (row start, instance) and the
+    # traversal transforms rays per leaf. Chosen by flatten when the
+    # instancing duplication ratio makes it worthwhile.
+    instanced: bool = False

@@ -35,8 +35,15 @@ def _load():
     if os.environ.get("PUPIL_NO_NATIVE"):
         return None
     try:
-        if not _LIB_PATH.exists():
-            src = _NATIVE_DIR / "pupil_native.cpp"
+        src = _NATIVE_DIR / "pupil_native.cpp"
+        # the .so is a build artifact (never committed): compile on
+        # demand, and recompile when the source is newer than the binary
+        stale = (
+            _LIB_PATH.exists()
+            and src.exists()
+            and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+        )
+        if not _LIB_PATH.exists() or stale:
             if not src.exists():
                 return None
             subprocess.run(

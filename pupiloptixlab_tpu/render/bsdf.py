@@ -90,7 +90,8 @@ class LocalBsdf:
     transmittance: Vec3
     eta3: Vec3                # conductor eta
     k3: Vec3                  # conductor k
-    alpha: jnp.ndarray        # (N,)
+    alpha: jnp.ndarray        # (N,) GGX alpha (alpha_u when anisotropic)
+    alpha_v: jnp.ndarray      # (N,) GGX alpha_v (== alpha when isotropic)
     eta: jnp.ndarray          # (N,) scalar ior ratio
     int_fdr: jnp.ndarray      # (N,)
     ssw: jnp.ndarray          # (N,)
@@ -121,6 +122,18 @@ def get_local_bsdf(
         return zeros3
 
     need_alpha = (ROUGH_DIELECTRIC, ROUGH_CONDUCTOR, ROUGH_PLASTIC)
+    if any(t in mat_types for t in need_alpha):
+        a_tex = slot(SLOT_ALPHA, need_alpha)
+        alpha_u = a_tex.x
+        # anisotropic materials carry (alpha_u, alpha_v) in the alpha
+        # texture's r/g (scene/materials.py); isotropic alpha textures
+        # (incl. bitmap roughness maps) read the r channel for both
+        from pupiloptixlab_tpu.flatten.types import MAT_ANISO
+
+        alpha_v = jnp.where(mcol[MAT_ANISO] > 0.5, a_tex.y, a_tex.x)
+    else:
+        alpha_u = jnp.zeros(n, jnp.float32)
+        alpha_v = alpha_u
     return LocalBsdf(
         mtype=mcol[MAT_TYPE].astype(jnp.int32),
         twosided=mcol[MAT_TWOSIDED] > 0.5,
@@ -129,11 +142,8 @@ def get_local_bsdf(
         transmittance=slot(SLOT_TRANSMITTANCE, (DIELECTRIC, ROUGH_DIELECTRIC)),
         eta3=slot(SLOT_ETA, (CONDUCTOR, ROUGH_CONDUCTOR)),
         k3=slot(SLOT_K, (CONDUCTOR, ROUGH_CONDUCTOR)),
-        alpha=(
-            slot(SLOT_ALPHA, need_alpha).x
-            if any(t in mat_types for t in need_alpha)
-            else jnp.zeros(n, jnp.float32)
-        ),
+        alpha=alpha_u,
+        alpha_v=alpha_v,
         eta=mcol[MAT_ETA],
         int_fdr=mcol[MAT_INT_FDR],
         ssw=mcol[MAT_SSW],
@@ -201,11 +211,11 @@ def _eval_rough_conductor(b, wo: Vec3, wi: Vec3):
     upper = (wi.z > 0.0) & (wo.z > 0.0)
     wh = (wi + wo).normalized()
     fr = fresnel.conductor_reflectance_rgb(b.eta3, b.k3, wo.dot(wh))
-    scale = ggx.d(wh, b.alpha) * ggx.g(wi, wo, b.alpha) / jnp.maximum(
+    scale = ggx.d(wh, b.alpha, b.alpha_v) * ggx.g(wi, wo, b.alpha, b.alpha_v) / jnp.maximum(
         4.0 * wi.z * wo.z, _TINY
     )
     f = b.specular * fr * scale
-    pdf = ggx.pdf(wo, wh, b.alpha) / jnp.maximum(4.0 * wo.dot(wh), _TINY)
+    pdf = ggx.pdf(wo, wh, b.alpha, b.alpha_v) / jnp.maximum(4.0 * wo.dot(wh), _TINY)
     zero = Vec3.zeros(wi.z.shape[0])
     return where(upper, f, zero), jnp.where(upper, pdf, 0.0)
 
@@ -228,7 +238,7 @@ def _eval_rough_plastic(b, wo: Vec3, wi: Vec3):
     f_i, _ = fresnel.dielectric_reflectance(b.eta, wi.z)
     wh = (wi + wo).normalized()
     fr = fresnel.dielectric_reflectance(b.eta, wh.dot(wo))[0]
-    spec_scale = fr * ggx.d(wh, b.alpha) * ggx.g(wi, wo, b.alpha) / jnp.maximum(
+    spec_scale = fr * ggx.d(wh, b.alpha, b.alpha_v) * ggx.g(wi, wo, b.alpha, b.alpha_v) / jnp.maximum(
         4.0 * wo.z * wi.z, _TINY
     )
     spec = b.specular * spec_scale
@@ -247,7 +257,7 @@ def _eval_rough_plastic(b, wo: Vec3, wi: Vec3):
     )
     f = where(upper, spec + diff, Vec3.zeros(wi.z.shape[0]))
     sp = _spec_prob(b, f_o)
-    pdf = sp * ggx.pdf(wo, wh, b.alpha) / jnp.maximum(4.0 * wi.dot(wh), _TINY)
+    pdf = sp * ggx.pdf(wo, wh, b.alpha, b.alpha_v) / jnp.maximum(4.0 * wi.dot(wh), _TINY)
     pdf = pdf + (1.0 - sp) * _cos_pdf(wi.z)
     return f, jnp.where(upper, pdf, 0.0)
 
@@ -266,8 +276,8 @@ def _eval_rough_dielectric(b, wo: Vec3, wi: Vec3):
     wh, reflect_side, eta_w = _rough_dielectric_wh(b, wo, wi)
 
     f_term, _ = fresnel.dielectric_reflectance(b.eta, wo.dot(wh))
-    g_val = ggx.g(wi, wo, b.alpha)
-    d_val = ggx.d(wh, b.alpha)
+    g_val = ggx.g(wi, wo, b.alpha, b.alpha_v)
+    d_val = ggx.d(wh, b.alpha, b.alpha_v)
 
     refl_scale = f_term * g_val * d_val / jnp.maximum(
         4.0 * jnp.abs(wi.z) * jnp.abs(wo.z), _TINY
@@ -292,7 +302,7 @@ def _eval_rough_dielectric(b, wo: Vec3, wi: Vec3):
     dwh_dwo = jnp.where(reflect_side, dwh_dwo_r, dwh_dwo_t)
     wo_up = wo * jnp.where(wo.z > 0.0, 1.0, -1.0)
     pdf = jnp.abs(
-        ggx.pdf(wo_up, wh, b.alpha)
+        ggx.pdf(wo_up, wh, b.alpha, b.alpha_v)
         * jnp.where(reflect_side, f_term, 1.0 - f_term)
         * dwh_dwo
     )
@@ -364,7 +374,7 @@ def _sample_dielectric(b, wo, u_lobe, u1, u2):
 
 
 def _sample_rough_conductor(b, wo, u_lobe, u1, u2):
-    wh = ggx.sample(wo, b.alpha, u1, u2)
+    wh = ggx.sample(wo, b.alpha, u1, u2, b.alpha_v)
     wi = reflect(wo, wh)
     f, pdf = _eval_rough_conductor(b, wo, wi)
     lobe = jnp.full(wo.z.shape[0], LOBE_GLOSSY_REFL, jnp.int32)
@@ -374,7 +384,7 @@ def _sample_rough_conductor(b, wo, u_lobe, u1, u2):
 def _sample_rough_dielectric(b, wo, u_lobe, u1, u2):
     """rough_dielectric.h:74-97."""
     wo_up = wo * jnp.where(wo.z > 0.0, 1.0, -1.0)
-    wh = ggx.sample(wo_up, b.alpha, u1, u2)
+    wh = ggx.sample(wo_up, b.alpha, u1, u2, b.alpha_v)
     f_term, cos_t = fresnel.dielectric_reflectance(b.eta, wo.dot(wh))
     take_refl = u_lobe < f_term
     wi = where(take_refl, reflect(wo, wh), refract(wo, wh, cos_t, b.eta))
@@ -411,7 +421,7 @@ def _sample_rough_plastic(b, wo, u_lobe, u1, u2):
     f_o, _ = fresnel.dielectric_reflectance(b.eta, wo.z)
     sp = _spec_prob(b, f_o)
     take_spec = u_lobe < sp
-    wh = ggx.sample(wo, b.alpha, u1, u2)
+    wh = ggx.sample(wo, b.alpha, u1, u2, b.alpha_v)
     wi = where(take_spec, reflect(wo, wh), cosine_sample_hemisphere(u1, u2))
     f, pdf = _eval_rough_plastic(b, wo, wi)
     invalid = wo.z <= 0.0

@@ -65,9 +65,13 @@ def get_local_geometry(
     ro: Vec3,
     rd: Vec3,
     sphere_count: int = -1,
+    instanced: bool = False,
 ) -> LocalGeometry:
     """``sphere_count`` (static) skips the sphere branch when 0; -1 means
-    unknown (emit both branches)."""
+    unknown (emit both branches). ``instanced`` (static): the attrs
+    table holds unique OBJECT-space rows — normals transform by the
+    hit instance's normal matrix, material/emitter ids come from the
+    per-instance row (flatten/instanced.py)."""
     spheres = scene.spheres
     prim = hit.prim
     is_sphere = hit.kind == 1
@@ -86,13 +90,36 @@ def get_local_geometry(
     def uv2(s: slice) -> Vec2:
         return Vec2(a[s.start], a[s.start + 1])
 
-    nrm_tri = (vec(TRI_N0) * w0 + vec(TRI_N1) * w1 + vec(TRI_N2) * w2).normalized()
+    nrm_tri = vec(TRI_N0) * w0 + vec(TRI_N1) * w1 + vec(TRI_N2) * w2
     uv_tri = Vec2(
         a[TRI_UV0.start] * w0 + a[TRI_UV1.start] * w1 + a[TRI_UV2.start] * w2,
         a[TRI_UV0.start + 1] * w0 + a[TRI_UV1.start + 1] * w1 + a[TRI_UV2.start + 1] * w2,
     )
-    mat_tri = a[TRI_MAT].astype(jnp.int32)
-    emit_tri = a[TRI_EMITTER].astype(jnp.int32)
+    if instanced:
+        from pupiloptixlab_tpu.flatten.types import (
+            INST_EMIT_BASE, INST_MAT, INST_W2O0,
+        )
+
+        ic = gather_cols(scene.tris.inst_packed, hit.inst)  # (16, N)
+        # object -> world normal: inverse-transpose 3x3 (flip folded in)
+        nrm_tri = Vec3(
+            ic[0] * nrm_tri.x + ic[1] * nrm_tri.y + ic[2] * nrm_tri.z,
+            ic[3] * nrm_tri.x + ic[4] * nrm_tri.y + ic[5] * nrm_tri.z,
+            ic[6] * nrm_tri.x + ic[7] * nrm_tri.y + ic[8] * nrm_tri.z,
+        )
+        mat_tri = ic[INST_MAT].astype(jnp.int32)
+        emit_base = ic[INST_EMIT_BASE].astype(jnp.int32)
+        f_orig = a[TRI_EMITTER].astype(jnp.int32)
+        emit_tri = jnp.where(
+            (emit_base >= 0) & (f_orig >= 0), emit_base + f_orig, -1
+        )
+        uv_tri = Vec2(
+            uv_tri.x, jnp.where(ic[INST_W2O0] > 0.5, 1.0 - uv_tri.y, uv_tri.y)
+        )
+    else:
+        mat_tri = a[TRI_MAT].astype(jnp.int32)
+        emit_tri = a[TRI_EMITTER].astype(jnp.int32)
+    nrm_tri = nrm_tri.normalized()
 
     if sphere_count != 0:
         # spheres (geometry.h:82-89): one packed-column gather of the

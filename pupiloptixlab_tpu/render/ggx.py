@@ -1,8 +1,13 @@
 """GGX microfacet distribution: Smith masking, NDF, VNDF sampling.
 
-Parity: render/material/ggx.h (isotropic path, visible-normal sampling on
-— the reference's default via GGX_Sample_Visible_Area). Vectors are Vec3
-planes in the local shading frame (z-up); everything batched over (N,).
+Parity: render/material/ggx.h. The reference ships the full float2-alpha
+(anisotropic) Smith/VNDF math (ggx.h:66-103) but its loaders never
+populate alpha_v from XML; here the anisotropic path is implemented AND
+loaded (scene/materials.py parses ``alpha_u``/``alpha_v``), going beyond
+the reference. Every function takes ``alpha`` (= alpha_u) and an
+optional ``alpha_v`` (None = isotropic, alpha_v := alpha). Vectors are
+Vec3 planes in the local shading frame (z-up, tangent = the hit's
+deterministic ONB x-axis); everything batched over (N,).
 """
 
 from __future__ import annotations
@@ -12,36 +17,45 @@ import jax.numpy as jnp
 from pupiloptixlab_tpu.render.vec import Vec3, where
 
 
-def smith_lambda(w: Vec3, alpha):
-    a2 = alpha * alpha
+def _axes(alpha, alpha_v):
+    return alpha, (alpha if alpha_v is None else alpha_v)
+
+
+def smith_lambda(w: Vec3, alpha, alpha_v=None):
+    au, av = _axes(alpha, alpha_v)
     z2 = jnp.maximum(w.z * w.z, 1e-12)
-    return (-1.0 + jnp.sqrt(1.0 + (w.x * w.x + w.y * w.y) * a2 / z2)) / 2.0
+    a2 = (w.x * w.x * au * au + w.y * w.y * av * av) / z2
+    return (-1.0 + jnp.sqrt(1.0 + a2)) / 2.0
 
 
-def g1(w: Vec3, alpha):
-    return 1.0 / (1.0 + smith_lambda(w, alpha))
+def g1(w: Vec3, alpha, alpha_v=None):
+    return 1.0 / (1.0 + smith_lambda(w, alpha, alpha_v))
 
 
-def g(wi: Vec3, wo: Vec3, alpha):
-    return g1(wi, alpha) * g1(wo, alpha)
+def g(wi: Vec3, wo: Vec3, alpha, alpha_v=None):
+    return g1(wi, alpha, alpha_v) * g1(wo, alpha, alpha_v)
 
 
-def d(wh: Vec3, alpha):
-    a2 = jnp.maximum(alpha * alpha, 1e-12)
-    t = (wh.x * wh.x + wh.y * wh.y) / a2 + wh.z * wh.z
-    return 1.0 / jnp.maximum(jnp.pi * a2 * t * t, 1e-20)
+def d(wh: Vec3, alpha, alpha_v=None):
+    au, av = _axes(alpha, alpha_v)
+    au2 = jnp.maximum(au * au, 1e-12)
+    av2 = jnp.maximum(av * av, 1e-12)
+    t = wh.x * wh.x / au2 + wh.y * wh.y / av2 + wh.z * wh.z
+    return 1.0 / jnp.maximum(jnp.pi * jnp.sqrt(au2 * av2) * t * t, 1e-20)
 
 
-def pdf(wo: Vec3, wh: Vec3, alpha):
+def pdf(wo: Vec3, wh: Vec3, alpha, alpha_v=None):
     """VNDF pdf: D * G1(wo) * (wo.wh) / |wo.z| (ggx.h:31-37)."""
-    return d(wh, alpha) * g1(wo, alpha) * wo.dot(wh) / jnp.maximum(
+    return d(wh, alpha, alpha_v) * g1(wo, alpha, alpha_v) * wo.dot(wh) / jnp.maximum(
         jnp.abs(wo.z), 1e-12
     )
 
 
-def sample(wo: Vec3, alpha, u1, u2) -> Vec3:
-    """Heitz VNDF visible-normal sampling (ggx.h:39-57)."""
-    vh = Vec3(alpha * wo.x, alpha * wo.y, wo.z).normalized()
+def sample(wo: Vec3, alpha, u1, u2, alpha_v=None) -> Vec3:
+    """Heitz VNDF visible-normal sampling (ggx.h:39-57; anisotropic
+    stretch per ggx.h:66-79)."""
+    au, av = _axes(alpha, alpha_v)
+    vh = Vec3(au * wo.x, av * wo.y, wo.z).normalized()
     lensq = vh.x * vh.x + vh.y * vh.y
     inv_len = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-18))
     # tangent frame around vh; degenerate when wo ~ +z
@@ -66,4 +80,4 @@ def sample(wo: Vec3, alpha, u1, u2) -> Vec3:
         p1 * t1.y + p2 * t2.y + pz * vh.y,
         p1 * t1.z + p2 * t2.z + pz * vh.z,
     )
-    return Vec3(alpha * nh.x, alpha * nh.y, jnp.maximum(nh.z, 0.0)).normalized()
+    return Vec3(au * nh.x, av * nh.y, jnp.maximum(nh.z, 0.0)).normalized()

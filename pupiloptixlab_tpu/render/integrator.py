@@ -28,13 +28,18 @@ bounded at one bounce regardless of max_depth (the reference allows 128).
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from pupiloptixlab_tpu.accel.gather import gather_cols
-from pupiloptixlab_tpu.accel.intersect import intersect_any, intersect_closest
+from pupiloptixlab_tpu.accel.intersect import (
+    intersect_any,
+    intersect_closest,
+    origin_sort_prim,
+)
 from pupiloptixlab_tpu.flatten.types import (
     EM_RAD_TEX,
     CameraBlock,
@@ -58,6 +63,52 @@ from pupiloptixlab_tpu.render.texture import sample_texture_cols
 from pupiloptixlab_tpu.render.vec import Vec3, where
 
 _TINY = 1e-12
+
+# Primary rays are generated in (8 x 128)-pixel BLOCK order: a 1024-lane
+# sweep tile is then one compact pixel block (a tight direction cone)
+# instead of half an image row crossing the whole scene, so the primary
+# sweep runs coherent=True with NO ray sort and NO unpermute (~20 ms per
+# 1080p frame on mesh scenes). The block shape matches the sweep tile
+# exactly, so encode AND decode are pure reshape+transpose — a
+# gather-based Morton decode was measured at ~14 ms per 2M-lane plane
+# set, eating the entire win. Per-pixel RNG streams are keyed by PIXEL
+# ID, so the rendered image is bit-identical to row-major order. Applied
+# only on BVH scenes with block-divisible films (chunk-sweep scenes like
+# cornell never sorted primaries anyway — they'd pay the decode for
+# nothing). Set False only for layout debugging.
+BLOCK_PRIMARIES = True
+_BLOCK_H, _BLOCK_W = 8, 128
+
+
+def _use_blocks(config) -> bool:
+    return (
+        BLOCK_PRIMARIES
+        and config.bvh_nodes > 0
+        and config.width % _BLOCK_W == 0
+        and config.height % _BLOCK_H == 0
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _block_pix(width: int, height: int):
+    """(n,) pixel ids in block order (host-side constant)."""
+    import numpy as np
+
+    hb, wb = height // _BLOCK_H, width // _BLOCK_W
+    ids = np.arange(height * width, dtype=np.int32).reshape(
+        hb, _BLOCK_H, wb, _BLOCK_W
+    )
+    return ids.transpose(0, 2, 1, 3).reshape(-1)
+
+
+def _block_decode(v: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    """Lane order -> row-major pixel order (reshape+transpose only)."""
+    hb, wb = height // _BLOCK_H, width // _BLOCK_W
+    rest = v.shape[1:]
+    v4 = v.reshape(hb, wb, _BLOCK_H, _BLOCK_W, *rest)
+    return v4.transpose(0, 2, 1, 3, *range(4, 4 + len(rest))).reshape(
+        height * width, *rest
+    )
 
 
 def _first_hit_emission(scene, config, geo) -> Vec3:
@@ -110,6 +161,7 @@ def _bounce(scene, config, n, carry, depth):
     occluded = intersect_any(
         geo.position, es.wi, tmin, es.distance - RAY_OFFSET, scene, config,
         coherent=False, origin_prim=oprim, mask=shadow_mask,
+        const_tmin=RAY_OFFSET,
     )
     # DELIBERATE DEVIATION from main.cu:135-137: the reference computes
     # the balance weight from the emitter pdf WITHOUT the selection
@@ -142,6 +194,7 @@ def _bounce(scene, config, n, carry, depth):
     hit = intersect_closest(
         new_ro, new_rd, tmin, tmax, scene, config,
         coherent=False, origin_prim=oprim, mask=active,
+        const_tmin=RAY_OFFSET, const_tmax=MAX_DISTANCE,
     )
 
     # escape -> environment MIS (main.cu:166-169). A lane escapes at
@@ -150,17 +203,31 @@ def _bounce(scene, config, n, carry, depth):
     # (direction, throughput, bsdf pdf) and resolved by a single
     # deferred eval_env after the scan (render_sample). Equivalent
     # term-for-term; only the float accumulation order changes.
+    # Directions NEE can never produce take MIS weight 1 on the BSDF
+    # side: delta lobes (discrete probability, not a density) and
+    # BELOW-SHADING-NORMAL continuations (the shadow pass culls
+    # nol <= 0, main.cu:130-134, so the effective NEE density there is
+    # 0 — without this, glossy transmission through glass loses energy;
+    # caught by the extended brute-force oracle: furnace mirror/glass
+    # spheres rendered 3-17% dark).
+    nee_blind = ((lobe & bsdf_mod.LOBE_DELTA) != 0) | (
+        geo.normal.dot(new_rd) <= 0.0
+    )
     if config.has_env:
         esc_mask, esc_dir, esc_tp, esc_pdf = esc
         escaped = active & ~hit.hit_mask
         esc_mask = esc_mask | escaped
         esc_dir = where(escaped, new_rd, esc_dir)
         esc_tp = where(escaped, throughput, esc_tp)
-        esc_pdf = jnp.where(escaped, pdf_s, esc_pdf)
+        # -1 = the same "un-weighted" sentinel as primary misses
+        esc_pdf = jnp.where(
+            escaped, jnp.where(nee_blind, -1.0, pdf_s), esc_pdf
+        )
         esc = (esc_mask, esc_dir, esc_tp, esc_pdf)
     active = active & hit.hit_mask
 
-    geo = get_local_geometry(scene, hit, new_ro, new_rd, config.sphere_count)
+    geo = get_local_geometry(scene, hit, new_ro, new_rd, config.sphere_count,
+                             config.instanced)
     local = bsdf_mod.get_local_bsdf(
         scene.materials, tex, geo.mat_id, geo.uv, config.mat_types,
         config.mat_tex_kinds, config.mat_tex_filters,
@@ -171,15 +238,19 @@ def _bounce(scene, config, n, carry, depth):
     emit_rad, emit_pdf, hit_sel_prob = emitter_mod.eval_hit_emitter(
         em, tex, config, geo.emitter_id, geo.position, geo.normal, geo.uv, new_ro
     )
-    is_delta = (lobe & bsdf_mod.LOBE_DELTA) != 0
-    mis_hit = jnp.where(is_delta, 1.0, mis_weight(pdf_s, emit_pdf * hit_sel_prob))
+    # nee_blind (computed above, against the ORIGIN vertex's shading
+    # normal): an emitter reached through a delta lobe or below the
+    # horizon could never be NEE-sampled -> weight 1
+    mis_hit = jnp.where(
+        nee_blind, 1.0, mis_weight(pdf_s, emit_pdf * hit_sel_prob)
+    )
     # geo.front: emission is one-sided on the STORED normal — a twosided
     # light material flips the shading normal for backside hits, which
     # must not re-enable emission (see LocalGeometry.front)
     take_e = active & (geo.emitter_id >= 0) & ~is_zero(emit_pdf) & geo.front
     radiance = radiance + where(take_e, throughput * emit_rad * mis_hit, zero3)
 
-    oprim = jnp.where(hit.kind == 0, hit.prim, -1)
+    oprim = origin_sort_prim(hit, scene, config)
     return (state, active, radiance, throughput, wo_world, geo, local, oprim,
             esc)
 
@@ -196,19 +267,32 @@ def render_sample(
     n = w * h
     em, tex = scene.emitters, scene.textures
 
-    state = rng.tea_init(jnp.arange(n, dtype=jnp.uint32), seed)
-    state, (jx, jy) = rng.next_floats(state, 2)
-    ro, rd = generate_rays(camera, w, h, jx, jy)
+    if _use_blocks(config):
+        # lanes ARE (8x128)-block pixels (see the module constant):
+        # coherent primaries with zero sort cost; decoded once at return
+        pix = jnp.asarray(_block_pix(w, h))
+        state = rng.tea_init(pix.astype(jnp.uint32), seed)
+        state, (jx, jy) = rng.next_floats(state, 2)
+        from pupiloptixlab_tpu.render.camera import generate_rays_for
+
+        ro, rd = generate_rays_for(camera, w, h, pix, jx, jy)
+        primary_coherent = True
+    else:
+        state = rng.tea_init(jnp.arange(n, dtype=jnp.uint32), seed)
+        state, (jx, jy) = rng.next_floats(state, 2)
+        ro, rd = generate_rays(camera, w, h, jx, jy)
+        # Row-major order makes a 1024-lane tile half an image row — a
+        # long thin frustum; incoherent routes it through the ray sort.
+        primary_coherent = False
 
     tmin = jnp.full(n, RAY_OFFSET, jnp.float32)
     tmax = jnp.full(n, MAX_DISTANCE, jnp.float32)
-    # Row-major pixel order makes a 1024-lane sweep tile half an image
-    # row — a long thin frustum that crosses the whole scene. Marking
-    # primaries incoherent routes them through the Morton ray sort on
-    # large scenes, turning tiles into compact direction cones (= pixel
-    # blocks, since primary origins coincide).
-    hit = intersect_closest(ro, rd, tmin, tmax, scene, config, coherent=False)
-    geo = get_local_geometry(scene, hit, ro, rd, config.sphere_count)
+    hit = intersect_closest(
+        ro, rd, tmin, tmax, scene, config, coherent=primary_coherent,
+        const_tmin=RAY_OFFSET, const_tmax=MAX_DISTANCE,
+    )
+    geo = get_local_geometry(scene, hit, ro, rd, config.sphere_count,
+                             config.instanced)
     local = bsdf_mod.get_local_bsdf(
         scene.materials, tex, geo.mat_id, geo.uv, config.mat_types,
         config.mat_tex_kinds, config.mat_tex_filters,
@@ -242,7 +326,7 @@ def render_sample(
     # The reference writes one RNG draw to the debug AOV (main.cu:101).
     state, test_aov = rng.next_float(state)
 
-    oprim = jnp.where(hit.kind == 0, hit.prim, -1)
+    oprim = origin_sort_prim(hit, scene, config)
     carry = (state, active, radiance, throughput, -rd, geo, local, oprim, esc)
     if config.max_depth > 1:
         depths = jnp.arange(1, config.max_depth, dtype=jnp.int32)
@@ -268,12 +352,16 @@ def render_sample(
             esc_mask, esc_tp * env_rad * mis_env, zero3
         )
 
-    return {
+    out = {
         "radiance": radiance.to_array(),
         "albedo": albedo_aov.to_array(),
         "normal": normal_aov.to_array(),
         "test": test_aov,
     }
+    if _use_blocks(config):
+        # decode lanes back to row-major pixels: pure reshape+transpose
+        out = {k: _block_decode(v, w, h) for k, v in out.items()}
+    return out
 
 
 @partial(jax.jit, static_argnames=("config",), donate_argnames=("accum",))

@@ -293,7 +293,7 @@ def restir_frame(
     Returns (accum', packed_reservoirs, frame_rgb). Temporal reuse is
     identity-warped (static camera); the pass resets prev on camera or
     scene edits, matching the accumulation-reset lifecycle."""
-    from pupiloptixlab_tpu.accel.intersect import intersect_closest
+    from pupiloptixlab_tpu.accel.intersect import intersect_closest, origin_sort_prim
     from pupiloptixlab_tpu.render import rng
     from pupiloptixlab_tpu.render.camera import generate_rays
     from pupiloptixlab_tpu.render.geometry import get_local_geometry
@@ -309,7 +309,8 @@ def restir_frame(
     tmin = jnp.full(n, RAY_OFFSET, jnp.float32)
     tmax = jnp.full(n, MAX_DISTANCE, jnp.float32)
     hit = intersect_closest(ro, rd, tmin, tmax, scene, config, coherent=False)
-    geo = get_local_geometry(scene, hit, ro, rd, config.sphere_count)
+    geo = get_local_geometry(scene, hit, ro, rd, config.sphere_count,
+                             config.instanced)
     local = bsdf_mod.get_local_bsdf(
         scene.materials, tex, geo.mat_id, geo.uv, config.mat_types,
         config.mat_tex_kinds, config.mat_tex_filters,
@@ -354,7 +355,7 @@ def restir_frame(
             r = merge(r, r_n, gb, local, config.mat_types, u3, ok_s,
                       m_cap * float(m_candidates))
 
-        oprim = jnp.where(hit.kind == 0, hit.prim, -1)
+        oprim = origin_sort_prim(hit, scene, config)
         radiance = radiance + shade(scene, config, r, gb, local, active, oprim)
         out_packed = _pack(r, gb)
     else:
@@ -375,7 +376,7 @@ def restir_frame(
         from pupiloptixlab_tpu.accel.intersect import intersect_any
 
         need = active & (pdf > 0.0) & (nol > 0.0)
-        oprim = jnp.where(hit.kind == 0, hit.prim, -1)
+        oprim = origin_sort_prim(hit, scene, config)
         occ = intersect_any(
             geo.position, wi, tmin, jnp.full(n, MAX_DISTANCE, jnp.float32),
             scene, config, coherent=False, origin_prim=oprim, mask=need,

@@ -48,8 +48,12 @@ class Material:
     # conductor family
     eta: Texture = field(default_factory=lambda: rgb_texture(0.0))
     k: Texture = field(default_factory=lambda: rgb_texture(1.0))
-    # rough variants
+    # rough variants; anisotropic=True means alpha holds (alpha_u,
+    # alpha_v, 0) in its rgb — the reference ships the float2-alpha GGX
+    # math (ggx.h:66-103) but never loads it from XML; here alpha_u /
+    # alpha_v properties are parsed (beyond parity)
     alpha: Texture = field(default_factory=lambda: rgb_texture(0.1))
+    anisotropic: bool = False
     # plastic family
     diffuse_reflectance: Texture = field(default_factory=lambda: rgb_texture(0.5))
     nonlinear: bool = False
@@ -69,6 +73,20 @@ def _texture_or_rgb(obj, scene, name: str, default) -> Texture:
     if len(parts) == 1:
         return rgb_texture(float(parts[0]))
     return rgb_texture(*map(float, parts[:3]))
+
+
+def _load_alpha(mat: Material, obj, scene) -> None:
+    """Roughness: scalar/textured ``alpha``, or ``alpha_u``/``alpha_v``
+    floats for anisotropic GGX (packed as the alpha texture's r/g)."""
+    au = obj.properties.get("alpha_u")
+    av = obj.properties.get("alpha_v")
+    if au is not None or av is not None:
+        u = float(au) if au is not None else 0.1
+        v = float(av) if av is not None else u
+        mat.alpha = rgb_texture(u, v, 0.0)
+        mat.anisotropic = True
+    else:
+        mat.alpha = _texture_or_rgb(obj, scene, "alpha", 0.1)
 
 
 def load_material_from_xml(obj, scene) -> Material:
@@ -98,7 +116,7 @@ def load_material_from_xml(obj, scene) -> Material:
         mat.specular_reflectance = _texture_or_rgb(obj, scene, "specular_reflectance", 1.0)
         mat.specular_transmittance = _texture_or_rgb(obj, scene, "specular_transmittance", 1.0)
         if mtype == "roughdielectric":
-            mat.alpha = _texture_or_rgb(obj, scene, "alpha", 0.1)
+            _load_alpha(mat, obj, scene)
     elif mtype in ("conductor", "roughconductor"):
         mat.type = MatType.CONDUCTOR if mtype == "conductor" else MatType.ROUGH_CONDUCTOR
         named = load_conductor_ior(obj.properties.get("material"))
@@ -107,7 +125,7 @@ def load_material_from_xml(obj, scene) -> Material:
         mat.k = _texture_or_rgb(obj, scene, "k", k_d)
         mat.specular_reflectance = _texture_or_rgb(obj, scene, "specular_reflectance", 1.0)
         if mtype == "roughconductor":
-            mat.alpha = _texture_or_rgb(obj, scene, "alpha", 0.1)
+            _load_alpha(mat, obj, scene)
     elif mtype in ("plastic", "roughplastic"):
         mat.type = MatType.PLASTIC if mtype == "plastic" else MatType.ROUGH_PLASTIC
         mat.int_ior = load_dielectric_ior(obj.properties.get("int_ior"), 1.49)
@@ -116,7 +134,7 @@ def load_material_from_xml(obj, scene) -> Material:
         mat.diffuse_reflectance = _texture_or_rgb(obj, scene, "diffuse_reflectance", 0.5)
         mat.specular_reflectance = _texture_or_rgb(obj, scene, "specular_reflectance", 1.0)
         if mtype == "roughplastic":
-            mat.alpha = _texture_or_rgb(obj, scene, "alpha", 0.1)
+            _load_alpha(mat, obj, scene)
     else:
         log.warning("unknown bsdf [%s]", mtype)
     return mat

@@ -139,7 +139,8 @@ def render_wavefront(
         hit = intersect_closest(ro, rd, tmin_c, tmax_c, scene, config)
         from pupiloptixlab_tpu.render.geometry import get_local_geometry
 
-        geo = get_local_geometry(scene, hit, ro, rd, config.sphere_count)
+        geo = get_local_geometry(scene, hit, ro, rd, config.sphere_count,
+                             config.instanced)
         local = bsdf_mod.get_local_bsdf(
             scene.materials, tex, geo.mat_id, geo.uv,
             config.mat_types, config.mat_tex_kinds, config.mat_tex_filters,

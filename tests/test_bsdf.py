@@ -20,6 +20,7 @@ def _local(n, mtype, **kw):
         eta3=Vec3.full(n, 0.2, 0.2, 0.2),
         k3=Vec3.full(n, 3.0, 3.0, 3.0),
         alpha=jnp.full(n, 0.3),
+        alpha_v=kw.get("alpha", jnp.full(n, 0.3)),
         eta=jnp.full(n, 1.5),
         int_fdr=jnp.full(n, 0.0),
         ssw=jnp.full(n, 0.5),
@@ -171,6 +172,62 @@ def test_ggx_vndf_normalization():
     density = jnp.maximum(ggx.pdf(wo, wh, alpha), 0.0)
     est = float(jnp.mean(density) * 2 * np.pi)
     assert est == pytest.approx(1.0, rel=0.05)
+
+
+def test_ggx_aniso_vndf_normalization():
+    """Anisotropic VNDF density also integrates to 1 (Heitz float2-alpha
+    math — the reference ships it unused at ggx.h:66-103)."""
+    n = 400_000
+    au = jnp.full(n, 0.6)
+    av = jnp.full(n, 0.1)
+    wo_dir = np.array([0.4, 0.3, 0.6])
+    wo_dir /= np.linalg.norm(wo_dir)
+    wo = Vec3.full(n, *wo_dir)
+    rng = np.random.RandomState(11)
+    u = rng.rand(n, 2)
+    z = u[:, 0]
+    r = np.sqrt(np.maximum(0.0, 1.0 - z * z))
+    phi = 2 * np.pi * u[:, 1]
+    wh = Vec3(
+        jnp.asarray((r * np.cos(phi)).astype(np.float32)),
+        jnp.asarray((r * np.sin(phi)).astype(np.float32)),
+        jnp.asarray(z.astype(np.float32)),
+    )
+    density = jnp.maximum(ggx.pdf(wo, wh, au, av), 0.0)
+    est = float(jnp.mean(density) * 2 * np.pi)
+    assert est == pytest.approx(1.0, rel=0.05)
+    # D itself must satisfy the projected-area normalization too
+    d_proj = jnp.maximum(ggx.d(wh, au, av) * wh.z, 0.0)
+    est_d = float(jnp.mean(d_proj) * 2 * np.pi)
+    assert est_d == pytest.approx(1.0, rel=0.05)
+
+
+@pytest.mark.parametrize(
+    "mtype", [B.ROUGH_CONDUCTOR, B.ROUGH_PLASTIC, B.ROUGH_DIELECTRIC]
+)
+def test_sample_eval_consistency_aniso(mtype):
+    """Anisotropic alpha: evaluate(wo, sampled wi) reproduces the
+    sample's f and pdf, and stretching is direction-dependent."""
+    n = 4096
+    b = _local(n, mtype, alpha=jnp.full(n, 0.5), alpha_v=jnp.full(n, 0.08))
+    wo = _rand_wo(n)
+    u0, u1, u2 = _uniforms(n)
+    wi, f_s, pdf_s, lobe = B.sample(b, wo, u0, u1, u2, mat_types=(mtype,))
+    f_e, pdf_e = B.evaluate(b, wo, wi, mat_types=(mtype,))
+    nondelta = (np.asarray(lobe) & B.LOBE_DELTA) == 0
+    valid = nondelta & (np.asarray(pdf_s) > 1e-5)
+    assert valid.sum() > n // 4
+    np.testing.assert_allclose(
+        np.asarray(pdf_e)[valid], np.asarray(pdf_s)[valid], rtol=2e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        _vec_np(f_e)[valid], _vec_np(f_s)[valid], rtol=2e-3, atol=1e-5
+    )
+    # the sampled half-vectors must spread more along x (alpha_u=0.5)
+    # than along y (alpha_v=0.08) for a near-normal wo
+    wo_n = Vec3.full(n, 0.0, 0.0, 1.0)
+    wh = B.ggx.sample(wo_n, b.alpha, u0, u1, b.alpha_v)
+    assert float(jnp.std(wh.x)) > 2.0 * float(jnp.std(wh.y))
 
 
 def test_rough_dielectric_transmission_direction():

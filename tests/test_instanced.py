@@ -1,0 +1,200 @@
+"""Device-side instancing: O(unique) tri-table memory + identical
+renders vs the baked world-space path.
+
+The GAS-reuse half of the reference's two-level accel
+(world/gas_manager.cpp:10-27 caches one BLAS per shape id;
+world/ias_manager.cpp:165-185 instances carry only 3x4 transforms)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _make_scene(tmp_path, n_inst=50, grid=8, res=64):
+    """n_inst instances of one displaced-grid OBJ (2*grid^2 tris each)
+    plus a floor and an area light."""
+    g = grid
+    xs = np.linspace(-0.5, 0.5, g + 1)
+    X, Z = np.meshgrid(xs, xs, indexing="ij")
+    Y = 0.15 * np.sin(6.0 * X) * np.cos(5.0 * Z) + 0.15
+    verts = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    i = np.arange(g * (g + 1)).reshape(g, g + 1)[:, :g]
+    v00 = i.ravel()
+    v10 = v00 + (g + 1)
+    v01 = v00 + 1
+    v11 = v10 + 1
+    faces = np.concatenate(
+        [np.stack([v00, v11, v10], 1), np.stack([v00, v01, v11], 1)], 0
+    )
+    obj = tmp_path / "bump.obj"
+    with open(obj, "w") as f:
+        np.savetxt(f, verts, fmt="v %.6f %.6f %.6f")
+        np.savetxt(f, faces + 1, fmt="f %d %d %d")
+
+    rng = np.random.RandomState(3)
+    shapes = []
+    for k in range(n_inst):
+        x = (k % 8 - 3.5) * 1.2
+        z = (k // 8 - 3.5) * 1.2
+        ang = float(rng.rand() * 360.0)
+        shapes.append(f"""
+  <shape type="obj">
+    <string name="filename" value="bump.obj"/>
+    <bsdf type="diffuse"><rgb name="reflectance" value="0.6, 0.5, 0.4"/></bsdf>
+    <transform name="to_world">
+      <rotate y="1" angle="{ang:.2f}"/>
+      <translate value="{x:.2f}, 0, {z:.2f}"/>
+    </transform>
+  </shape>""")
+    xml = f"""<scene version="3.0.0">
+  <integrator type="path"><integer name="max_depth" value="3"/></integrator>
+  <sensor type="perspective"><float name="fov" value="55"/>
+    <transform name="to_world">
+      <lookat origin="0, 7, 9" target="0, 0, 0" up="0, 1, 0"/>
+    </transform>
+    <film type="hdrfilm"><integer name="width" value="{res}"/>
+      <integer name="height" value="{res}"/></film>
+  </sensor>
+  <shape type="rectangle">
+    <bsdf type="diffuse"><rgb name="reflectance" value="0.5, 0.5, 0.5"/></bsdf>
+    <transform name="to_world">
+      <scale value="12"/><rotate x="1" angle="-90"/>
+    </transform>
+  </shape>
+  <shape type="rectangle">
+    <bsdf type="diffuse"><rgb name="reflectance" value="0, 0, 0"/></bsdf>
+    <emitter type="area"><rgb name="radiance" value="10, 10, 10"/></emitter>
+    <transform name="to_world">
+      <scale value="2.5"/><rotate x="1" angle="90"/>
+      <translate value="0, 8, 0"/>
+    </transform>
+  </shape>
+  {''.join(shapes)}
+</scene>"""
+    p = tmp_path / "instanced.xml"
+    p.write_text(xml)
+    return p
+
+
+@pytest.fixture(scope="module")
+def instanced_pair(tmp_path_factory):
+    from pupiloptixlab_tpu.flatten import camera_block_from_scene, flatten_scene
+    from pupiloptixlab_tpu.scene import load_scene
+
+    tmp = tmp_path_factory.mktemp("inst")
+    path = _make_scene(tmp)
+    s1 = load_scene(path)
+    data_i, cfg_i = flatten_scene(s1)
+    s2 = load_scene(path)
+    data_b, cfg_b = flatten_scene(s2, allow_instanced=False)
+    cam = camera_block_from_scene(s1)
+    return data_i, cfg_i, data_b, cfg_b, cam
+
+
+def test_instanced_memory_is_o_unique(instanced_pair):
+    data_i, cfg_i, data_b, cfg_b, cam = instanced_pair
+    assert cfg_i.instanced and not cfg_b.instanced
+    # 50 instances of a 128-tri shape: unique table ~= 1 shape (+ two
+    # anon rects), baked table ~= 50x
+    assert data_i.tris.packed.shape[0] < data_b.tris.packed.shape[0] / 10
+    assert data_i.tris.attrs.shape[0] == data_i.tris.packed.shape[0]
+    # per-instance cost: leaf tables + one 3x4 + one shading row
+    n_inst = data_i.tris.inst_w2o.shape[0]
+    assert n_inst == 52  # 50 bumps + floor + light rect
+    assert data_i.tris.leaf_inst.shape == data_i.tris.leaf_start.shape
+
+
+def test_instanced_render_matches_baked(instanced_pair):
+    from pupiloptixlab_tpu.render.integrator import render
+
+    data_i, cfg_i, data_b, cfg_b, cam = instanced_pair
+    img_i = np.asarray(render(data_i, cam, cfg_i, spp=4))
+    img_b = np.asarray(render(data_b, cam, cfg_b, spp=4))
+    # same RNG streams, same estimator: images differ only by fp-level
+    # intersection differences at silhouette pixels
+    diff = np.abs(img_i - img_b).max(axis=-1)
+    assert float(np.quantile(diff, 0.995)) < 2e-3, float(
+        np.quantile(diff, 0.995)
+    )
+    assert abs(img_i.mean() / img_b.mean() - 1.0) < 2e-3
+
+
+def test_instanced_emitter_ids(instanced_pair):
+    """Emissive instanced geometry maps hits back to per-instance
+    emitter rows (emitter_id = instance base + original face index)."""
+    import jax.numpy as jnp
+
+    from pupiloptixlab_tpu.accel.intersect import intersect_closest
+    from pupiloptixlab_tpu.render.geometry import get_local_geometry
+    from pupiloptixlab_tpu.render.sampling import MAX_DISTANCE
+    from pupiloptixlab_tpu.render.vec import Vec3
+
+    data_i, cfg_i, data_b, cfg_b, cam = instanced_pair
+    n = 64
+    # rays straight down at the light rect -> should hit non-emissive
+    # floor after passing beside it; aim at a bump instead (no emitter)
+    ro = Vec3(jnp.zeros(n), jnp.full(n, 5.0), jnp.zeros(n))
+    rd = Vec3(jnp.zeros(n), jnp.full(n, -1.0), jnp.zeros(n))
+    tmin = jnp.full(n, 1e-3)
+    tmax = jnp.full(n, MAX_DISTANCE)
+    hit = intersect_closest(ro, rd, tmin, tmax, data_i, cfg_i)
+    geo = get_local_geometry(
+        data_i, hit, ro, rd, cfg_i.sphere_count, cfg_i.instanced
+    )
+    assert bool(jnp.all(hit.hit_mask))
+    # bump instances are diffuse, not emissive
+    assert bool(jnp.all(geo.emitter_id == -1))
+    # normals point up-ish after the instance transform
+    assert float(geo.normal.y.min()) > 0.3
+
+
+def test_instanced_pallas_kernel_matches_xla(instanced_pair):
+    """The instanced Pallas traversal (interpret mode) agrees with the
+    instanced XLA scan fallback on closest and any-hit."""
+    import jax.numpy as jnp
+
+    from pupiloptixlab_tpu.accel.intersect import (
+        _sweep_tris_xla_instanced,
+    )
+    from pupiloptixlab_tpu.accel.pallas_bvh import bvh_anyhit, bvh_closest
+    from pupiloptixlab_tpu.render.sampling import MAX_DISTANCE
+    from pupiloptixlab_tpu.render.vec import Vec3
+
+    data_i, cfg_i, data_b, cfg_b, cam = instanced_pair
+    rng = np.random.RandomState(11)
+    n = 2048
+    ro_np = rng.randn(n, 3).astype(np.float32) * 3.0 + [0, 3, 0]
+    rd_np = rng.randn(n, 3).astype(np.float32)
+    rd_np /= np.linalg.norm(rd_np, axis=1, keepdims=True)
+    ro = Vec3(*(jnp.asarray(ro_np[:, i]) for i in range(3)))
+    rd = Vec3(*(jnp.asarray(rd_np[:, i]) for i in range(3)))
+    tmin = jnp.full(n, 1e-3)
+    tmax = jnp.full(n, MAX_DISTANCE, jnp.float32)
+
+    t_ref, p_ref, k_ref, _, _, i_ref = _sweep_tris_xla_instanced(
+        ro, rd, tmin, tmax, data_i, cfg_i
+    )
+
+    args = (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, tmin, tmax,
+            data_i.tris.packed, data_i.tris.bvh_child,
+            data_i.tris.bvh_axis, data_i.tris.bvh_boxes)
+    kw = dict(
+        tcl=cfg_i.bvh_tcl, interpret=True, instanced=True,
+        leaf_start=data_i.tris.leaf_start,
+        leaf_inst=data_i.tris.leaf_inst,
+        inst_w2o=data_i.tris.inst_w2o,
+    )
+    t_k, p_k, l_k = bvh_closest(*args, **kw)
+    hit_ref = np.asarray(k_ref) == 0
+    hit_k = np.asarray(p_k) >= 0
+    assert (hit_ref == hit_k).mean() > 0.999
+    both = hit_ref & hit_k
+    np.testing.assert_allclose(
+        np.asarray(t_k)[both], np.asarray(t_ref)[both], rtol=2e-4, atol=2e-4
+    )
+    inst_k = np.asarray(data_i.tris.leaf_inst)[np.maximum(np.asarray(l_k), 0)]
+    assert (inst_k[both] == np.asarray(i_ref)[both]).mean() > 0.999
+
+    occ = bvh_anyhit(*args, **kw)
+    assert (np.asarray(occ)[both]).all()  # closest-hit lanes are occluded

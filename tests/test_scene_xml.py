@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -90,3 +91,57 @@ def test_material_test_has_many_types(reference_scene_dir):
     types = {i.material.type for i in scene.shape_instances}
     assert MatType.DIFFUSE in types
     assert len(types) >= 3
+
+
+def test_anisotropic_alpha_parse(tmp_path):
+    """alpha_u/alpha_v load into the alpha texture's r/g and flag the
+    material anisotropic (beyond the reference, which ships the
+    float2-alpha GGX math unused — ggx.h:66-103)."""
+    xml = """<scene version="3.0.0">
+      <sensor type="perspective"><float name="fov" value="40"/>
+        <film type="hdrfilm"><integer name="width" value="8"/>
+          <integer name="height" value="8"/></film>
+      </sensor>
+      <shape type="rectangle">
+        <bsdf type="roughconductor">
+          <string name="material" value="Au"/>
+          <float name="alpha_u" value="0.5"/>
+          <float name="alpha_v" value="0.05"/>
+        </bsdf>
+      </shape>
+      <shape type="rectangle">
+        <bsdf type="roughconductor">
+          <string name="material" value="Au"/>
+          <float name="alpha" value="0.2"/>
+        </bsdf>
+      </shape>
+    </scene>"""
+    p = tmp_path / "aniso.xml"
+    p.write_text(xml)
+    scene = load_scene(p)
+    aniso = scene.shape_instances[0].material
+    iso = scene.shape_instances[1].material
+    assert aniso.anisotropic and not iso.anisotropic
+    np.testing.assert_allclose(aniso.alpha.rgb[:2], [0.5, 0.05], rtol=1e-6)
+    np.testing.assert_allclose(iso.alpha.rgb[:3], [0.2, 0.2, 0.2], rtol=1e-6)
+
+    # flattened: MAT_ANISO set, LocalBsdf resolves alpha_v per material
+    from pupiloptixlab_tpu.flatten import flatten_scene
+    from pupiloptixlab_tpu.flatten.types import MAT_ANISO
+    from pupiloptixlab_tpu.render import bsdf as B
+    from pupiloptixlab_tpu.render.vec import Vec2
+
+    data, config = flatten_scene(scene)
+    packed = np.asarray(data.materials.packed)
+    assert set(packed[:, MAT_ANISO]) >= {0.0, 1.0}
+    mat_ids = jnp.asarray(
+        [np.argmax(packed[:, MAT_ANISO]), np.argmin(packed[:, MAT_ANISO])],
+        jnp.int32,
+    )
+    uv = Vec2(jnp.zeros(2), jnp.zeros(2))
+    local = B.get_local_bsdf(
+        data.materials, data.textures, mat_ids, uv, config.mat_types,
+        config.mat_tex_kinds, config.mat_tex_filters,
+    )
+    np.testing.assert_allclose(np.asarray(local.alpha), [0.5, 0.2], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(local.alpha_v), [0.05, 0.2], rtol=1e-5)

@@ -9,8 +9,11 @@ the production NEE+MIS estimator — the role BASELINE.md assigns to
 "reference PT-with-MIS renders" (mitsuba3 is not installable in this
 image; an independent in-repo implementation is the next-best oracle).
 
-Scope: diffuse + rough-conductor (GGX-VNDF) materials, triangle and
-sphere area lights — enough for the cornell box AND the veach MIS scene. Usage:
+Scope (round 3): ALL SEVEN BSDFs — diffuse, dielectric, rough
+dielectric, conductor, rough conductor, plastic, rough plastic — plus
+triangle/sphere area lights and const/equirect environment emitters
+(evaluated on ray escape; the production env NEE/MIS path must converge
+to the same image). Usage:
 
     python tools/oracle_pt.py [scene.xml] --size 64 --spp 8192 \
         --out tests/data/oracle_cornell_64.exr
@@ -27,44 +30,116 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+# material type codes (independent of the framework's enum VALUES but
+# matching its taxonomy): see scene/materials.py MatType
+DIFFUSE, DIELECTRIC, ROUGH_DIELECTRIC = 1, 2, 3
+CONDUCTOR, ROUGH_CONDUCTOR, PLASTIC, ROUGH_PLASTIC = 4, 5, 6, 7
+
+
+def _fdr(eta: float) -> float:
+    """Hemispherical diffuse Fresnel reflectance (Egan-Hilgeman /
+    d'Eon-Irving published fits; fresnel.h:58-85)."""
+    if eta < 1.0:
+        return -1.4399 * eta * eta + 0.7099 * eta + 0.6681 + 0.0636 / eta
+    ie = 1.0 / eta
+    return (0.919317 - 3.4793 * ie + 6.75335 * ie**2 - 7.80989 * ie**3
+            + 4.98554 * ie**4 - 1.36881 * ie**5)
+
+
+def _lum(rgb) -> float:
+    return float(0.2126 * rgb[0] + 0.7152 * rgb[1] + 0.0722 * rgb[2])
+
+
 def _mat_record(ins):
-    """(mtype, albedo/spec rgb, alpha, eta rgb, k rgb):
-    mtype 0 = diffuse, 1 = rough conductor (enough for cornell + veach)."""
+    """Material record dict (everything a bounce needs, numpy scalars)."""
     from pupiloptixlab_tpu.scene.materials import MatType
 
     mat = ins.material
-    if mat.type in (MatType.ROUGH_CONDUCTOR, MatType.CONDUCTOR):
-        alpha = float(np.asarray(mat.alpha.rgb).reshape(-1)[0]) \
-            if mat.type == MatType.ROUGH_CONDUCTOR else 1e-3
-        return (
-            1,
-            np.asarray(mat.specular_reflectance.rgb, np.float32),
-            alpha,
-            np.asarray(mat.eta.rgb, np.float32),
-            np.asarray(mat.k.rgb, np.float32),
-        )
-    albedo = np.zeros(3, np.float32)
-    if getattr(mat, "reflectance", None) is not None:
-        albedo = np.asarray(mat.reflectance.rgb, np.float32)
-    return (0, albedo, 0.0, np.zeros(3, np.float32), np.zeros(3, np.float32))
+    rec = dict(
+        type=DIFFUSE,
+        diff=np.zeros(3, np.float32),   # diffuse / plastic diffuse
+        spec=np.ones(3, np.float32),    # specular reflectance
+        trans=np.ones(3, np.float32),   # specular transmittance
+        alpha=0.0,
+        eta3=np.zeros(3, np.float32),   # conductor eta
+        k3=np.ones(3, np.float32),      # conductor k
+        ior=1.5,                        # int_ior / ext_ior
+        int_fdr=0.0,
+        ssw=0.0,
+        nonlinear=False,
+        twosided=bool(mat.twosided),
+    )
+    t = mat.type
+    if t == MatType.DIFFUSE or t == MatType.UNKNOWN:
+        rec["type"] = DIFFUSE
+        rec["diff"] = np.asarray(mat.reflectance.rgb, np.float32)
+    elif t in (MatType.DIELECTRIC, MatType.ROUGH_DIELECTRIC):
+        rec["type"] = DIELECTRIC if t == MatType.DIELECTRIC else ROUGH_DIELECTRIC
+        rec["ior"] = float(mat.int_ior / mat.ext_ior)
+        rec["spec"] = np.asarray(mat.specular_reflectance.rgb, np.float32)
+        rec["trans"] = np.asarray(mat.specular_transmittance.rgb, np.float32)
+        rec["alpha"] = float(np.asarray(mat.alpha.rgb).reshape(-1)[0])
+    elif t in (MatType.CONDUCTOR, MatType.ROUGH_CONDUCTOR):
+        rec["type"] = CONDUCTOR if t == MatType.CONDUCTOR else ROUGH_CONDUCTOR
+        rec["spec"] = np.asarray(mat.specular_reflectance.rgb, np.float32)
+        rec["alpha"] = float(np.asarray(mat.alpha.rgb).reshape(-1)[0])
+        rec["eta3"] = np.asarray(mat.eta.rgb, np.float32)
+        rec["k3"] = np.asarray(mat.k.rgb, np.float32)
+    elif t in (MatType.PLASTIC, MatType.ROUGH_PLASTIC):
+        rec["type"] = PLASTIC if t == MatType.PLASTIC else ROUGH_PLASTIC
+        rec["ior"] = float(mat.int_ior / mat.ext_ior)
+        rec["diff"] = np.asarray(mat.diffuse_reflectance.rgb, np.float32)
+        rec["spec"] = np.asarray(mat.specular_reflectance.rgb, np.float32)
+        rec["alpha"] = float(np.asarray(mat.alpha.rgb).reshape(-1)[0])
+        rec["nonlinear"] = bool(mat.nonlinear)
+        dl, sl = _lum(rec["diff"]), _lum(rec["spec"])
+        rec["ssw"] = sl / (sl + dl) if (sl + dl) > 0 else 0.0
+        rec["int_fdr"] = _fdr(1.0 / rec["ior"])
+    return rec
+
+
+_FIELDS = ("type", "diff", "spec", "trans", "alpha", "eta3", "k3", "ior",
+           "int_fdr", "ssw", "nonlinear", "twosided")
+
+
+def _mat_record_default():
+    return dict(
+        type=DIFFUSE, diff=np.zeros(3, np.float32),
+        spec=np.ones(3, np.float32), trans=np.ones(3, np.float32),
+        alpha=0.0, eta3=np.zeros(3, np.float32), k3=np.ones(3, np.float32),
+        ior=1.5, int_fdr=0.0, ssw=0.0, nonlinear=False, twosided=False,
+    )
+
+
+def _mat_arrays(recs):
+    """List of record dicts -> dict of parallel numpy arrays."""
+    out = {}
+    for f in _FIELDS:
+        vals = [r[f] for r in recs]
+        if isinstance(vals[0], np.ndarray):
+            out[f] = np.stack(vals).astype(np.float32)
+        elif isinstance(vals[0], bool):
+            out[f] = np.asarray(vals, bool)
+        elif f == "type":
+            out[f] = np.asarray(vals, np.int32)
+        else:
+            out[f] = np.asarray(vals, np.float32)
+    return out
 
 
 def flatten_numpy(scene):
     """Independent world-space flatten (no framework code). Returns
-    triangle arrays + material records; spheres via flatten_spheres."""
-    tris = []  # (p0, e1, e2, n, albedo, emission)
-    mats = []  # parallel material records
-    for ins in scene.shape_instances:
-        from pupiloptixlab_tpu.scene.shapes import ShapeType
+    triangle arrays + material arrays; spheres via flatten_spheres."""
+    from pupiloptixlab_tpu.scene.shapes import ShapeType
 
+    tris, recs, emis = [], [], []
+    for ins in scene.shape_instances:
         if ins.shape.type == ShapeType.SPHERE:
             continue
         mesh = ins.shape.mesh
         m = ins.transform.matrix
         p = mesh.positions @ m[:3, :3].T + m[:3, 3]
-        mat = ins.material
         rec = _mat_record(ins)
-        albedo = rec[1]
         emission = np.zeros(3, np.float32)
         if ins.is_emitter:
             emission = np.asarray(ins.emitter.radiance.rgb, np.float32)
@@ -87,55 +162,96 @@ def flatten_numpy(scene):
             if vn is not None:
                 n = vn[f[0]] + vn[f[1]] + vn[f[2]]
                 n = n / max(np.linalg.norm(n), 1e-20)
-            tris.append((p0, p1 - p0, p2 - p0, sign * n, albedo, emission))
-            mats.append(rec)
+            tris.append((p0, p1 - p0, p2 - p0, sign * n))
+            recs.append(rec)
+            emis.append(emission)
+    if not tris:
+        # one degenerate never-hit row keeps downstream indexing simple
+        z = np.zeros((1, 3), np.float32)
+        return z, z, z, z, z, _mat_arrays([_mat_record_default()])
     p0 = np.stack([t[0] for t in tris]).astype(np.float32)
     e1 = np.stack([t[1] for t in tris]).astype(np.float32)
     e2 = np.stack([t[2] for t in tris]).astype(np.float32)
     nrm = np.stack([t[3] for t in tris]).astype(np.float32)
-    alb = np.stack([t[4] for t in tris]).astype(np.float32)
-    emi = np.stack([t[5] for t in tris]).astype(np.float32)
-    # parallel material arrays (type, alpha, eta, k)
-    global _TRI_MATS
-    _TRI_MATS = (
-        np.asarray([m[0] for m in mats], np.int32),
-        np.asarray([m[2] for m in mats], np.float32),
-        np.stack([m[3] for m in mats]).astype(np.float32),
-        np.stack([m[4] for m in mats]).astype(np.float32),
-    )
-    return p0, e1, e2, nrm, alb, emi
-
-
-_TRI_MATS = None
+    emi = np.stack(emis).astype(np.float32)
+    return p0, e1, e2, nrm, emi, _mat_arrays(recs)
 
 
 def flatten_spheres(scene):
-    """(center (S,3), radius (S,), albedo, emission, mat records)."""
+    """(center (S,3), radius (S,), emission (S,3), material arrays)."""
     from pupiloptixlab_tpu.scene.shapes import ShapeType
 
-    cs, rs, albs, emis, mats = [], [], [], [], []
+    cs, rs, emis, recs = [], [], [], []
     for ins in scene.shape_instances:
         if ins.shape.type != ShapeType.SPHERE:
             continue
         m = ins.transform.matrix
         c = m[:3, 3]
         p = (m @ np.array([1.0, 0, 0, 1.0], np.float32))[:3]
-        rec = _mat_record(ins)
         cs.append(c)
         rs.append(float(np.linalg.norm(p - c)))
-        albs.append(rec[1])
         emis.append(
             np.asarray(ins.emitter.radiance.rgb, np.float32)
             if ins.is_emitter
             else np.zeros(3, np.float32)
         )
-        mats.append(rec)
+        recs.append(_mat_record(ins))
     if not cs:
         return (np.zeros((0, 3), np.float32), np.zeros(0, np.float32),
-                np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32), [])
+                np.zeros((0, 3), np.float32), None)
     return (np.stack(cs).astype(np.float32), np.asarray(rs, np.float32),
-            np.stack(albs).astype(np.float32), np.stack(emis).astype(np.float32),
-            mats)
+            np.stack(emis).astype(np.float32), _mat_arrays(recs))
+
+
+def build_env(scene):
+    """Environment radiance closure rd (N,3) -> rgb (N,3), or None.
+    Implements const color and equirect envmap eval (env.h:51-64)
+    independently: to-local rotation, phi = pi - atan2(x, z),
+    theta = acos(y), half-texel-aligned bilinear, wrap-u / clamp-v."""
+    from pupiloptixlab_tpu.scene.emitters import EmitterType
+
+    env = next(
+        (e for e in scene.emitters
+         if e.type in (EmitterType.CONST_ENV, EmitterType.ENV_MAP)),
+        None,
+    )
+    if env is None:
+        return None
+    if env.type == EmitterType.CONST_ENV:
+        color = np.asarray(env.color, np.float32)
+
+        def const_env(rd):
+            return np.broadcast_to(color, (rd.shape[0], 3)).copy()
+
+        return const_env
+
+    img = env.radiance.data[..., :3].astype(np.float32)
+    h, w = img.shape[:2]
+    scale = float(env.scale)
+    to_local = np.linalg.inv(env.transform.matrix[:3, :3]).astype(np.float64)
+
+    def envmap(rd):
+        d = rd @ to_local.T
+        d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-20)
+        phi = np.pi - np.arctan2(d[:, 0], d[:, 2])
+        theta = np.arccos(np.clip(d[:, 1], -1.0, 1.0))
+        u = phi * 0.5 / np.pi
+        v = theta / np.pi
+        x = u * w - 0.5
+        y = v * h - 0.5
+        x0 = np.floor(x).astype(np.int64)
+        y0 = np.floor(y).astype(np.int64)
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+        x1 = (x0 + 1) % w
+        x0 = x0 % w
+        y1 = np.clip(y0 + 1, 0, h - 1)
+        y0 = np.clip(y0, 0, h - 1)
+        c = (img[y0, x0] * (1 - fx) * (1 - fy) + img[y0, x1] * fx * (1 - fy)
+             + img[y1, x0] * (1 - fx) * fy + img[y1, x1] * fx * fy)
+        return c * scale
+
+    return envmap
 
 
 def intersect_spheres(ro, rd, centers, radii):
@@ -157,6 +273,37 @@ def intersect_spheres(ro, rd, centers, radii):
     tb = t[np.arange(n), idx]
     return tb, np.where(tb < 1e16, idx, -1)
 
+
+def intersect(ro, rd, p0, e1, e2, chunk=4096):
+    """Brute-force Moller-Trumbore, chunked over triangles to bound
+    memory on large meshes; returns (t, tri_index)."""
+    n = ro.shape[0]
+    best_t = np.full(n, 1e16, np.float32)
+    best_i = np.full(n, -1, np.int64)
+    for s in range(0, p0.shape[0], chunk):
+        cp0, ce1, ce2 = p0[s:s + chunk], e1[s:s + chunk], e2[s:s + chunk]
+        pv = np.cross(rd[:, None, :], ce2[None, :, :])
+        det = np.einsum("tj,ntj->nt", ce1, pv)
+        inv = 1.0 / np.where(np.abs(det) < 1e-12, 1e-12, det)
+        tv = ro[:, None, :] - cp0[None, :, :]
+        u = np.einsum("ntj,ntj->nt", tv, pv) * inv
+        qv = np.cross(tv, ce1[None, :, :])
+        v = np.einsum("nj,ntj->nt", rd, qv) * inv
+        t = np.einsum("tj,ntj->nt", ce2, qv) * inv
+        ok = (
+            (np.abs(det) >= 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1)
+            & (t > 1e-3) & (t < 1e16)
+        )
+        t = np.where(ok, t, 1e16)
+        idx = t.argmin(axis=1)
+        tb = t[np.arange(n), idx]
+        take = tb < best_t
+        best_t = np.where(take, tb, best_t)
+        best_i = np.where(take, idx + s, best_i)
+    return best_t, np.where(best_t < 1e16, best_i, -1)
+
+
+# -- independent BSDF math (local frame, z = shading normal) ----------------
 
 def ggx_sample_vndf_u(wo, alpha, u1, u2):
     """Heitz 2018 VNDF sampling of the half vector in the local frame.
@@ -193,6 +340,19 @@ def ggx_g1(w, alpha):
     return 2.0 / (1.0 + np.sqrt(1.0 + alpha * alpha * tan2))
 
 
+def ggx_d(m, alpha):
+    a2 = np.maximum(alpha * alpha, 1e-12)
+    t = (m[:, 0] ** 2 + m[:, 1] ** 2) / a2 + m[:, 2] ** 2
+    return 1.0 / np.maximum(np.pi * a2 * t * t, 1e-20)
+
+
+def ggx_pdf_vndf(wo, m, alpha):
+    """D G1(wo) <wo,m> / wo.z (half-vector density)."""
+    wom = np.einsum("nj,nj->n", wo, m)
+    return ggx_d(m, alpha) * ggx_g1(wo, alpha) * np.maximum(wom, 0.0) \
+        / np.maximum(np.abs(wo[:, 2]), 1e-12)
+
+
 def fresnel_conductor_rgb(cos_i, eta, k):
     """RGB conductor Fresnel (cos_i (N,), eta/k (N,3))."""
     c2 = (cos_i ** 2)[:, None]
@@ -211,6 +371,21 @@ def fresnel_conductor_rgb(cos_i, eta, k):
     return 0.5 * (np.clip(rs, 0.0, 1.0) + np.clip(rp, 0.0, 1.0))
 
 
+def fresnel_dielectric(eta, cos_i):
+    """Exact dielectric Fresnel with signed cosines; returns (F, cos_t)
+    where cos_t carries the opposite sign to cos_i (0 on TIR)."""
+    scale = np.where(cos_i > 0.0, 1.0 / eta, eta)
+    cos_t2 = 1.0 - (1.0 - cos_i * cos_i) * scale * scale
+    tir = cos_t2 <= 0.0
+    ci = np.abs(cos_i)
+    ct = np.sqrt(np.maximum(cos_t2, 0.0))
+    rs = (ci - eta * ct) / np.maximum(ci + eta * ct, 1e-20)
+    rp = (eta * ci - ct) / np.maximum(eta * ci + ct, 1e-20)
+    f = 0.5 * (rs * rs + rp * rp)
+    cos_t = np.where(cos_i > 0.0, -ct, ct)
+    return np.where(tir, 1.0, f), np.where(tir, 0.0, cos_t)
+
+
 def _onb(n):
     s = np.where(n[:, 2] >= 0, 1.0, -1.0)
     a = -1.0 / (s + n[:, 2])
@@ -220,59 +395,195 @@ def _onb(n):
     return t0, t1
 
 
-def intersect(ro, rd, p0, e1, e2):
-    """Brute-force Moller-Trumbore; returns (t, tri_index)."""
-    pv = np.cross(rd[:, None, :], e2[None, :, :])
-    det = np.einsum("tj,ntj->nt", e1, pv)
-    inv = 1.0 / np.where(np.abs(det) < 1e-12, 1e-12, det)
-    tv = ro[:, None, :] - p0[None, :, :]
-    u = np.einsum("ntj,ntj->nt", tv, pv) * inv
-    qv = np.cross(tv, e1[None, :, :])
-    v = np.einsum("nj,ntj->nt", rd, qv) * inv
-    t = np.einsum("tj,ntj->nt", e2, qv) * inv
-    ok = (
-        (np.abs(det) >= 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1)
-        & (t > 1e-3) & (t < 1e16)
-    )
-    t = np.where(ok, t, 1e16)
-    idx = t.argmin(axis=1)
-    tb = t[np.arange(t.shape[0]), idx]
-    return tb, np.where(tb < 1e16, idx, -1)
+def _reflect_z(wo):
+    return np.stack([-wo[:, 0], -wo[:, 1], wo[:, 2]], 1)
 
 
-def cosine_sample(n, rng):
-    """Cosine-weighted hemisphere around each normal (N,3)."""
-    u1 = rng.random(n.shape[0], dtype=np.float64)
-    u2 = rng.random(n.shape[0], dtype=np.float64)
+def _reflect_m(wo, m):
+    d = 2.0 * np.einsum("nj,nj->n", wo, m)
+    return d[:, None] * m - wo
+
+
+def _refract_z(wo, cos_t, eta):
+    scale = -np.where(cos_t < 0.0, 1.0 / eta, eta)
+    wi = np.stack([scale * wo[:, 0], scale * wo[:, 1], cos_t], 1)
+    return wi / np.maximum(np.linalg.norm(wi, axis=1, keepdims=True), 1e-12)
+
+
+def _refract_m(wo, m, cos_t, eta):
+    e = np.where(cos_t < 0.0, 1.0 / eta, eta)
+    k = np.einsum("nj,nj->n", wo, m) * e + cos_t
+    return k[:, None] * m - e[:, None] * wo
+
+
+def _cosine_local(u1, u2):
     r = np.sqrt(u1)
     phi = 2 * np.pi * u2
-    x = r * np.cos(phi)
-    y = r * np.sin(phi)
-    z = np.sqrt(np.maximum(1 - u1, 0.0))
-    # build an orthonormal basis per normal (Pixar ONB)
-    s = np.where(n[:, 2] >= 0, 1.0, -1.0)
-    a = -1.0 / (s + n[:, 2])
-    b = n[:, 0] * n[:, 1] * a
-    t0 = np.stack([1 + s * n[:, 0] ** 2 * a, s * b, -s * n[:, 0]], 1)
-    t1 = np.stack([b, s + n[:, 1] ** 2 * a, -n[:, 1]], 1)
-    return (
-        x[:, None] * t0 + y[:, None] * t1 + z[:, None] * n
-    ).astype(np.float32)
+    return np.stack(
+        [r * np.cos(phi), r * np.sin(phi), np.sqrt(np.maximum(1 - u1, 0.0))], 1
+    )
 
 
-def render_oracle(scene, size, spp, max_depth, seed=0, batch=16):
-    p0, e1, e2, nrm, alb, emi = flatten_numpy(scene)
-    mtype, malpha, meta, mk = _TRI_MATS
-    s_c, s_r, s_alb, s_emi, s_mats = flatten_spheres(scene)
-    if len(s_mats):
-        s_type = np.asarray([m[0] for m in s_mats], np.int32)
-        s_alpha = np.asarray([m[2] for m in s_mats], np.float32)
-        s_eta = np.stack([m[3] for m in s_mats]).astype(np.float32)
-        s_k = np.stack([m[4] for m in s_mats]).astype(np.float32)
-    else:
-        s_type = np.zeros(0, np.int32)
-        s_alpha = np.zeros(0, np.float32)
-        s_eta = s_k = np.zeros((0, 3), np.float32)
+def sample_bsdf(mats, sel, wo, u1, u2, u3):
+    """Pure BSDF sampling over all 7 types: returns (wi (N,3) local,
+    weight (N,3) = f cos / pdf). ``sel`` indexes the material arrays,
+    ``wo`` is local (z = shading normal, already twosided-flipped for
+    everything except dielectrics, which use the true-normal frame)."""
+    n = wo.shape[0]
+    typ = mats["type"][sel]
+    alpha = mats["alpha"][sel]
+    ior = mats["ior"][sel]
+    spec = mats["spec"][sel]
+    trans = mats["trans"][sel]
+    diff = mats["diff"][sel]
+    wi = np.zeros((n, 3), np.float64)
+    weight = np.zeros((n, 3), np.float64)
+
+    # --- diffuse: cosine; weight = albedo --------------------------------
+    d_mask = typ == DIFFUSE
+    if d_mask.any():
+        wi_d = _cosine_local(u1, u2)
+        w_d = np.where((wo[:, 2] > 0)[:, None], diff, 0.0)
+        wi = np.where(d_mask[:, None], wi_d, wi)
+        weight = np.where(d_mask[:, None], w_d, weight)
+
+    # --- smooth conductor: mirror; weight = spec * F ---------------------
+    c_mask = typ == CONDUCTOR
+    if c_mask.any():
+        f = fresnel_conductor_rgb(
+            np.maximum(wo[:, 2], 0.0), mats["eta3"][sel], mats["k3"][sel]
+        )
+        wi_c = _reflect_z(wo)
+        w_c = np.where((wo[:, 2] > 0)[:, None], spec * f, 0.0)
+        wi = np.where(c_mask[:, None], wi_c, wi)
+        weight = np.where(c_mask[:, None], w_c, weight)
+
+    # --- rough conductor: VNDF; weight = spec * F(wo.m) * G1(wi) --------
+    rc_mask = typ == ROUGH_CONDUCTOR
+    if rc_mask.any():
+        m = ggx_sample_vndf_u(wo, alpha, u1, u2)
+        wom = np.einsum("nj,nj->n", wo, m)
+        wi_rc = _reflect_m(wo, m)
+        f = fresnel_conductor_rgb(
+            np.maximum(wom, 0.0), mats["eta3"][sel], mats["k3"][sel]
+        )
+        ok = (wi_rc[:, 2] > 1e-6) & (wo[:, 2] > 1e-6) & (wom > 0)
+        w_rc = np.where(
+            ok[:, None], spec * f * ggx_g1(wi_rc, alpha)[:, None], 0.0
+        )
+        wi = np.where(rc_mask[:, None], wi_rc, wi)
+        weight = np.where(rc_mask[:, None], w_rc, weight)
+
+    # --- smooth dielectric: Fresnel lobe choice --------------------------
+    sd_mask = typ == DIELECTRIC
+    if sd_mask.any():
+        f, cos_t = fresnel_dielectric(ior, wo[:, 2])
+        refl = u3 < f
+        factor = np.where(cos_t < 0.0, 1.0 / np.maximum(ior, 1e-12), ior)
+        wi_sd = np.where(
+            refl[:, None], _reflect_z(wo), _refract_z(wo, cos_t, ior)
+        )
+        w_sd = np.where(refl[:, None], spec, trans * (factor ** 2)[:, None])
+        wi = np.where(sd_mask[:, None], wi_sd, wi)
+        weight = np.where(sd_mask[:, None], w_sd, weight)
+
+    # --- rough dielectric: VNDF m + Fresnel lobe choice ------------------
+    rd_mask = typ == ROUGH_DIELECTRIC
+    if rd_mask.any():
+        sgn = np.where(wo[:, 2] > 0.0, 1.0, -1.0)
+        wo_up = wo * sgn[:, None]
+        # the half vector stays in the UPPER hemisphere even for
+        # inside-out rays (Walter convention; rough_dielectric.h:74-97
+        # samples around the flipped wo but never flips wh back)
+        m = ggx_sample_vndf_u(wo_up, alpha, u1, u2)
+        wom = np.einsum("nj,nj->n", wo, m)
+        f, cos_t = fresnel_dielectric(ior, wom)
+        refl = u3 < f
+        wi_r = _reflect_m(wo, m)
+        wi_t = _refract_m(wo, m, cos_t, ior)
+        wi_rd = np.where(refl[:, None], wi_r, wi_t)
+        # Walter MC weight for separable Smith: G(wi,wo)/G1(wo) = G1(wi)
+        # (G1 is z-sign symmetric); transmission adds the
+        # radiance-transport 1/eta_w^2 (the framework's refract factor^2
+        # with factor = 1/eta_w)
+        g1wi = ggx_g1(wi_rd, alpha)
+        eta_w = np.where(cos_t < 0.0, ior, 1.0 / np.maximum(ior, 1e-12))
+        ok_r = wi_rd[:, 2] * wo[:, 2] > 0
+        ok_t = (np.abs(cos_t) > 1e-6) & (wi_rd[:, 2] * wo[:, 2] < 0)
+        w_rd = np.where(
+            refl[:, None],
+            np.where(ok_r[:, None], spec * g1wi[:, None], 0.0),
+            np.where(
+                ok_t[:, None],
+                trans * (g1wi / eta_w**2)[:, None],
+                0.0,
+            ),
+        )
+        wi = np.where(rd_mask[:, None], wi_rd, wi)
+        weight = np.where(rd_mask[:, None], w_rd, weight)
+
+    # --- plastic family --------------------------------------------------
+    for tcode, rough in ((PLASTIC, False), (ROUGH_PLASTIC, True)):
+        p_mask = typ == tcode
+        if not p_mask.any():
+            continue
+        ssw = mats["ssw"][sel]
+        int_fdr = mats["int_fdr"][sel]
+        nonlinear = mats["nonlinear"][sel]
+        f_o, _ = fresnel_dielectric(ior, wo[:, 2])
+        num = f_o * ssw
+        sp = num / np.maximum(num + (1.0 - f_o) * (1.0 - ssw), 1e-12)
+        take_spec = u3 < sp
+        wi_diff = _cosine_local(u1, u2)
+        if rough:
+            m = ggx_sample_vndf_u(wo, alpha, u1, u2)
+            wi_spec = _reflect_m(wo, m)
+        else:
+            wi_spec = _reflect_z(wo)
+        wi_p = np.where(take_spec[:, None], wi_spec, wi_diff)
+        f_i, _ = fresnel_dielectric(ior, wi_p[:, 2])
+        base = np.where(
+            nonlinear[:, None],
+            diff / np.maximum(1.0 - diff * int_fdr[:, None], 1e-12),
+            diff / np.maximum(1.0 - int_fdr, 1e-12)[:, None],
+        )
+        diff_f = base * ((1.0 - f_i) * (1.0 - f_o) / np.pi
+                         / np.maximum(ior**2, 1e-12))[:, None]
+        cos_pdf = np.maximum(wi_p[:, 2], 0.0) / np.pi
+        if rough:
+            # mixture pdf: f and pdf both carry spec + diffuse terms
+            wh = wi_p + wo
+            wh /= np.maximum(np.linalg.norm(wh, axis=1, keepdims=True), 1e-12)
+            f_h, _ = fresnel_dielectric(
+                ior, np.einsum("nj,nj->n", wh, wo)
+            )
+            spec_f = spec * (f_h * ggx_d(wh, alpha)
+                             * ggx_g1(wi_p, alpha) * ggx_g1(wo, alpha)
+                             / np.maximum(4.0 * wo[:, 2] * wi_p[:, 2], 1e-12)
+                             )[:, None]
+            pdf_spec = ggx_pdf_vndf(wo, wh, alpha) / np.maximum(
+                4.0 * np.einsum("nj,nj->n", wi_p, wh), 1e-12
+            )
+            f_all = spec_f + diff_f
+            pdf = sp * pdf_spec + (1.0 - sp) * cos_pdf
+            w_p = f_all * (wi_p[:, 2] / np.maximum(pdf, 1e-12))[:, None]
+        else:
+            w_spec = spec * (f_o / np.maximum(sp, 1e-12))[:, None]
+            w_diff = diff_f * (np.pi / np.maximum(1.0 - sp, 1e-12))[:, None]
+            w_p = np.where(take_spec[:, None], w_spec, w_diff)
+        ok = (wo[:, 2] > 0) & (wi_p[:, 2] > 0)
+        w_p = np.where(ok[:, None], w_p, 0.0)
+        wi = np.where(p_mask[:, None], wi_p, wi)
+        weight = np.where(p_mask[:, None], w_p, weight)
+
+    return wi, np.maximum(weight, 0.0)
+
+
+def render_oracle(scene, size, spp, max_depth, seed=0, batch=16,
+                  progress=True):
+    p0, e1, e2, nrm, emi, tmats = flatten_numpy(scene)
+    s_c, s_r, s_emi, smats = flatten_spheres(scene)
+    env_fn = build_env(scene)
     w = h = size
     cam_to_world = scene.sensor.transform.matrix.astype(np.float64)
 
@@ -322,6 +633,11 @@ def render_oracle(scene, size, spp, max_depth, seed=0, batch=16):
                 ts, isx = intersect_spheres(ro, rd, s_c, s_r)
                 use_s = (isx >= 0) & (ts < t)
                 hit = (idx >= 0) | use_s
+                # escaped rays collect the environment once and die
+                if env_fn is not None:
+                    esc = alive & ~hit
+                    if esc.any():
+                        radiance[esc] += throughput[esc] * env_fn(rd[esc])
                 alive = alive & hit
                 if not alive.any():
                     break
@@ -329,73 +645,80 @@ def render_oracle(scene, size, spp, max_depth, seed=0, batch=16):
                 si = np.maximum(isx, 0)
                 t = np.where(use_s, ts, t)
                 pos = ro + t[:, None] * rd
+
+                def pick(field):
+                    tv = tmats[field][i]
+                    if smats is None:
+                        return tv
+                    sv = smats[field][si]
+                    cond = use_s
+                    if tv.ndim == 2:
+                        cond = use_s[:, None]
+                    return np.where(cond, sv, tv)
+
                 if len(s_r):
                     n_s = (pos - s_c[si]) / np.maximum(s_r[si][:, None], 1e-12)
                     n = np.where(use_s[:, None], n_s, nrm[i])
                     cur_emi = np.where(use_s[:, None], s_emi[si], emi[i])
-                    cur_alb = np.where(use_s[:, None], s_alb[si], alb[i])
-                    cur_type = np.where(use_s, s_type[si], mtype[i])
-                    cur_alpha = np.where(use_s, s_alpha[si], malpha[i])
-                    cur_eta = np.where(use_s[:, None], s_eta[si], meta[i])
-                    cur_k = np.where(use_s[:, None], s_k[si], mk[i])
                 else:
                     n = nrm[i]
-                    cur_emi, cur_alb = emi[i], alb[i]
-                    cur_type, cur_alpha = mtype[i], malpha[i]
-                    cur_eta, cur_k = meta[i], mk[i]
-                # twosided: flip toward the incoming ray
-                flip = np.einsum("nj,nj->n", n, rd) > 0
-                n = np.where(flip[:, None], -n, n)
-                # one-sided emission (render/emitter.h Eval: lnol > 0),
-                # i.e. only when the geometric normal faces the ray
-                front = ~flip
+                    cur_emi = emi[i]
+                typ = pick("type")
+                twosided = pick("twosided")
+
+                # twosided flip; dielectrics always use the true normal
+                # (signed cosines drive Fresnel + refraction)
+                backside = np.einsum("nj,nj->n", n, rd) > 0
+                is_diel = (typ == DIELECTRIC) | (typ == ROUGH_DIELECTRIC)
+                flip = backside & twosided & ~is_diel
+                n_sh = np.where(flip[:, None], -n, n)
+                # one-sided emission: only when the stored normal faces
+                # the ray (render/emitter.h Eval: lnol > 0)
+                front = ~backside
                 radiance += np.where(
                     (alive & front)[:, None], throughput * cur_emi, 0.0
                 )
 
-                # pure BSDF sampling per material (2 shared uniforms/bounce
-                # keeps the RNG stream identical to the diffuse-only oracle)
                 u1 = rng.random(h * w, dtype=np.float64)
                 u2 = rng.random(h * w, dtype=np.float64)
-                t0, t1 = _onb(n)
+                u3 = rng.random(h * w, dtype=np.float64)
+                t0, t1 = _onb(n_sh)
                 wo_world = -rd
                 wo = np.stack([
                     np.einsum("nj,nj->n", wo_world, t0),
                     np.einsum("nj,nj->n", wo_world, t1),
-                    np.einsum("nj,nj->n", wo_world, n),
+                    np.einsum("nj,nj->n", wo_world, n_sh),
                 ], 1)
-                # diffuse: cosine hemisphere; f*cos/pdf = albedo
-                r_ = np.sqrt(u1)
-                phi = 2 * np.pi * u2
-                wi_d = np.stack([
-                    r_ * np.cos(phi), r_ * np.sin(phi),
-                    np.sqrt(np.maximum(1 - u1, 0.0)),
-                ], 1)
-                weight_d = cur_alb
-                # rough conductor: VNDF half vector; weight = spec*F*G1(wi)
-                m = ggx_sample_vndf_u(wo, cur_alpha, u1, u2)
-                wom = np.einsum("nj,nj->n", wo, m)
-                wi_c = 2.0 * wom[:, None] * m - wo
-                f = fresnel_conductor_rgb(np.maximum(wom, 0.0), cur_eta, cur_k)
-                g1w = ggx_g1(wi_c, cur_alpha)
-                ok_c = (wi_c[:, 2] > 1e-6) & (wo[:, 2] > 1e-6) & (wom > 0)
-                weight_c = np.where(
-                    ok_c[:, None], cur_alb * f * g1w[:, None], 0.0
+
+                sel_t = np.maximum(idx, 0)
+                sel_s = np.maximum(isx, 0)
+                # merge material arrays by hit kind
+                merged = {}
+                for fld in _FIELDS:
+                    tv = tmats[fld][sel_t]
+                    if smats is not None:
+                        sv = smats[fld][sel_s]
+                        cond = use_s[:, None] if tv.ndim == 2 else use_s
+                        tv = np.where(cond, sv, tv)
+                    merged[fld] = tv
+                wi, weight = sample_bsdf(
+                    merged, np.arange(h * w), wo, u1, u2, u3
                 )
-                is_cond = cur_type == 1
-                wi = np.where(is_cond[:, None], wi_c, wi_d)
-                weight = np.where(is_cond[:, None], weight_c, weight_d)
                 throughput = throughput * np.where(alive[:, None], weight, 1.0)
                 rd = (
-                    wi[:, 0:1] * t0 + wi[:, 1:2] * t1 + wi[:, 2:3] * n
+                    wi[:, 0:1] * t0 + wi[:, 1:2] * t1 + wi[:, 2:3] * n_sh
                 ).astype(np.float32)
                 rd /= np.maximum(np.linalg.norm(rd, axis=1, keepdims=True), 1e-12)
-                ro = pos + n * 1e-3
-                # kill paths with zero throughput
+                # offset along the travel side (transmission goes below)
+                side = np.where(
+                    np.einsum("nj,nj->n", rd, n) >= 0, 1.0, -1.0
+                )
+                ro = pos + n * side[:, None] * 1e-3
                 alive = alive & (throughput.max(axis=1) > 1e-6)
             accum += radiance
         done += cur
-        print(f"  {done}/{spp} spp", flush=True)
+        if progress:
+            print(f"  {done}/{spp} spp", flush=True)
     img = (accum / spp).reshape(h, w, 3).astype(np.float32)
     return img
 
@@ -409,6 +732,7 @@ def main():
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--spp", type=int, default=8192)
     ap.add_argument("--max-depth", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="tests/data/oracle_cornell_64.exr")
     args = ap.parse_args()
 
@@ -416,7 +740,8 @@ def main():
     from pupiloptixlab_tpu.utils.image import save_image
 
     scene = load_scene(args.scene)
-    img = render_oracle(scene, args.size, args.spp, args.max_depth)
+    img = render_oracle(scene, args.size, args.spp, args.max_depth,
+                        seed=args.seed)
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     save_image(args.out, img[::-1])
     print(f"saved {args.out} mean={img.mean():.5f}")
