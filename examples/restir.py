@@ -1,4 +1,4 @@
-"""ReSTIR-DI example over the reference's restir_test.xml many-light
+"""ReSTIR example (DI, or GI with --gi) over the reference's restir_test.xml many-light
 scene (the reference ships the scene but no pass; see render/restir.py).
 
     python examples/restir.py [scene.xml] [--frames N] [--out out.exr]
@@ -26,13 +26,16 @@ def main() -> None:
     ap.add_argument("--out", default="restir_out.exr")
     ap.add_argument("--candidates", type=int, default=8)
     ap.add_argument("--taps", type=int, default=3)
+    ap.add_argument("--gi", action="store_true",
+                    help="ReSTIR GI (one-bounce indirect reservoirs)")
     ap.add_argument("--web", action="store_true")
     ap.add_argument("--port", type=int, default=8090)
     args = ap.parse_args()
 
     system = System(display="web" if args.web else "window")
     system.add_pass(
-        ReSTIRPass(m_candidates=args.candidates, spatial_taps=args.taps)
+        ReSTIRPass(m_candidates=args.candidates, spatial_taps=args.taps,
+                   gi=args.gi)
     )
     if not system.set_scene(args.scene):
         raise SystemExit(1)

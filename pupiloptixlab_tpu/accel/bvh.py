@@ -53,15 +53,16 @@ class BvhArrays:
     n_nodes: int
 
 
-def pick_leaf_size(t_pad: int, min_tcl: int = 32) -> int:
+def pick_leaf_size(t_pad: int, min_tcl: int = 16) -> int:
     """Smallest leaf size (>= min_tcl, multiple of 8) whose 8-ary node
     count fits the SMEM budget (internal nodes ~= n_leaves / 7).
 
-    min_tcl = 32 is the measured frame-time optimum on the 20k-tri
-    mesh_env scene (693/711/748/838 ms at tcl 32/16/64/128): traversal
-    cost is part per-iteration scalar sync, part leaf Moller-Trumbore
-    vector work, and 32 balances tree depth against leaf width.
-    PUPIL_TCL overrides for sweeps (debug knob)."""
+    min_tcl = 16 is the round-3 frame-time optimum on the 20k-tri
+    mesh_env scene (556/534/577 ms at tcl 8/16/32). Round 2's
+    1-leaf-per-iteration loop favored 32 (693 vs 711 ms) because every
+    leaf paid a sync; the nested leaf-drain loop moved that cost to node
+    pops, so the smaller leaves' ~25% lower tested-triangle volume now
+    wins. PUPIL_TCL overrides for sweeps (debug knob)."""
     import os
 
     env = os.environ.get("PUPIL_TCL")

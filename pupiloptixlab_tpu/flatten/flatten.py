@@ -656,7 +656,20 @@ def flatten_scene(
     from pupiloptixlab_tpu.accel.bvh import build_bvh, pick_leaf_size
 
     use_bvh = tri_count > 1024
-    bvh_tcl = pick_leaf_size(_round_up(tri_count, pad_tris_to)) if use_bvh else 0
+    if use_bvh:
+        # streamed tables (> the VMEM residency cutoff) fetch one leaf
+        # per DMA: bigger leaves amortize the fixed DMA latency; the
+        # resident kernel's leaf-drain loop favors the smaller tcl=16
+        # (see pick_leaf_size)
+        from pupiloptixlab_tpu.accel.pallas_bvh import STREAM_TRI_BYTES
+
+        will_stream = _round_up(tri_count, pad_tris_to) * 48 > STREAM_TRI_BYTES
+        bvh_tcl = pick_leaf_size(
+            _round_up(tri_count, pad_tris_to),
+            min_tcl=32 if will_stream else 16,
+        )
+    else:
+        bvh_tcl = 0
     t_pad = _round_up(tri_count, max(pad_tris_to, bvh_tcl))
 
     # Device-side instancing (flatten/instanced.py): when shapes repeat

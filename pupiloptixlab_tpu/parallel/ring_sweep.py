@@ -1,0 +1,168 @@
+"""Ring-sharded scene traversal: triangle tables sharded over the mesh,
+rotated chip-to-chip by ``ppermute`` while rays stay resident.
+
+parallel/sharding.py replicates scene tables on every chip — fine for
+small scenes, contradictory for the HBM-streaming scenes the BVH path
+enables (a 405k-tri table on every chip). This module is the other
+regime: each chip holds 1/D of the triangle rows; a sweep runs D rounds,
+each testing the chip's (pixel-sharded) rays against the CURRENT table
+shard and then rotating the shard one hop around the ICI ring
+(``jax.lax.ppermute``). After D rounds every ray has seen the whole
+scene with per-chip HBM O(T/D) and total ICI traffic of one full table
+per sweep (the classic ring-all-gather fused into compute — the
+"How to Scale Your Model" collective-matmul recipe applied to ray
+sweeps).
+
+Per-chip MT work equals the replicated pixel-sharded sweep (N/D rays x
+T rows); only residency and traffic change. The inner test is a chunked
+jnp scan (backend-agnostic: runs on the virtual CPU mesh in tests and on
+TPU); dropping the per-round inner loop into the Pallas chunk sweep is a
+straightforward swap once multi-chip hardware is available to profile.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+MAX_DISTANCE = 1e16
+_DET_EPS = 1e-12
+
+
+def shard_tris(tris_packed: jnp.ndarray, mesh: Mesh):
+    """Pad the (T, 12) packed rows to a multiple of the mesh size and
+    shard them over its first axis. Returns (sharded rows, shard_rows)."""
+    d = mesh.devices.size
+    t = tris_packed.shape[0]
+    pad = (-t) % d
+    if pad:
+        tris_packed = jnp.concatenate(
+            [tris_packed, jnp.zeros((pad, tris_packed.shape[1]),
+                                    tris_packed.dtype)], 0
+        )
+    sharded = jax.device_put(
+        tris_packed, NamedSharding(mesh, P(mesh.axis_names[0]))
+    )
+    return sharded, tris_packed.shape[0] // d
+
+
+def _local_closest(ro, rd, tmin, tmax, rows, base, chunk=1024):
+    """Chunked closest-hit of local rays vs local rows (global indices
+    offset by ``base``). ro/rd are (3, n) component rows; returns
+    (t, idx) with idx<0 = miss."""
+    rox, roy, roz = ro[0], ro[1], ro[2]
+    rdx, rdy, rdz = rd[0], rd[1], rd[2]
+    n = rox.shape[0]
+    t_rows = rows.shape[0]
+    pad = (-t_rows) % chunk
+    if pad:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((pad, rows.shape[1]), rows.dtype)], 0
+        )
+    chunks = rows.reshape(-1, chunk, rows.shape[1])
+
+    def body(carry, args):
+        bt, bp = carry
+        crows, cbase = args
+        p0x = crows[:, 0][None]
+        p0y = crows[:, 1][None]
+        p0z = crows[:, 2][None]
+        e1x = crows[:, 3][None]
+        e1y = crows[:, 4][None]
+        e1z = crows[:, 5][None]
+        e2x = crows[:, 6][None]
+        e2y = crows[:, 7][None]
+        e2z = crows[:, 8][None]
+        dx, dy, dz = rdx[:, None], rdy[:, None], rdz[:, None]
+        ox, oy, oz = rox[:, None], roy[:, None], roz[:, None]
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv = 1.0 / jnp.where(jnp.abs(det) < _DET_EPS, _DET_EPS, det)
+        tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+        ok = (
+            (jnp.abs(det) >= _DET_EPS)
+            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > tmin[:, None]) & (t < tmax[:, None])
+        )
+        t = jnp.where(ok, t, MAX_DISTANCE)
+        j = jnp.argmin(t, axis=1)
+        ridx = jnp.arange(t.shape[0])
+        tj = t[ridx, j]
+        better = tj < bt
+        bt = jnp.where(better, tj, bt)
+        bp = jnp.where(better, cbase + j.astype(jnp.int32), bp)
+        return (bt, bp), None
+
+    init = (
+        jnp.full(n, MAX_DISTANCE, jnp.float32),
+        jnp.full(n, -1, jnp.int32),
+    )
+    bases = base + (jnp.arange(chunks.shape[0]) * chunk).astype(jnp.int32)
+    (bt, bp), _ = jax.lax.scan(body, init, (chunks, bases))
+    return bt, bp
+
+
+def ring_closest(
+    mesh: Mesh,
+    ro_flat: jnp.ndarray,    # (3, N) ray origin component rows
+    rd_flat: jnp.ndarray,    # (3, N)
+    tmin: jnp.ndarray,       # (N,)
+    tmax: jnp.ndarray,       # (N,)
+    tris_sharded: jnp.ndarray,  # (T_pad, 12) row-sharded over the mesh
+    shard_rows: int,
+):
+    """Closest hit of all rays vs the full (sharded) table: D rounds of
+    local sweep + one ppermute table rotation each. Returns (t, idx)
+    pixel-sharded like the inputs."""
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+    d = mesh.devices.size
+
+    def per_chip(ro, rd, tmn, tmx, shard):
+        my = jax.lax.axis_index(axis)
+
+        def round_body(k, carry):
+            bt, bp, rows = carry
+            # the shard currently held started life on chip (my + k) % d
+            base = ((my + k) % d) * shard_rows
+            t, p = _local_closest(ro, rd, tmn, tmx, rows, base)
+            better = t < bt
+            bt = jnp.where(better, t, bt)
+            bp = jnp.where(better, p, bp)
+            # rotate the TABLE one hop (rays stay resident)
+            rows = jax.lax.ppermute(
+                rows, axis, [(i, (i - 1) % d) for i in range(d)]
+            )
+            return bt, bp, rows
+
+        n = tmn.shape[0]
+        init = (
+            jnp.full(n, MAX_DISTANCE, jnp.float32),
+            jnp.full(n, -1, jnp.int32),
+            shard,
+        )
+        bt, bp, _ = jax.lax.fori_loop(0, d, round_body, init)
+        return bt, bp
+
+    vec = P(None, axis)   # component rows, pixels sharded
+    spec = P(axis)
+    fn = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(vec, vec, spec, spec, spec),
+        out_specs=(spec, spec),
+        check_rep=False,
+    )
+    return jax.jit(fn)(ro_flat, rd_flat, tmin, tmax, tris_sharded)

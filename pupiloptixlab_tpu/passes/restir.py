@@ -32,16 +32,35 @@ _jit_frame = partial(
 )(restir_frame)
 
 
+def _jit_gi_frame():
+    from pupiloptixlab_tpu.render.restir_gi import restir_gi_frame
+
+    return partial(
+        jax.jit,
+        static_argnames=("config", "spatial_taps", "spatial_radius"),
+        donate_argnames=("prev_packed", "accum"),
+    )(restir_gi_frame)
+
+
 class ReSTIRPass(Pass):
+    """``gi=True`` switches the estimator to ReSTIR GI (reservoir
+    one-bounce indirect + 1-NEE direct, render/restir_gi.py) instead of
+    DI; camera edits then keep reservoir history via motion-warped
+    temporal reuse rather than resetting it."""
+
     def __init__(
         self,
         name: str = "ReSTIR DI",
         m_candidates: int = 8,
         spatial_taps: int = 3,
         spatial_radius: int = 16,
+        gi: bool = False,
     ):
         super().__init__(name, PassTag.NONE)
         self.system = None
+        self.gi = gi
+        self._gi_frame = _jit_gi_frame() if gi else None
+        self._prev_camera = None
         self.m_candidates = m_candidates
         self.spatial_taps = spatial_taps
         self.spatial_radius = spatial_radius
@@ -49,6 +68,7 @@ class ReSTIRPass(Pass):
         self.sample_cnt = 0
         self.seed = 0
         self._dirty = True
+        self._scene_dirty = True
         self._scene_data = None
         self._config = None
         self._accum = None
@@ -58,10 +78,14 @@ class ReSTIRPass(Pass):
         self.system = system
         system.events.bind(SCENE_LOAD, lambda world: self._set_scene(world))
         system.events.bind(CAMERA_CHANGE, lambda _: self._mark_dirty())
-        system.events.bind(RENDER_INSTANCE_UPDATE, lambda _: self._mark_dirty())
+        system.events.bind(
+            RENDER_INSTANCE_UPDATE, lambda _: self._mark_dirty(scene=True)
+        )
 
-    def _mark_dirty(self) -> None:
+    def _mark_dirty(self, scene: bool = False) -> None:
         self._dirty = True
+        if scene:
+            self._scene_dirty = True
 
     def _reset_state(self, config) -> None:
         n = config.width * config.height
@@ -80,6 +104,7 @@ class ReSTIRPass(Pass):
         bm.add("restir frame", jnp.zeros((n, 3), jnp.float32), BufferFlag.ALLOW_DISPLAY, w, h)
         bm.add("restir accum", jnp.zeros((n, 3), jnp.float32), BufferFlag.ALLOW_DISPLAY, w, h)
         self._dirty = True
+        self._scene_dirty = True
 
     def on_run(self) -> None:
         if self._scene_data is None:
@@ -89,23 +114,46 @@ class ReSTIRPass(Pass):
             data, config = world.get_scene_data()
             config = dataclasses.replace(config, accumulate=self.accumulate)
             self._scene_data, self._config = data, config
-            # a camera/scene edit invalidates the identity temporal warp
-            self._reset_state(config)
+            if self.gi and self._accum is not None and not self._scene_dirty:
+                # GI keeps reservoir history across camera edits via the
+                # motion warp; only the progressive accumulator resets
+                n = config.width * config.height
+                self._accum = jnp.zeros((n, 3), jnp.float32)
+                self.sample_cnt = 0
+            else:
+                # a camera/scene edit invalidates the identity warp (DI)
+                self._reset_state(config)
             self._dirty = False
+            self._scene_dirty = False
 
         camera = self.system.world.get_camera_block()
-        self._accum, self._reservoirs, frame = _jit_frame(
-            self._scene_data,
-            camera,
-            jnp.uint32(self.seed),
-            self._reservoirs,
-            self._accum,
-            jnp.int32(self.sample_cnt),
-            self._config,
-            m_candidates=self.m_candidates,
-            spatial_taps=self.spatial_taps,
-            spatial_radius=self.spatial_radius,
-        )
+        if self.gi:
+            self._accum, self._reservoirs, frame = self._gi_frame(
+                self._scene_data,
+                camera,
+                jnp.uint32(self.seed),
+                self._reservoirs,
+                self._accum,
+                jnp.int32(self.sample_cnt),
+                self._config,
+                spatial_taps=self.spatial_taps,
+                spatial_radius=self.spatial_radius,
+                prev_camera=self._prev_camera,
+            )
+            self._prev_camera = camera
+        else:
+            self._accum, self._reservoirs, frame = _jit_frame(
+                self._scene_data,
+                camera,
+                jnp.uint32(self.seed),
+                self._reservoirs,
+                self._accum,
+                jnp.int32(self.sample_cnt),
+                self._config,
+                m_candidates=self.m_candidates,
+                spatial_taps=self.spatial_taps,
+                spatial_radius=self.spatial_radius,
+            )
         bm = self.system.buffers
         bm.set_array("restir frame", frame)
         bm.set_array("restir accum", self._accum)

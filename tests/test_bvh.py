@@ -101,7 +101,8 @@ def test_builder_invariants():
 
 
 def test_pick_leaf_size_scales():
-    assert pick_leaf_size(20 * 1024) == 32  # measured frame-time optimum
+    assert pick_leaf_size(20 * 1024) == 16  # round-3 frame-time optimum
+    assert pick_leaf_size(20 * 1024, min_tcl=32) == 32  # streamed scenes
     big = pick_leaf_size(4 * 1024 * 1024)  # 4M tris still fits SMEM
     assert (4 * 1024 * 1024 // big) // 7 + 8 <= 160 * 1024 // 36
 

@@ -48,3 +48,53 @@ def test_sharded_matches_single_device(tiny_cornell):
     )
     # the output really is sharded over the mesh
     assert len(out_accum.sharding.device_set) == 8
+
+
+def test_ring_sharded_sweep_matches_single_device():
+    """Ring-sharded traversal (tri table sharded over the 8-dev mesh,
+    rotated by ppermute) returns the same closest hits as the
+    single-device sweep; per-chip table residency is T/8."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pupiloptixlab_tpu.flatten import camera_block_from_scene, flatten_scene
+    from pupiloptixlab_tpu.parallel.ring_sweep import (
+        ring_closest, shard_tris,
+    )
+    from pupiloptixlab_tpu.parallel.sharding import make_mesh
+    from pupiloptixlab_tpu.render.camera import generate_rays
+    from pupiloptixlab_tpu.scene import load_scene
+
+    scene = load_scene("/root/repo/data/mesh_env.xml")
+    scene.sensor.film.w, scene.sensor.film.h = 128, 64
+    data, config = flatten_scene(scene)
+    camera = camera_block_from_scene(scene)
+    n = config.width * config.height
+    jx = jnp.zeros(n)
+    ro, rd = generate_rays(camera, config.width, config.height, jx, jx)
+    tmin = jnp.full(n, 1e-3, jnp.float32)
+    tmax = jnp.full(n, 1e16, jnp.float32)
+
+    mesh = make_mesh(8, axis="shards")
+    tris_sh, shard_rows = shard_tris(data.tris.packed, mesh)
+    # per-chip residency really is 1/8 of the table
+    db = tris_sh.sharding.shard_shape(tris_sh.shape)
+    assert db[0] == tris_sh.shape[0] // 8
+
+    ro_flat = jnp.stack([ro.x, ro.y, ro.z])
+    rd_flat = jnp.stack([rd.x, rd.y, rd.z])
+    t_ring, p_ring = ring_closest(
+        mesh, ro_flat, rd_flat, tmin, tmax, tris_sh, shard_rows
+    )
+
+    from pupiloptixlab_tpu.accel.intersect import intersect_closest
+
+    hit = intersect_closest(ro, rd, tmin, tmax, data, config)
+    t_ref = np.where(np.asarray(hit.hit_mask), np.asarray(hit.t), 1e16)
+    got_hit = np.asarray(p_ring) >= 0
+    assert (got_hit == np.asarray(hit.hit_mask)).mean() > 0.999
+    both = got_hit & np.asarray(hit.hit_mask)
+    np.testing.assert_allclose(
+        np.asarray(t_ring)[both], t_ref[both], rtol=1e-5, atol=1e-5
+    )
