@@ -539,6 +539,68 @@ def _sphere_tests(ro: Vec3, rd: Vec3, scene: SceneData, tmin, tmax):
     return jnp.where(hit, t, MAX_DISTANCE), hit
 
 
+def _curve_tests(ro: Vec3, rd: Vec3, scene: SceneData, tmin, tmax):
+    """Analytic ROUNDED-CONE hits for round-curve segments, curve-major
+    (C, N) layout like _sphere_tests. Standard closed-form intersector
+    (cone body + two sphere caps); rays must be unit-length. Returns
+    (t (C,N), hit (C,N))."""
+    from pupiloptixlab_tpu.flatten.types import (
+        CRV_P0, CRV_P1, CRV_R0, CRV_R1,
+    )
+
+    rows = scene.curves.packed  # (C, 12)
+    ax = rows[:, CRV_P0.start][:, None]
+    ay = rows[:, CRV_P0.start + 1][:, None]
+    az = rows[:, CRV_P0.start + 2][:, None]
+    bx = rows[:, CRV_P1.start][:, None]
+    by = rows[:, CRV_P1.start + 1][:, None]
+    bz = rows[:, CRV_P1.start + 2][:, None]
+    ra = rows[:, CRV_R0][:, None]
+    rb = rows[:, CRV_R1][:, None]
+
+    bax, bay, baz = bx - ax, by - ay, bz - az
+    oax = ro.x[None, :] - ax
+    oay = ro.y[None, :] - ay
+    oaz = ro.z[None, :] - az
+    obx = ro.x[None, :] - bx
+    oby = ro.y[None, :] - by
+    obz = ro.z[None, :] - bz
+    dx, dy, dz = rd.x[None, :], rd.y[None, :], rd.z[None, :]
+
+    rr = ra - rb
+    m0 = bax * bax + bay * bay + baz * baz
+    m1 = bax * oax + bay * oay + baz * oaz
+    m2 = bax * dx + bay * dy + baz * dz
+    m3 = dx * oax + dy * oay + dz * oaz
+    m5 = oax * oax + oay * oay + oaz * oaz
+    m6 = obx * dx + oby * dy + obz * dz
+    m7 = obx * obx + oby * oby + obz * obz
+
+    d2 = m0 - rr * rr
+    k2 = d2 - m2 * m2
+    k1 = d2 * m3 - m1 * m2 + m2 * rr * ra
+    k0 = d2 * m5 - m1 * m1 + 2.0 * m1 * rr * ra - m0 * ra * ra
+    h = k1 * k1 - k0 * k2
+    k2s = jnp.where(jnp.abs(k2) < 1e-12, 1e-12, k2)
+    t_cone = (-jnp.sqrt(jnp.maximum(h, 0.0)) - k1) / k2s
+    y = m1 - ra * rr + t_cone * m2
+    cone_ok = (h >= 0.0) & (y > 0.0) & (y < d2)
+
+    h1 = m3 * m3 - m5 + ra * ra
+    t_a = -m3 - jnp.sqrt(jnp.maximum(h1, 0.0))
+    h2 = m6 * m6 - m7 + rb * rb
+    t_b = -m6 - jnp.sqrt(jnp.maximum(h2, 0.0))
+
+    big = MAX_DISTANCE
+    degen = (ra <= 0.0) & (rb <= 0.0)  # hidden / padding rows never hit
+    in_rng = lambda t: (t > tmin[None, :]) & (t < tmax[None, :])
+    tc = jnp.where(cone_ok & in_rng(t_cone) & ~degen, t_cone, big)
+    ta = jnp.where((h1 >= 0.0) & in_rng(t_a) & (ra > 0.0), t_a, big)
+    tb = jnp.where((h2 >= 0.0) & in_rng(t_b) & (rb > 0.0), t_b, big)
+    t = jnp.minimum(tc, jnp.minimum(ta, tb))
+    return t, t < big
+
+
 def intersect_closest(
     ro: Vec3,
     rd: Vec3,
@@ -600,6 +662,14 @@ def intersect_closest(
         best_t = jnp.where(better, tj, best_t)
         best_prim = jnp.where(better, j.astype(jnp.int32), best_prim)
         best_kind = jnp.where(better, 1, best_kind)
+    if config.curve_count > 0:
+        t_c, hit_c = _curve_tests(ro, rd, scene, tmin, tmax)  # (C, N)
+        j = jnp.argmin(t_c, axis=0)
+        tj = jnp.min(t_c, axis=0)
+        better = (tj < MAX_DISTANCE) & (tj < best_t)
+        best_t = jnp.where(better, tj, best_t)
+        best_prim = jnp.where(better, j.astype(jnp.int32), best_prim)
+        best_kind = jnp.where(better, 2, best_kind)
     return Hit(t=best_t, prim=best_prim, kind=best_kind, u=best_u,
                v=best_v, inst=best_inst)
 
@@ -660,6 +730,9 @@ def intersect_any(
         if config.sphere_count > 0:
             t_s, hit_s = _sphere_tests(ro, rd, scene, tmin, tmax)
             occluded = occluded | jnp.any(hit_s, axis=0)
+        if config.curve_count > 0:
+            t_c, hit_c = _curve_tests(ro, rd, scene, tmin, tmax)
+            occluded = occluded | jnp.any(hit_c, axis=0)
         return occluded
     hit = intersect_closest(ro, rd, tmin, tmax, scene, config)
     return hit.hit_mask

@@ -305,6 +305,34 @@ def _round_up(n: int, m: int) -> int:
     return max(((n + m - 1) // m) * m, m)
 
 
+def _tessellate_curve(pts: np.ndarray, degree: int, subdiv: int = 8):
+    """Control vertices (P, 4) [x y z r] -> polyline (M, 4).
+
+    degree 1 passes through; degree 3 evaluates a uniform Catmull-Rom
+    through the control points (endpoint-clamped), ``subdiv`` samples
+    per span — the flatten-time analog of the optix builtin curve
+    tessellation (module.h:20-29 exposes the hardware IS; here curves
+    become rounded-cone segments the analytic intersector handles)."""
+    pts = np.asarray(pts, np.float32)
+    if degree <= 1 or pts.shape[0] < 3:
+        return pts
+    p = np.concatenate([pts[:1], pts, pts[-1:]], axis=0)  # clamped ends
+    out = [pts[0]]
+    for i in range(pts.shape[0] - 1):
+        p0, p1, p2, p3 = p[i], p[i + 1], p[i + 2], p[i + 3]
+        for k in range(1, subdiv + 1):
+            t = k / subdiv
+            t2, t3 = t * t, t * t * t
+            v = 0.5 * (
+                (2.0 * p1)
+                + (-p0 + p2) * t
+                + (2.0 * p0 - 5.0 * p1 + 4.0 * p2 - p3) * t2
+                + (-p0 + 3.0 * p1 - 3.0 * p2 + p3) * t3
+            )
+            out.append(v.astype(np.float32))
+    return np.stack(out)
+
+
 def flatten_scene(
     scene: Scene, pad_tris_to: int = 64, return_refit: bool = False,
     allow_instanced: bool = True,
@@ -332,6 +360,7 @@ def flatten_scene(
     inst_meta: list[dict] = []
     em_base_w: list[float] = []         # per emitter: radiance weight basis
     sphere_inst: list[int] = []         # instance index per sphere row
+    c_rows: list[np.ndarray] = []       # curve segment rows (CRV_COLS)
     # spheres
     s_o2w, s_w2o, s_mat, s_emit, s_flip = [], [], [], [], []
     # emitters
@@ -408,6 +437,27 @@ def flatten_scene(
             sphere_inst.append(inst_i)
             if emitter_id >= 0:
                 em_base_w.append(ins.emitter.radiance.max_channel_weight())
+            continue
+
+        if ins.shape.type == ShapeType.CURVE:
+            # round curves -> world-space rounded-cone segment rows
+            poly = _tessellate_curve(
+                ins.shape.curve_points, ins.shape.curve_degree
+            )
+            wp = transform_points(poly[:, :3], m).astype(np.float32)
+            # radius scales by the mean axis scale of the transform
+            rscale = float(np.linalg.norm(m[:3, :3], axis=0).mean())
+            wr = (poly[:, 3] * rscale).astype(np.float32)
+            if hidden:
+                wr = np.zeros_like(wr)  # r <= 0 segments never hit
+            seglen = np.linalg.norm(wp[1:] - wp[:-1], axis=1)
+            cum = np.concatenate([[0.0], np.cumsum(seglen)])
+            total = max(float(cum[-1]), 1e-9)
+            for si in range(wp.shape[0] - 1):
+                c_rows.append(np.concatenate([
+                    wp[si], [wr[si]], wp[si + 1], [wr[si + 1]],
+                    [mat_id, cum[si] / total, cum[si + 1] / total, 0.0],
+                ]).astype(np.float32))
             continue
 
         mesh = ins.shape.mesh
@@ -942,9 +992,19 @@ def flatten_scene(
         env_select_prob=jnp.asarray(env_prob, jnp.float32),
     )
 
+    from pupiloptixlab_tpu.flatten.types import CRV_COLS, Curves
+
+    curve_count = len(c_rows)
+    c_pad = max(curve_count, 1)
+    crv = np.zeros((c_pad, CRV_COLS), np.float32)
+    if c_rows:
+        crv[:curve_count] = np.stack(c_rows)
+    curves = Curves(packed=jnp.asarray(crv))
+
     data = SceneData(
         tris=tris,
         spheres=spheres,
+        curves=curves,
         materials=materials.build(),
         textures=textures.build(),
         emitters=emitters,
@@ -975,6 +1035,7 @@ def flatten_scene(
         max_depth=scene.integrator.max_depth,
         tri_count=tri_count,
         sphere_count=sphere_count,
+        curve_count=curve_count,
         emitter_count=n_area,
         has_env=env is not None,
         env_size=env_size,

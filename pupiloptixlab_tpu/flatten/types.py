@@ -165,6 +165,26 @@ class Spheres:
     flip_normal: jnp.ndarray  # (S,) bool
 
 
+# Curves.packed (C, 12): segment endpoints + radii + ids
+CRV_P0 = slice(0, 3)
+CRV_R0 = 3
+CRV_P1 = slice(4, 7)
+CRV_R1 = 7
+CRV_MAT = 8
+CRV_UV0, CRV_UV1 = 9, 10  # curve-parameter interval of this segment
+CRV_COLS = 12
+
+
+@_register
+@dataclass
+class Curves:
+    """Round-curve SEGMENT table (rounded cones between consecutive
+    tessellated control points — the optix built-in curve IS analog,
+    module.h:20-29; higher degrees tessellate at flatten time)."""
+
+    packed: jnp.ndarray  # (C, CRV_COLS) f32
+
+
 @_register
 @dataclass
 class EmitterTable:
@@ -215,6 +235,7 @@ class CameraBlock:
 class SceneData:
     tris: TriSoup
     spheres: Spheres
+    curves: Curves
     materials: MaterialTable
     textures: TextureTable
     emitters: EmitterTable
@@ -231,6 +252,7 @@ class RenderConfig:
     spp_per_pass: int = 1
     tri_count: int = 0       # valid (unpadded) triangle count
     sphere_count: int = 0
+    curve_count: int = 0     # round-curve segments (tessellated)
     emitter_count: int = 0
     has_env: bool = False
     env_size: tuple[int, int] = (0, 0)  # (w, h) of the env map

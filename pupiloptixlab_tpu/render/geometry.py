@@ -66,6 +66,7 @@ def get_local_geometry(
     rd: Vec3,
     sphere_count: int = -1,
     instanced: bool = False,
+    curve_count: int = 0,
 ) -> LocalGeometry:
     """``sphere_count`` (static) skips the sphere branch when 0; -1 means
     unknown (emit both branches). ``instanced`` (static): the attrs
@@ -152,6 +153,40 @@ def get_local_geometry(
         emitter_id = jnp.where(is_sphere, c[SPH_EMITTER].astype(jnp.int32), emit_tri)
     else:
         normal, uv, mat_id, emitter_id = nrm_tri, uv_tri, mat_tri, emit_tri
+
+    if curve_count != 0:
+        # round-curve hits (kind 2): exact rounded-cone normal derived
+        # from the hit position alone (cone flank when 0 < y < d2, the
+        # sphere caps otherwise — same cases as the intersector)
+        from pupiloptixlab_tpu.flatten.types import (
+            CRV_MAT, CRV_P0, CRV_P1, CRV_R0, CRV_R1, CRV_UV0, CRV_UV1,
+        )
+
+        is_curve = hit.kind == 2
+        cp = jnp.minimum(prim, scene.curves.packed.shape[0] - 1)
+        cc = gather_cols(scene.curves.packed, cp)  # (12, N)
+        a = Vec3(cc[CRV_P0.start], cc[CRV_P0.start + 1], cc[CRV_P0.start + 2])
+        b = Vec3(cc[CRV_P1.start], cc[CRV_P1.start + 1], cc[CRV_P1.start + 2])
+        ra, rb = cc[CRV_R0], cc[CRV_R1]
+        ba = b - a
+        pa = position - a
+        rr = ra - rb
+        m0 = ba.dot(ba)
+        d2 = jnp.maximum(m0 - rr * rr, 1e-12)
+        y = ba.dot(pa) - ra * rr
+        n_cone = (pa * d2 - ba * y).normalized()
+        n_a = pa * (1.0 / jnp.maximum(ra, 1e-9))
+        n_b = (position - b) * (1.0 / jnp.maximum(rb, 1e-9))
+        nrm_crv = where(y <= 0.0, n_a, where(y >= d2, n_b, n_cone))
+        s = jnp.clip(y / d2, 0.0, 1.0)
+        uv_crv = Vec2(
+            cc[CRV_UV0] + s * (cc[CRV_UV1] - cc[CRV_UV0]),
+            jnp.full_like(s, 0.5),
+        )
+        normal = where(is_curve, nrm_crv.normalized(), normal)
+        uv = where2(is_curve, uv_crv, uv)
+        mat_id = jnp.where(is_curve, cc[CRV_MAT].astype(jnp.int32), mat_id)
+        emitter_id = jnp.where(is_curve, -1, emitter_id)
 
     mat_id = jnp.where(hit.hit_mask, mat_id, 0)
     emitter_id = jnp.where(hit.hit_mask, emitter_id, -1)

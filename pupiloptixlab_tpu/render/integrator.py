@@ -227,7 +227,7 @@ def _bounce(scene, config, n, carry, depth):
     active = active & hit.hit_mask
 
     geo = get_local_geometry(scene, hit, new_ro, new_rd, config.sphere_count,
-                             config.instanced)
+                             config.instanced, config.curve_count)
     local = bsdf_mod.get_local_bsdf(
         scene.materials, tex, geo.mat_id, geo.uv, config.mat_types,
         config.mat_tex_kinds, config.mat_tex_filters,
@@ -292,7 +292,7 @@ def render_sample(
         const_tmin=RAY_OFFSET, const_tmax=MAX_DISTANCE,
     )
     geo = get_local_geometry(scene, hit, ro, rd, config.sphere_count,
-                             config.instanced)
+                             config.instanced, config.curve_count)
     local = bsdf_mod.get_local_bsdf(
         scene.materials, tex, geo.mat_id, geo.uv, config.mat_types,
         config.mat_tex_kinds, config.mat_tex_filters,

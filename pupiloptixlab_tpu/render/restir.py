@@ -310,7 +310,7 @@ def restir_frame(
     tmax = jnp.full(n, MAX_DISTANCE, jnp.float32)
     hit = intersect_closest(ro, rd, tmin, tmax, scene, config, coherent=False)
     geo = get_local_geometry(scene, hit, ro, rd, config.sphere_count,
-                             config.instanced)
+                             config.instanced, config.curve_count)
     local = bsdf_mod.get_local_bsdf(
         scene.materials, tex, geo.mat_id, geo.uv, config.mat_types,
         config.mat_tex_kinds, config.mat_tex_filters,

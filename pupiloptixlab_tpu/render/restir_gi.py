@@ -94,7 +94,7 @@ def gi_initial_sample(scene: SceneData, config: RenderConfig, gb, local,
         origin_prim=oprim, mask=live,
     )
     geo2 = get_local_geometry(
-        scene, hit2, gb.position, rd, config.sphere_count, config.instanced
+        scene, hit2, gb.position, rd, config.sphere_count, config.instanced, config.curve_count
     )
     local2 = bsdf_mod.get_local_bsdf(
         scene.materials, tex, geo2.mat_id, geo2.uv, config.mat_types,
@@ -213,7 +213,7 @@ def restir_gi_frame(
     hit = intersect_closest(ro, rd, tmin, tmax, scene, config,
                             coherent=False)
     geo = get_local_geometry(scene, hit, ro, rd, config.sphere_count,
-                             config.instanced)
+                             config.instanced, config.curve_count)
     local = bsdf_mod.get_local_bsdf(
         scene.materials, tex, geo.mat_id, geo.uv, config.mat_types,
         config.mat_tex_kinds, config.mat_tex_filters,

@@ -212,6 +212,35 @@ class Scene:
             ins.flip_tex_coords = (
                 obj.properties.get("flip_tex_coords", default_flip) != "false"
             )
+        elif stype in ("linearcurve", "bsplinecurve", "catmullromcurve"):
+            # round curves (the reference exposes optix builtin curve
+            # intersection modules, optix/module.h:20-29, but never
+            # loads curve geometry — parsed here, beyond parity).
+            # Control points from a "points" property ("x,y,z,r; ...")
+            # or a text file ("filename": one x y z r row per vertex).
+            import numpy as _np
+
+            pts_prop = obj.properties.get("points")
+            if pts_prop:
+                rows = [
+                    [float(v) for v in grp.split(",")]
+                    for grp in pts_prop.split(";")
+                    if grp.strip()
+                ]
+                pts = _np.asarray(rows, _np.float32)
+            else:
+                path = self.root_path / obj.properties.get("filename", "")
+                pts = _np.loadtxt(path, dtype=_np.float32).reshape(-1, 4)
+            degree = {"linearcurve": 1, "bsplinecurve": 3,
+                      "catmullromcurve": 3}[stype]
+            from pupiloptixlab_tpu.scene.shapes import Shape
+
+            s = Shape(ShapeType.CURVE, key=f"curve-{obj.id or id(obj)}")
+            s.curve_points = pts
+            s.curve_degree = int(obj.properties.get("degree", degree))
+            s.aabb.merge_points(pts[:, :3] + pts[:, 3:4])
+            s.aabb.merge_points(pts[:, :3] - pts[:, 3:4])
+            ins.shape = s
         else:
             log.warning("unknown shape type [%s]", stype)
             return

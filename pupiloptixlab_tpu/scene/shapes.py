@@ -31,6 +31,7 @@ class ShapeType(enum.IntEnum):
     SPHERE = 2
     CUBE = 3
     RECTANGLE = 4
+    CURVE = 5  # round curve (optix builtin curve-IS analog, module.h:20-29)
 
 
 @dataclass
@@ -51,6 +52,11 @@ class Shape:
     mesh: Mesh | None = None
     aabb: AABB = field(default_factory=AABB)
     key: str = ""  # dedupe key (file path or builtin name)
+    # round curve: control vertices (P, 4) [x y z radius] + spline degree
+    # (1 linear, 2 quadratic b-spline, 3 cubic b-spline); higher degrees
+    # tessellate to rounded-cone segments at flatten time
+    curve_points: np.ndarray | None = None
+    curve_degree: int = 1
 
 
 @dataclass

@@ -140,7 +140,7 @@ def render_wavefront(
         from pupiloptixlab_tpu.render.geometry import get_local_geometry
 
         geo = get_local_geometry(scene, hit, ro, rd, config.sphere_count,
-                             config.instanced)
+                             config.instanced, config.curve_count)
         local = bsdf_mod.get_local_bsdf(
             scene.materials, tex, geo.mat_id, geo.uv,
             config.mat_types, config.mat_tex_kinds, config.mat_tex_filters,
