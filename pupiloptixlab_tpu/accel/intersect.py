@@ -734,5 +734,33 @@ def intersect_any(
             t_c, hit_c = _curve_tests(ro, rd, scene, tmin, tmax)
             occluded = occluded | jnp.any(hit_c, axis=0)
         return occluded
+    if config.tri_count > 0 and config.bvh_nodes == 0 and _use_pallas():
+        # chunk-sweep scenes (cornell/veach class): dedicated any-hit
+        # kernel — no closest min/argmin bookkeeping on the half of all
+        # sweeps that are shadow sweeps
+        from pupiloptixlab_tpu.accel.pallas_intersect import (
+            sweep_triangles_any,
+        )
+
+        def run(arrays):
+            occ = sweep_triangles_any(
+                *arrays, scene.tris.packed, scene.tris.chunk_boxes,
+                rb=PALLAS_RB, tc=64,
+            )
+            return (occ,)
+
+        n_chunks = scene.tris.chunk_boxes.shape[0]
+        (occ,) = _sorted_ray_sweep(
+            ro, rd, tmin, tmax, coherent, n_chunks, run,
+            sort_keys=None, const_tmin=const_tmin,
+        )
+        occluded = occ != 0
+        if config.sphere_count > 0:
+            t_s, hit_s = _sphere_tests(ro, rd, scene, tmin, tmax)
+            occluded = occluded | jnp.any(hit_s, axis=0)
+        if config.curve_count > 0:
+            t_c, hit_c = _curve_tests(ro, rd, scene, tmin, tmax)
+            occluded = occluded | jnp.any(hit_c, axis=0)
+        return occluded
     hit = intersect_closest(ro, rd, tmin, tmax, scene, config)
     return hit.hit_mask

@@ -52,7 +52,10 @@ STACK_SIZE = 96
 DEFAULT_RB = 8
 # In-flight leaf DMAs in streaming mode (ring of scratch buffers); the
 # fetch consumed at iteration i was issued at i - depth.
-DEFAULT_STREAM_DEPTH = 2
+# PUPIL_STREAM_DEPTH overrides for sweeps (debug knob).
+import os as _os
+
+DEFAULT_STREAM_DEPTH = int(_os.environ.get("PUPIL_STREAM_DEPTH", "2"))
 
 
 def _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v):

@@ -92,6 +92,103 @@ def _kernel_grid(tri_ref, rox, roy, roz, rdx, rdy, rdz, tmn, tmx, tbest, ibest):
     ibest[:] = jnp.where(better, c * tri_ref.shape[0] + jmin, ibest[:])
 
 
+def _kernel_grid_any(tri_ref, rox, roy, roz, rdx, rdy, rdz, tmn, tmx, occ):
+    """Small-scene ANY-HIT kernel: no closest-hit bookkeeping; occluded
+    lanes are sticky across the chunk grid (shadow rays,
+    render/emitter.h:91-100 terminate-on-first-hit)."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        occ[:] = jnp.zeros_like(occ[:])
+
+    ox, oy, oz = rox[:], roy[:], roz[:]
+    dx, dy, dz = rdx[:], rdy[:], rdz[:]
+
+    def col(i):
+        return tri_ref[:, i][:, None, None]
+
+    p0x, p0y, p0z = col(0), col(1), col(2)
+    e1x, e1y, e1z = col(3), col(4), col(5)
+    e2x, e2y, e2z = col(6), col(7), col(8)
+
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    det_safe = jnp.where(jnp.abs(det) < _DET_EPS, _DET_EPS, det)
+    r = pl.reciprocal(det_safe, approx=True)
+    inv = r * (2.0 - det_safe * r)
+    tvx = ox - p0x
+    tvy = oy - p0y
+    tvz = oz - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+
+    hit = (
+        (jnp.abs(det) >= _DET_EPS)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > tmn[:])
+        & (t < tmx[:])
+    )
+    hit_any = jnp.any(hit, axis=0)
+    occ[:] = jnp.where(hit_any, 1, occ[:])
+
+
+@functools.partial(jax.jit, static_argnames=("rb", "tc", "interpret"))
+def sweep_triangles_any(
+    rox, roy, roz, rdx, rdy, rdz, tmin, tmax,
+    tri: jnp.ndarray,
+    boxes: jnp.ndarray,
+    rb: int = DEFAULT_RB,
+    tc: int = DEFAULT_TC,
+    interpret: bool = False,
+):
+    """Occlusion-only chunk sweep; returns (N,) i32 (1 = occluded).
+    Small scenes only (the BVH path has its own any-hit kernel); saves
+    the closest-hit min/argmin bookkeeping on every shadow sweep."""
+    n = rox.shape[0]
+    t_total = tri.shape[0]
+    assert n % (rb * LANES) == 0, n
+    rows = n // LANES
+    n_chunks = t_total // tc
+
+    def plane(x):
+        return x.reshape(rows, LANES)
+
+    grid = (rows // rb, max(n_chunks, 1))
+    ray_spec = pl.BlockSpec(
+        (rb, LANES), lambda r, c: (r, 0), memory_space=pltpu.VMEM
+    )
+    tri_spec = pl.BlockSpec(
+        (tc, tri.shape[1]), lambda r, c: (c, 0), memory_space=pltpu.VMEM
+    )
+    occ = pl.pallas_call(
+        _kernel_grid_any,
+        grid=grid,
+        in_specs=[tri_spec] + [ray_spec] * 8,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=50 * n * t_total, bytes_accessed=n * 36 + t_total * 48,
+            transcendentals=0,
+        ),
+    )(
+        tri,
+        plane(rox), plane(roy), plane(roz),
+        plane(rdx), plane(rdy), plane(rdz),
+        plane(tmin), plane(tmax),
+    )
+    return occ.reshape(n)
+
+
 GROUP = 32  # chunks per super-chunk (second culling level)
 
 

@@ -63,7 +63,10 @@ def _luminance(c):
 
 @partial(
     jax.jit,
-    static_argnames=("iterations", "use_albedo", "use_normal"),
+    static_argnames=(
+        "iterations", "use_albedo", "use_normal",
+        "sigma_color", "sigma_albedo", "sigma_normal",
+    ),
 )
 def atrous_denoise(
     color: jnp.ndarray,   # (h, w, 3) linear radiance
@@ -76,6 +79,20 @@ def atrous_denoise(
     sigma_albedo: float = 0.15,
     sigma_normal: float = 0.25,
 ):
+    if jax.default_backend() == "tpu":
+        # VMEM-windowed kernel: ~3x HBM per iteration instead of ~25x
+        # (interpret-mode parity pinned in tests/test_denoise.py)
+        from pupiloptixlab_tpu.denoise.pallas_atrous import (
+            atrous_denoise_pallas,
+        )
+
+        return atrous_denoise_pallas(
+            color, albedo, normal,
+            iterations=iterations,
+            use_albedo=use_albedo, use_normal=use_normal,
+            sigma_color=sigma_color, sigma_albedo=sigma_albedo,
+            sigma_normal=sigma_normal,
+        )
     # All arithmetic runs on (h, w) CHANNEL PLANES: a (h, w, 3) layout
     # pads the minor dim 3 to the 128-lane TPU tile, multiplying HBM
     # traffic ~42x (the render/vec.py Vec3 rule applied to images;

@@ -23,7 +23,26 @@ CASES = {
     "material_test": (96, 54, 16, None),
     "denoised_scene": (64, 64, 8, None),
     "restir_test": (96, 54, 8, None),
+    "big_env": (96, 54, 2, 3),
 }
+
+
+def _big_env_xml(tmpdir):
+    """Small instance of the big_env generator (same displacement field,
+    grid 120 -> 28.8k tris): pins the LOOK of the streamed-scene class;
+    streaming itself is pinned by test_bvh_streaming_matches_resident."""
+    import subprocess
+    import sys as _sys
+
+    xml = Path(tmpdir) / "big_env.xml"
+    if not xml.exists():
+        subprocess.run(
+            [_sys.executable,
+             str(Path(__file__).parent.parent / "tools" / "make_big_scene.py"),
+             str(tmpdir), "120"],
+            check=True, capture_output=True, timeout=120,
+        )
+    return xml
 
 
 def _render_case(name, reference_scene_dir):
@@ -32,6 +51,12 @@ def _render_case(name, reference_scene_dir):
     from pupiloptixlab_tpu.scene import load_scene
 
     w, h, spp, depth = CASES[name]
+    if name == "big_env":
+        import tempfile
+
+        reference_scene_dir = Path(tempfile.gettempdir()) / "pupil_golden_big"
+        reference_scene_dir.mkdir(exist_ok=True)
+        _big_env_xml(reference_scene_dir)
     scene = load_scene(reference_scene_dir / f"{name}.xml")
     scene.sensor.film.w, scene.sensor.film.h = w, h
     if depth is not None:

@@ -113,3 +113,46 @@ def test_barycentric_interpolation():
     np.testing.assert_allclose(pos, [0.25, -0.5, 0], atol=1e-5)
     # rect uv: (0,0) at (-1,-1), (1,1) at (1,1)
     np.testing.assert_allclose([float(geo.uv.x[0]), float(geo.uv.y[0])], [0.625, 0.25], atol=1e-5)
+
+
+def test_chunk_sweep_anyhit_matches_closest():
+    """The dedicated chunk-sweep any-hit kernel (cornell-class scenes)
+    agrees with the closest-hit sweep's hit mask, including tmax
+    clipping (a hit beyond the light distance is not occlusion)."""
+    import jax.numpy as jnp
+
+    from pupiloptixlab_tpu.accel.pallas_intersect import (
+        sweep_triangles, sweep_triangles_any,
+    )
+
+    r = np.random.RandomState(4)
+    t = 128
+    p0 = (r.rand(t, 3).astype(np.float32) * 4 - 2)
+    e1 = (r.rand(t, 3).astype(np.float32) - 0.5) * 0.6
+    e2 = (r.rand(t, 3).astype(np.float32) - 0.5) * 0.6
+    packed = np.concatenate([p0, e1, e2, np.zeros((t, 3), np.float32)], 1)
+    boxes = np.zeros((t // 64, 8), np.float32)
+    n = 1024
+    ro = np.zeros((n, 3), np.float32)
+    ro[:, 2] = -4.0
+    rd = r.rand(n, 3).astype(np.float32) - 0.5
+    rd[:, 2] += 1.0
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    args = [jnp.asarray(a) for a in (
+        ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+        np.full(n, 1e-3, np.float32), np.full(n, 1e16, np.float32))]
+    tb, ib = sweep_triangles(
+        *args, jnp.asarray(packed), jnp.asarray(boxes), rb=4, interpret=True
+    )
+    occ = sweep_triangles_any(
+        *args, jnp.asarray(packed), jnp.asarray(boxes), rb=4, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(occ) != 0, np.asarray(ib) >= 0)
+
+    # clipped tmax: hits beyond 2.0 are not occlusion
+    args2 = args[:7] + [jnp.full(n, 2.0, jnp.float32)]
+    occ2 = sweep_triangles_any(
+        *args2, jnp.asarray(packed), jnp.asarray(boxes), rb=4, interpret=True
+    )
+    want = (np.asarray(ib) >= 0) & (np.asarray(tb) < 2.0)
+    np.testing.assert_array_equal(np.asarray(occ2) != 0, want)
