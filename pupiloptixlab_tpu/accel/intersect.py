@@ -55,8 +55,19 @@ class Hit:
         return self.kind >= 0
 
 
+# Test hook: when True, the Pallas sweep paths (including their sort /
+# un-permute wrappers and the combined pair sweep) run on CPU in Pallas
+# interpret mode, so the wrapper logic is covered by the CPU test suite
+# instead of only executing on real TPU hardware.
+_PALLAS_INTERPRET = False
+
+
 def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" or _PALLAS_INTERPRET
+
+
+def _interp() -> bool:
+    return _PALLAS_INTERPRET and jax.default_backend() != "tpu"
 
 
 def _mt_planes(ro: Vec3, rd: Vec3, p0: Vec3, e1: Vec3, e2: Vec3):
@@ -170,10 +181,17 @@ def _ray_sort_key_leaf(origin_prim, rd: Vec3, config: RenderConfig, mask=None):
       origin-morton|dir     107       50      237      139   (round-2 key)
       leaf/4 | dir | leaf    33       39      101       75
 
-    The coarse group keeps nearby surfaces together, the direction
-    bits make each tile a cone (critical for env NEE rays), and the
-    fine-leaf tail clusters same-leaf rays within a cone. Returns TWO
-    u32 keys for a 2-key lax.sort (the triple exceeds 32 bits)."""
+    The coarse group keeps nearby surfaces together and the direction
+    bits make each tile a cone (critical for env NEE rays). A fine-leaf
+    SECOND key was carried through round 3 and then dropped: re-measured
+    on the same dumped rays it is a wash or worse (unions 124.6 -> 101.1
+    shadow-1, 26.8 -> 23.0 bounce-1, 77.4 -> 86.2 shadow-2), and
+    dropping it saves one sort operand per sweep and makes every ray
+    sort single-key. Sharing ONE sort between the shadow and bounce
+    sweeps of a bounce (same origins) was also measured and rejected:
+    whichever sweep loses its direction bits explodes (shadow-1 unions
+    124.6 -> 434.4 under the bounce key; mesh_env frame 535 -> 584 ms).
+    Returns a 1-tuple of u32 keys for lax.sort."""
     tcl = max(config.bvh_tcl, 1)
     n_leaves = max(config.tri_count // tcl, 1)
     # sphere-origin / miss lanes -> one-past-the-end leaf group
@@ -207,7 +225,7 @@ def _ray_sort_key_leaf(origin_prim, rd: Vec3, config: RenderConfig, mask=None):
         # culled lanes sort LAST: their tiles hold only empty-interval
         # rays, so the traversal kernel exits at the root slab test
         k1 = jnp.where(mask, k1, jnp.uint32(0xFFFFFFFF))
-    return k1, leaf
+    return (k1,)
 
 
 def _sorted_ray_sweep(
@@ -313,6 +331,7 @@ def _sweep_tris_pallas(
                 leaf_start=scene.tris.leaf_start,
                 leaf_inst=scene.tris.leaf_inst,
                 inst_w2o=scene.tris.inst_w2o,
+                interpret=_interp(),
             )
 
         t, idx, leaf = _sorted_ray_sweep(
@@ -345,6 +364,7 @@ def _sweep_tris_pallas(
                 scene.tris.bvh_axis,
                 scene.tris.bvh_boxes,
                 tcl=config.bvh_tcl,
+                interpret=_interp(),
             )
     else:
         from pupiloptixlab_tpu.accel.pallas_intersect import sweep_triangles
@@ -354,7 +374,7 @@ def _sweep_tris_pallas(
                 *arrays,
                 scene.tris.packed,
                 scene.tris.chunk_boxes,
-                rb=PALLAS_RB, tc=64,
+                rb=PALLAS_RB, tc=64, interpret=_interp(),
             )
 
     t, idx = _sorted_ray_sweep(
@@ -713,6 +733,7 @@ def intersect_any(
                 leaf_start=scene.tris.leaf_start if config.instanced else None,
                 leaf_inst=scene.tris.leaf_inst if config.instanced else None,
                 inst_w2o=scene.tris.inst_w2o if config.instanced else None,
+                interpret=_interp(),
             )
             return (occ.astype(jnp.int32),)
 
@@ -745,7 +766,7 @@ def intersect_any(
         def run(arrays):
             occ = sweep_triangles_any(
                 *arrays, scene.tris.packed, scene.tris.chunk_boxes,
-                rb=PALLAS_RB, tc=64,
+                rb=PALLAS_RB, tc=64, interpret=_interp(),
             )
             return (occ,)
 

@@ -45,7 +45,7 @@ MAX_DISTANCE = 1e16
 _DET_EPS = 1e-12
 
 LANES = 128
-STACK_SIZE = 96
+STACK_SIZE = 128  # dual-pop pushes up to 14 children/iteration
 # Ray rows per tile. 8 is the f32 sublane tile — Mosaic requires block
 # sublane counts divisible by 8, so 1024 rays (8 x 128) is the smallest
 # legal tile; ray sorting (accel/intersect.py) keeps those coherent.
@@ -120,8 +120,64 @@ def _slab8(blk, ox, oy, oz, ix, iy, iz, tmn_v, tfar_clamp):
     return tn, tf
 
 
+def _dual_pop(nstack_ref, box_ref, ax_ref, child_ref,
+              ox, oy, oz, ix, iy, iz, tmn_v, tfar_clamp, sx, sy, sz,
+              nsp, lsp, lstack_ref, ordered: bool):
+    """Pop TWO internal nodes per vector->scalar sync.
+
+    The single-pop loop pays one VPU-reduction -> scalar-branch sync per
+    node; at ~20 pops/tile that sync is the dominant per-pop cost once
+    leaves drain in the inner while. Here both nodes' 8-child slab tests
+    run back to back and their votes land in ONE (16,1) reduction, so
+    the sync count halves. Ordering degrades gracefully: node1 (stack
+    top, nearer) still contributes its children above node2's, and
+    closest-hit correctness never depends on visit order (tbest only
+    prunes). ``ordered=False`` (any-hit) skips the near-first child
+    iteration."""
+    have1 = nsp > 0
+    have2 = nsp > 1
+    n1 = jnp.maximum(jnp.where(have1, nstack_ref[jnp.maximum(nsp - 1, 0)], 0), 0)
+    n2 = jnp.maximum(jnp.where(have2, nstack_ref[jnp.maximum(nsp - 2, 0)], 0), 0)
+    nsp = nsp - have1.astype(jnp.int32) - have2.astype(jnp.int32)
+    blk1 = box_ref[pl.ds(pl.multiple_of(n1 * 8, 8), 8), :]
+    blk2 = box_ref[pl.ds(pl.multiple_of(n2 * 8, 8), 8), :]
+    tn1, tf1 = _slab8(blk1, ox, oy, oz, ix, iy, iz, tmn_v, tfar_clamp)
+    tn2, tf2 = _slab8(blk2, ox, oy, oz, ix, iy, iz, tmn_v, tfar_clamp)
+    h1 = jnp.any(tn1 <= tf1, axis=2)  # (8, rb)
+    h2 = jnp.any(tn2 <= tf2, axis=2)
+    w = jnp.concatenate(
+        [jnp.any(h1, axis=1, keepdims=True), jnp.any(h2, axis=1, keepdims=True)],
+        axis=0,
+    )  # (16, 1)
+    weights = 1 << jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    bits = jnp.sum(w.astype(jnp.int32) * weights)  # ONE sync for 2 pops
+    bits1 = jnp.where(have1, bits & 0xFF, 0)
+    bits2 = jnp.where(have2, bits >> 8, 0)
+    nsp2, lsp2 = nsp, lsp
+    # node2 sits deeper in the stack -> push its children FIRST so
+    # node1's (nearer) children stay on top
+    for node, bitsk in ((n2, bits2), (n1, bits1)):
+        if ordered:
+            axis = ax_ref[node]
+            fwd = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+        for k in range(8):
+            if ordered:
+                kk = jnp.where(fwd == 1, 7 - k, k)
+            else:
+                kk = k
+            take = (bitsk >> kk) & 1
+            cid = child_ref[node * 8 + kk]
+            is_leaf_c = (cid < 0).astype(jnp.int32)
+            nstack_ref[nsp2] = cid
+            nsp2 = nsp2 + take * (1 - is_leaf_c)
+            lstack_ref[lsp2] = -cid - 1
+            lsp2 = lsp2 + take * is_leaf_c
+    return nsp2, lsp2
+
+
 def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
-                         count_iters: bool = False, instanced: bool = False):
+                         count_iters: bool = False, instanced: bool = False,
+                         pop2: bool = False):
     def kernel(*refs):
         if instanced:
             # extra scalar-prefetch tables: world-leaf payloads + 3x4
@@ -320,7 +376,15 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
             def body(c):
                 nsp, lsp = c[0], c[1]
                 jax.lax.while_loop(drain_cond, drain_body, lsp)
-                nsp2, lsp2 = pop_and_push(nsp, jnp.int32(0))
+                if pop2:
+                    nsp2, lsp2 = _dual_pop(
+                        nstack_ref, box_ref, ax_ref, child_ref,
+                        ox, oy, oz, ix, iy, iz, tmn_v,
+                        jnp.minimum(tbest[:], tmx_v), sx, sy, sz,
+                        nsp, jnp.int32(0), lstack_ref, ordered=True,
+                    )
+                else:
+                    nsp2, lsp2 = pop_and_push(nsp, jnp.int32(0))
                 if count_iters:
                     # the drain always empties the stack: leaves += lsp
                     return (nsp2, lsp2, c[2] + 1, c[3] + lsp)
@@ -338,7 +402,7 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
 
 
 def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
-                        instanced: bool = False):
+                        instanced: bool = False, pop2: bool = False):
     def kernel(*refs):
         if instanced:
             (child_ref, ax_ref, ls_ref, li_ref, w2o_ref,
@@ -487,6 +551,17 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
             def body(c):
                 nsp, lsp = c
                 jax.lax.while_loop(drain_cond, drain_body, lsp)
+                if pop2:
+                    tfar = jnp.where(occ[:] != 0, -MAX_DISTANCE, tmx_v)
+                    nsp2, lsp2 = _dual_pop(
+                        nstack_ref, box_ref, ax_ref, child_ref,
+                        ox, oy, oz, ix, iy, iz, tmn_v, tfar, 0, 0, 0,
+                        nsp, jnp.int32(0), lstack_ref, ordered=False,
+                    )
+                    all_occ = jnp.min(occ[:]) > 0
+                    nsp2 = jnp.where(all_occ, 0, nsp2)
+                    lsp2 = jnp.where(all_occ, 0, lsp2)
+                    return nsp2, lsp2
                 return pop_and_push(nsp, jnp.int32(0))
 
             jax.lax.while_loop(cond, body, (1, 0))
@@ -596,7 +671,7 @@ def _streaming(tri, stream):
     jax.jit,
     static_argnames=(
         "rb", "tcl", "interpret", "stream", "stream_depth", "count_iters",
-        "instanced",
+        "instanced", "pop2",
     ),
 )
 def bvh_closest(
@@ -615,6 +690,7 @@ def bvh_closest(
     leaf_start: jnp.ndarray | None = None,  # (L,) i32 (instanced)
     leaf_inst: jnp.ndarray | None = None,   # (L,) i32 (instanced)
     inst_w2o: jnp.ndarray | None = None,    # (I, 12) f32 (instanced)
+    pop2: bool = True,
 ):
     """Closest-hit traversal over ray planes; returns (t, idx) — or
     (t, idx, leaf) in instanced mode, with idx = UNIQUE tri row and leaf
@@ -633,7 +709,7 @@ def bvh_closest(
     )
     call = _call(
         _make_closest_kernel(tcl, stream, stream_depth, count_iters,
-                             instanced),
+                             instanced, pop2=pop2 and not stream),
         tri, bvh_boxes, n, rb,
         outs, interpret,
         flops=int(55 * n * max(tri.shape[0] * 0.05, tcl)),
@@ -657,7 +733,8 @@ def bvh_closest(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "rb", "tcl", "interpret", "stream", "stream_depth", "instanced"
+        "rb", "tcl", "interpret", "stream", "stream_depth", "instanced",
+        "pop2",
     ),
 )
 def bvh_anyhit(
@@ -675,6 +752,7 @@ def bvh_anyhit(
     leaf_start: jnp.ndarray | None = None,
     leaf_inst: jnp.ndarray | None = None,
     inst_w2o: jnp.ndarray | None = None,
+    pop2: bool = True,
 ):
     """Occlusion-only traversal; returns (N,) bool (True = occluded)."""
     n = rox.shape[0]
@@ -683,7 +761,8 @@ def bvh_anyhit(
     if stream:
         tri = jnp.pad(tri, ((0, 0), (0, 128 - tri.shape[1])))
     call = _call(
-        _make_anyhit_kernel(tcl, stream, stream_depth, instanced),
+        _make_anyhit_kernel(tcl, stream, stream_depth, instanced,
+                            pop2=pop2 and not stream),
         tri, bvh_boxes, n, rb,
         (jnp.int32,), interpret,
         flops=int(55 * n * max(tri.shape[0] * 0.025, tcl)),

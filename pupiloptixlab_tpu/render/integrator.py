@@ -127,8 +127,6 @@ def _bounce(scene, config, n, carry, depth):
     (state, active, radiance, throughput, wo_world, geo, local, oprim,
      esc) = carry
     em, tex = scene.emitters, scene.textures
-    tmin = jnp.full(n, RAY_OFFSET, jnp.float32)
-    tmax = jnp.full(n, MAX_DISTANCE, jnp.float32)
     zero3 = Vec3.zeros(n)
 
     state, us = rng.next_floats(state, 7)
@@ -157,7 +155,12 @@ def _bounce(scene, config, n, carry, depth):
     # them, main.cu:130-134). Shadow directions are importance-sampled
     # (env/emitter surface) -> incoherent on large scenes; the sweep
     # sorts them by (origin leaf, direction), culled lanes last.
+    # NOTE: shadow + bounce rays share origins, but a SHARED sort was
+    # measured a net loss (mesh_env 535 -> 584 ms): shadow tile unions
+    # explode without their own direction bits (125 -> 434 leaves/tile
+    # on dumped bounce-1 rays). Each sweep keeps its own sort.
     shadow_mask = active & nonzero & (nol > 0.0)
+    tmin = jnp.full(n, RAY_OFFSET, jnp.float32)
     occluded = intersect_any(
         geo.position, es.wi, tmin, es.distance - RAY_OFFSET, scene, config,
         coherent=False, origin_prim=oprim, mask=shadow_mask,
@@ -192,8 +195,8 @@ def _bounce(scene, config, n, carry, depth):
     # bounce directions are incoherent -> the sweep sorts them
     # internally; dead lanes (absorbed / escaped / RR-killed) are culled
     hit = intersect_closest(
-        new_ro, new_rd, tmin, tmax, scene, config,
-        coherent=False, origin_prim=oprim, mask=active,
+        new_ro, new_rd, tmin, jnp.full(n, MAX_DISTANCE, jnp.float32),
+        scene, config, coherent=False, origin_prim=oprim, mask=active,
         const_tmin=RAY_OFFSET, const_tmax=MAX_DISTANCE,
     )
 

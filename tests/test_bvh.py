@@ -108,7 +108,8 @@ def test_pick_leaf_size_scales():
 
 
 @pytest.mark.parametrize("t_tris", [900, 5000])
-def test_bvh_closest_matches_brute_force(t_tris):
+@pytest.mark.parametrize("pop2", [False, True])
+def test_bvh_closest_matches_brute_force(t_tris, pop2):
     r = np.random.RandomState(5 + t_tris)
     tcl = 16
     p0, p1, p2, t_pad = _random_soup(r, t_tris, tcl)
@@ -126,14 +127,16 @@ def test_bvh_closest_matches_brute_force(t_tris):
                                      rd[:, 0], rd[:, 1], rd[:, 2], tmin, tmax)]
     bargs = (jnp.asarray(packed), jnp.asarray(bvh.child),
              jnp.asarray(bvh.axis), jnp.asarray(bvh.boxes))
-    got_t, got_i = bvh_closest(*args, *bargs, rb=4, tcl=tcl, interpret=True)
+    got_t, got_i = bvh_closest(*args, *bargs, rb=4, tcl=tcl, interpret=True,
+                               pop2=pop2)
     got_t, got_i = np.asarray(got_t), np.asarray(got_i)
     hit = want_i >= 0
     assert hit.any() and (~hit).any()
     np.testing.assert_array_equal(got_i, want_i)
     np.testing.assert_allclose(got_t[hit], want_t[hit], rtol=3e-5, atol=1e-5)
 
-    occ = np.asarray(bvh_anyhit(*args, *bargs, rb=4, tcl=tcl, interpret=True))
+    occ = np.asarray(bvh_anyhit(*args, *bargs, rb=4, tcl=tcl, interpret=True,
+                                pop2=pop2))
     np.testing.assert_array_equal(occ, hit)
 
 

@@ -87,3 +87,74 @@ def test_envmap_importance_sampling_prefers_sun(mesh_scene):
     pdf = np.asarray(env["pdf"])
     est = (lum / np.maximum(pdf, 1e-9)).mean()
     assert 0 < est < 1e3
+
+
+def test_sorted_pallas_sweeps_match_xla_fallback(mesh_scene):
+    """The full TPU sweep path — coherence sort, Pallas BVH kernels
+    (interpret mode), un-permute, masking, const-bound trimming — agrees
+    with the chunked XLA fallback on a real BVH scene. Covers the sort /
+    un-permute wrapper logic on CPU, which otherwise only executes on
+    real TPU hardware."""
+    from pupiloptixlab_tpu.accel import intersect as I
+    from pupiloptixlab_tpu.render.sampling import MAX_DISTANCE
+    from pupiloptixlab_tpu.render.vec import Vec3
+
+    scene, data, config, camera = mesh_scene
+    assert config.bvh_nodes > 0
+
+    rng = np.random.RandomState(5)
+    n = 2048
+    ro_np = rng.randn(n, 3).astype(np.float32) * 2.0 + [0, 1.5, 0]
+
+    def unit(m):
+        m = m.astype(np.float32)
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    sd_np = unit(rng.randn(n, 3))
+    bd_np = unit(rng.randn(n, 3))
+    ro = Vec3(*(jnp.asarray(ro_np[:, i]) for i in range(3)))
+    sdir = Vec3(*(jnp.asarray(sd_np[:, i]) for i in range(3)))
+    bdir = Vec3(*(jnp.asarray(bd_np[:, i]) for i in range(3)))
+    stmax = jnp.asarray(
+        np.where(rng.rand(n) < 0.5, 3.0, MAX_DISTANCE).astype(np.float32)
+    )
+    smask = jnp.asarray(rng.rand(n) < 0.8)
+    bmask = jnp.asarray(rng.rand(n) < 0.8)
+    oprim = jnp.asarray(
+        rng.randint(-1, config.tri_count, n).astype(np.int32)
+    )
+    tmin = jnp.full(n, 1e-3, jnp.float32)
+    btmax = jnp.full(n, MAX_DISTANCE, jnp.float32)
+
+    def run_both():
+        occ = I.intersect_any(
+            ro, sdir, tmin, stmax, data, config, coherent=False,
+            origin_prim=oprim, mask=smask, const_tmin=1e-3,
+        )
+        hit = I.intersect_closest(
+            ro, bdir, tmin, btmax, data, config, coherent=False,
+            origin_prim=oprim, mask=bmask,
+            const_tmin=1e-3, const_tmax=MAX_DISTANCE,
+        )
+        return occ, hit
+
+    occ_ref, hit_ref = run_both()  # XLA fallback
+    I._PALLAS_INTERPRET = True
+    try:
+        occ_p, hit_p = run_both()  # sorted Pallas path, interpret mode
+    finally:
+        I._PALLAS_INTERPRET = False
+
+    np.testing.assert_array_equal(np.asarray(occ_p), np.asarray(occ_ref))
+    hm_ref = np.asarray(hit_ref.hit_mask)
+    hm_p = np.asarray(hit_p.hit_mask)
+    assert (hm_ref == hm_p).mean() > 0.999
+    both = hm_ref & hm_p
+    np.testing.assert_allclose(
+        np.asarray(hit_p.t)[both], np.asarray(hit_ref.t)[both],
+        rtol=2e-4, atol=2e-4,
+    )
+    assert (np.asarray(hit_p.prim)[both] == np.asarray(hit_ref.prim)[both]).mean() > 0.999
+    # masked-off lanes never report results
+    assert not np.asarray(occ_p)[~np.asarray(smask)].any()
+    assert not hm_p[~np.asarray(bmask)].any()

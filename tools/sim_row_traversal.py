@@ -73,8 +73,8 @@ def main():
     bt = np.asarray(jnp.where(bhit.hit_mask, bhit.t, MAX_DISTANCE))
 
     # sort by the production key
-    k1, k2 = _ray_sort_key_leaf(oprim, brd, config, hit.hit_mask)
-    order = np.lexsort((np.asarray(k2), np.asarray(k1)))
+    (k1,) = _ray_sort_key_leaf(oprim, brd, config, hit.hit_mask)
+    order = np.argsort(np.asarray(k1), kind="stable")
 
     ox = np.asarray(bro.x)[order]
     oy = np.asarray(bro.y)[order]
