@@ -584,7 +584,7 @@ def flatten_scene(
             key=key, matrix=np.asarray(m, np.float64), mat_id=mat_id,
             emitter_base=emitter_base, flip=bool(ins.flip_normals),
             uv_flip=bool(ins.flip_tex_coords and mesh.texcoords is not None),
-            hidden=bool(hidden),
+            hidden=bool(hidden), scene_idx=inst_i,
         ))
 
     # -- delta lights (point / directional) ----------------------------------
@@ -725,10 +725,18 @@ def flatten_scene(
     # Device-side instancing (flatten/instanced.py): when shapes repeat
     # enough that deduplicated object-space storage pays for the per-leaf
     # ray transform, the world tables below are replaced by unique rows
-    # + a leaf-(start, instance) BVH. Refit mode keeps the baked path
-    # (its device-refit tables assume world rows).
+    # + a leaf-(start, instance) BVH. Refit mode (interactive edits)
+    # joins the instanced path when the scene is mesh-only and
+    # non-emissive: a transform edit then refits the leaf/world boxes
+    # in place (InstRefitData); emissive/sphere/curve scenes keep the
+    # baked path whose device-refit tables rebuild emitter rows too.
     inst_tab = None
-    if (allow_instanced and use_bvh and not return_refit and unique_count
+    inst_refit_ok = (
+        not any(mm["emitter_base"] >= 0 for mm in inst_meta)
+        and not s_mat and not c_rows
+    )
+    if (allow_instanced and use_bvh
+            and (not return_refit or inst_refit_ok) and unique_count
             and tri_count / unique_count >= 1.5):
         from pupiloptixlab_tpu.flatten.instanced import build_instanced_tables
 
@@ -1055,6 +1063,41 @@ def flatten_scene(
     )
     if not return_refit:
         return data, config
+
+    if inst_tab is not None:
+        # -- instanced refit capture (flatten/refit.py) ----------------------
+        # Object-space leaf boxes are STATIC under transform edits; the
+        # refit only recomputes world leaf boxes + the box tree + the
+        # per-instance matrices (the OptiX IAS-refit shape exactly).
+        from pupiloptixlab_tpu.flatten.refit import InstRefitData
+        from pupiloptixlab_tpu.flatten.types import TRI_EMITTER as _TRI_EM
+
+        i_pk = inst_tab["packed"]
+        i_at = inst_tab["attrs"]
+        i_tcl = inst_tab["tcl"]
+        ls = inst_tab["leaf_start"]
+        p0 = i_pk[:, 0:3]
+        p1 = p0 + i_pk[:, 3:6]
+        p2 = p0 + i_pk[:, 6:9]
+        v_ok = i_at[:, _TRI_EM] >= 0
+        r_lo = np.where(v_ok[:, None], np.minimum(np.minimum(p0, p1), p2), 1e30)
+        r_hi = np.where(v_ok[:, None], np.maximum(np.maximum(p0, p1), p2), -1e30)
+        row_idx = ls[:, None] + np.arange(i_tcl)[None, :]  # (L, tcl)
+        obj_lo = r_lo[row_idx].min(axis=1).astype(np.float32)
+        obj_hi = r_hi[row_idx].max(axis=1).astype(np.float32)
+        refit = InstRefitData(
+            obj_leaf_lo=obj_lo,
+            obj_leaf_hi=obj_hi,
+            leaf_inst=inst_tab["leaf_inst"].copy(),
+            child=inst_tab["bvh_child"].copy(),
+            inst_packed=inst_tab["inst_packed"].copy(),
+            mesh_scene_idx=np.asarray(
+                [mm["scene_idx"] for mm in inst_meta], np.int32
+            ),
+            n_instances=len(scene.shape_instances),
+            instance_names=[i.name for i in scene.shape_instances],
+        )
+        return data, config, refit
 
     # -- static refit metadata (flatten/refit.py) ---------------------------
     from pupiloptixlab_tpu.flatten.refit import RefitData

@@ -136,6 +136,11 @@ def build_instanced_tables(shape_store: dict, inst_meta: list, tcl0: int = 32):
                 raise  # visible singular transform: bail to baked mode
             w2o = np.zeros((3, 4))
             nrm = np.zeros((3, 3))
+        if m["hidden"]:
+            # zero w2o: the object-space ray degenerates (dir = 0 -> MT
+            # det ~ 0), so hidden instances miss on EVERY backend — the
+            # XLA leaf-scan fallback never sees the never-boxes below
+            w2o = np.zeros((3, 4))
         inst_w2o[i] = w2o.reshape(-1).astype(np.float32)
         inst_packed[i, INST_NRM] = nrm.reshape(-1).astype(np.float32)
         inst_packed[i, INST_MAT] = m["mat_id"]

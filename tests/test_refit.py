@@ -138,3 +138,109 @@ def test_refit_no_retrace(cornell_world):
         accum = jnp.zeros((n, 3), jnp.float32)
         render_frame(data, cam, jnp.uint32(i), jnp.int32(0), accum, config)
     assert _refit_device._cache_size() - misses0 <= 1
+
+
+def _instanced_env_scene(tmp_path, n_inst=16):
+    """Instanced, mesh-only, non-emissive (const-env lit): the
+    InstRefitData fast-path scope."""
+    g = 8  # 16 instances x 128 tris = 2048 > the 1024-tri BVH cutoff
+    xs = np.linspace(-0.5, 0.5, g + 1)
+    X, Z = np.meshgrid(xs, xs, indexing="ij")
+    Y = 0.2 * np.sin(5.0 * X) * np.cos(4.0 * Z) + 0.2
+    verts = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    i = np.arange(g * (g + 1)).reshape(g, g + 1)[:, :g]
+    v00 = i.ravel()
+    v10 = v00 + (g + 1)
+    v01 = v00 + 1
+    v11 = v10 + 1
+    faces = np.concatenate(
+        [np.stack([v00, v11, v10], 1), np.stack([v00, v01, v11], 1)], 0
+    )
+    obj = tmp_path / "bump.obj"
+    with open(obj, "w") as f:
+        np.savetxt(f, verts, fmt="v %.6f %.6f %.6f")
+        np.savetxt(f, faces + 1, fmt="f %d %d %d")
+    shapes = []
+    for k in range(n_inst):
+        x = (k % 4 - 1.5) * 1.5
+        z = (k // 4 - 1.5) * 1.5
+        shapes.append(f"""
+  <shape type="obj">
+    <string name="filename" value="bump.obj"/>
+    <bsdf type="diffuse"><rgb name="reflectance" value="0.6, 0.5, 0.4"/></bsdf>
+    <transform name="to_world">
+      <rotate y="1" angle="{k * 37.0:.1f}"/>
+      <translate value="{x:.2f}, 0, {z:.2f}"/>
+    </transform>
+  </shape>""")
+    xml = f"""<scene version="3.0.0">
+  <integrator type="path"><integer name="max_depth" value="3"/></integrator>
+  <sensor type="perspective"><float name="fov" value="55"/>
+    <transform name="to_world">
+      <lookat origin="0, 5, 6" target="0, 0, 0" up="0, 1, 0"/>
+    </transform>
+    <film type="hdrfilm"><integer name="width" value="32"/>
+      <integer name="height" value="32"/></film>
+  </sensor>
+  <emitter type="constant"><rgb name="radiance" value="0.8, 0.8, 0.9"/></emitter>
+  {''.join(shapes)}
+</scene>"""
+    p = tmp_path / "instanced_env.xml"
+    p.write_text(xml)
+    return p
+
+
+def test_instanced_refit_matches_reflatten(tmp_path):
+    """Instanced scenes take the InstRefitData fast path: a transform
+    edit refits matrices + world boxes in place (object tables static),
+    and the moved render matches a fresh instanced flatten. Reference:
+    world/ias_manager.cpp:116-151 (IAS update over cached BLASes)."""
+    from pupiloptixlab_tpu.flatten.refit import InstRefitData
+
+    w = World()
+    scene = load_scene(_instanced_env_scene(tmp_path))
+    w.set_scene(scene)
+    data0, config0 = w.get_scene_data()
+    assert config0.instanced
+    assert isinstance(w._refit, InstRefitData)
+    u_rows = data0.tris.packed.shape[0]
+
+    ro = w.render_objects[3]
+    ro.apply_transform(Transform().translate(0.4, 0.25, -0.3))
+    data1, config1 = w.get_scene_data()
+    assert config1 == config0
+    # object-space tables untouched; only matrices + boxes moved
+    assert data1.tris.packed.shape[0] == u_rows
+    assert data1.tris.packed is data0.tris.packed
+    assert not np.allclose(
+        np.asarray(data1.tris.inst_w2o), np.asarray(data0.tris.inst_w2o)
+    )
+
+    host, hconfig = flatten_scene(w.scene)
+    cam = camera_block(w.camera)
+    img_refit = np.asarray(render(data1, cam, config1, spp=2))
+    img_host = np.asarray(render(host, cam, hconfig, spp=2))
+    assert np.isfinite(img_refit).all()
+    np.testing.assert_allclose(img_refit, img_host, atol=1e-4, rtol=1e-3)
+
+
+def test_instanced_refit_visibility(tmp_path):
+    """Hiding an instance through the refit path removes it from the
+    render without any shape change (visibility-mask semantics)."""
+    w = World()
+    scene = load_scene(_instanced_env_scene(tmp_path))
+    w.set_scene(scene)
+    data0, config0 = w.get_scene_data()
+    cam = camera_block(w.camera)
+    img0 = np.asarray(render(data0, cam, config0, spp=1))
+
+    ro = w.render_objects[5]  # a center-ish bump
+    ro.set_visible(False)
+    data1, config1 = w.get_scene_data()
+    assert config1 == config0
+    img1 = np.asarray(render(data1, cam, config1, spp=1))
+    assert not np.allclose(img0, img1)  # something vanished
+
+    host, hconfig = flatten_scene(w.scene)
+    img_host = np.asarray(render(host, cam, hconfig, spp=1))
+    np.testing.assert_allclose(img1, img_host, atol=1e-4, rtol=1e-3)
