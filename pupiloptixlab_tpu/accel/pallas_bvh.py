@@ -228,7 +228,7 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
             tbest[:] = jnp.where(better, tmin_c, tbest[:])
             ibest[:] = jnp.where(better, start + jmin, ibest[:])
 
-        def mt_update_inst(li):
+        def mt_update_inst(li, rows=None):
             li = jnp.clip(li, 0, n_leaf_tab - 1)
             start = clamp_leaf(ls_ref[li])
             inst = li_ref[li]
@@ -242,8 +242,10 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
             dxo = w(0) * dx + w(1) * dy + w(2) * dz
             dyo = w(4) * dx + w(5) * dy + w(6) * dz
             dzo = w(8) * dx + w(9) * dy + w(10) * dz
+            if rows is None:  # VMEM-resident table
+                rows = tri_ref[pl.ds(start, tcl), :]
             t = _moller_trumbore(
-                tri_ref[pl.ds(start, tcl), :],
+                rows,
                 oxo, oyo, ozo, dxo, dyo, dzo, tmn_v, tmx_v,
             )
             tmin_c = jnp.min(t, axis=0)
@@ -313,6 +315,14 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
             # slot, keeping every DMA waited exactly once.
             nbuf = stream_depth
 
+            def start_of(v):
+                # instanced: the stack holds leaf-table indices; the DMA
+                # row start resolves through ls_ref (dead -1 -> leaf 0,
+                # consumed UNGUARDED like the baked dead fetch)
+                if instanced:
+                    return clamp_leaf(ls_ref[jnp.clip(v, 0, n_leaf_tab - 1)])
+                return clamp_leaf(v)
+
             def cond(c):
                 live = (c[0] > 0) | (c[1] > 0)
                 for s in c[3:]:
@@ -333,20 +343,23 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
                 for j in range(nbuf):
                     @pl.when(phase == j)
                     def _(j=j):
-                        leaf_copy(clamp_leaf(s0), j).wait()
-                        mt_update(dma[j][:], clamp_leaf(s0))
-                        leaf_copy(clamp_leaf(nstart), j).start()
+                        leaf_copy(start_of(s0), j).wait()
+                        if instanced:
+                            mt_update_inst(s0, dma[j][:])
+                        else:
+                            mt_update(dma[j][:], clamp_leaf(s0))
+                        leaf_copy(start_of(nstart), j).start()
 
                 phase2 = jnp.where(phase + 1 >= nbuf, 0, phase + 1)
                 return (nsp2, lsp2, phase2) + sq[1:] + (nstart,)
 
             for j in range(nbuf):  # prime the ring (dead fetches)
-                leaf_copy(0, j).start()
+                leaf_copy(start_of(jnp.int32(0)), j).start()
             jax.lax.while_loop(
                 cond, body, (1, 0, 0) + (-1,) * nbuf
             )
             for j in range(nbuf):  # retire the final in-flight fetches
-                leaf_copy(0, j).wait()
+                leaf_copy(start_of(jnp.int32(0)), j).wait()
         else:
             # VMEM-resident table: an INNER while drains every stacked
             # leaf (the loop condition guarantees one, so the MT needs
@@ -438,7 +451,7 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
             hit_here = jnp.min(t, axis=0) < MAX_DISTANCE
             occ[:] = jnp.where(hit_here, 1, occ[:])
 
-        def occ_update_inst(li):
+        def occ_update_inst(li, rows=None):
             li = jnp.clip(li, 0, n_leaf_tab - 1)
             start = clamp_leaf(ls_ref[li])
             inst = li_ref[li]
@@ -452,8 +465,10 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
             dxo = w(0) * dx + w(1) * dy + w(2) * dz
             dyo = w(4) * dx + w(5) * dy + w(6) * dz
             dzo = w(8) * dx + w(9) * dy + w(10) * dz
+            if rows is None:  # VMEM-resident table
+                rows = tri_ref[pl.ds(start, tcl), :]
             t = _moller_trumbore(
-                tri_ref[pl.ds(start, tcl), :],
+                rows,
                 oxo, oyo, ozo, dxo, dyo, dzo, tmn_v, tmx_v,
             )
             hit_here = jnp.min(t, axis=0) < MAX_DISTANCE
@@ -494,6 +509,11 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
             # pipelined ring variant: see the closest kernel
             nbuf = stream_depth
 
+            def start_of(v):
+                if instanced:
+                    return clamp_leaf(ls_ref[jnp.clip(v, 0, n_leaf_tab - 1)])
+                return clamp_leaf(v)
+
             def cond(c):
                 live = (c[0] > 0) | (c[1] > 0)
                 for s in c[3:]:
@@ -514,20 +534,23 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
                 for j in range(nbuf):
                     @pl.when(phase == j)
                     def _(j=j):
-                        leaf_copy(clamp_leaf(s0), j).wait()
-                        occ_update(dma[j][:])
-                        leaf_copy(clamp_leaf(nstart), j).start()
+                        leaf_copy(start_of(s0), j).wait()
+                        if instanced:
+                            occ_update_inst(s0, dma[j][:])
+                        else:
+                            occ_update(dma[j][:])
+                        leaf_copy(start_of(nstart), j).start()
 
                 phase2 = jnp.where(phase + 1 >= nbuf, 0, phase + 1)
                 return (nsp2, lsp2, phase2) + sq[1:] + (nstart,)
 
             for j in range(nbuf):
-                leaf_copy(0, j).start()
+                leaf_copy(start_of(jnp.int32(0)), j).start()
             jax.lax.while_loop(
                 cond, body, (1, 0, 0) + (-1,) * nbuf
             )
             for j in range(nbuf):
-                leaf_copy(0, j).wait()
+                leaf_copy(start_of(jnp.int32(0)), j).wait()
         else:
             # inner leaf-drain while: no pl.when, no per-leaf sync (see
             # the closest kernel); the fully-occluded early exit stays
@@ -607,7 +630,7 @@ def _call(kernel, tri, boxes, n, rb, outs, interpret, flops, leaf_count,
             ),
             pl.BlockSpec(
                 tri.shape, lambda r, *_: (0, 0),
-                memory_space=pltpu.ANY if stream else pltpu.VMEM,
+                memory_space=pl.ANY if stream else pltpu.VMEM,
             ),
         ]
         + _ray_specs(rb, 11),
@@ -699,7 +722,7 @@ def bvh_closest(
     iterations*65536 + leaf visits."""
     n = rox.shape[0]
     assert n % (rb * LANES) == 0, n
-    stream = False if instanced else _streaming(tri, stream)
+    stream = _streaming(tri, stream)
     if stream:
         tri = jnp.pad(tri, ((0, 0), (0, 128 - tri.shape[1])))
     outs = (
@@ -757,7 +780,7 @@ def bvh_anyhit(
     """Occlusion-only traversal; returns (N,) bool (True = occluded)."""
     n = rox.shape[0]
     assert n % (rb * LANES) == 0, n
-    stream = False if instanced else _streaming(tri, stream)
+    stream = _streaming(tri, stream)
     if stream:
         tri = jnp.pad(tri, ((0, 0), (0, 128 - tri.shape[1])))
     call = _call(

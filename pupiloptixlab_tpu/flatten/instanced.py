@@ -13,9 +13,11 @@ triangle/attr tables are O(unique rows); per-instance cost is leaf boxes
 + one 3x4 matrix.
 
 Scaling limits: leaf payload tables ride SMEM scalars, so the leaf count
-is capped (~12k) by growing the leaf size; instanced scenes beyond
-VMEM-residency are not yet streamed (flatten falls back to baked world
-geometry for them).
+is capped (~12k) by growing the leaf size. Unique tri tables beyond the
+VMEM budget stream leaf slices from HBM exactly like the baked path
+(pallas_bvh resolves each DMA start through the SMEM leaf table), so the
+binding cap is world LEAVES, not unique rows: e.g. a handful of
+instances of a 100k+-tri mesh keeps only the unique rows in HBM.
 """
 
 from __future__ import annotations

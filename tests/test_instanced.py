@@ -198,3 +198,12 @@ def test_instanced_pallas_kernel_matches_xla(instanced_pair):
 
     occ = bvh_anyhit(*args, **kw)
     assert (np.asarray(occ)[both]).all()  # closest-hit lanes are occluded
+
+    # instanced STREAMING (unique table in HBM, leaf slices DMA'd):
+    # identical (t, prim, leaf) vs the resident instanced kernel
+    t_s, p_s, l_s = bvh_closest(*args, **kw, stream=True)
+    np.testing.assert_array_equal(np.asarray(p_s), np.asarray(p_k))
+    np.testing.assert_array_equal(np.asarray(l_s), np.asarray(l_k))
+    np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_k), rtol=1e-6)
+    occ_s = bvh_anyhit(*args, **kw, stream=True)
+    np.testing.assert_array_equal(np.asarray(occ_s), np.asarray(occ))
