@@ -580,7 +580,7 @@ def sample_bsdf(mats, sel, wo, u1, u2, u3):
 
 
 def render_oracle(scene, size, spp, max_depth, seed=0, batch=16,
-                  progress=True):
+                  progress=True, ckpt=None):
     p0, e1, e2, nrm, emi, tmats = flatten_numpy(scene)
     s_c, s_r, s_emi, smats = flatten_spheres(scene)
     env_fn = build_env(scene)
@@ -606,6 +606,23 @@ def render_oracle(scene, size, spp, max_depth, seed=0, batch=16,
     rng = np.random.default_rng(seed)
     accum = np.zeros((h * w, 3), np.float64)
     done = 0
+    # Multi-hour renders on this 1-core host survive session restarts
+    # through an accumulation checkpoint: (accum, done, RNG state)
+    # saved per batch, restored on relaunch. Restoring the Generator's
+    # bit state makes the resumed render bit-identical to an
+    # uninterrupted one.
+    if ckpt is not None:
+        import json as _json
+
+        p = Path(ckpt)
+        if p.exists():
+            d = np.load(p, allow_pickle=False)
+            if int(d["size"]) == size and int(d["seed"]) == seed:
+                accum = d["accum"].astype(np.float64)
+                done = int(d["done"])
+                rng.bit_generator.state = _json.loads(str(d["rng_state"]))
+                if progress:
+                    print(f"  resumed at {done}/{spp} spp", flush=True)
     while done < spp:
         cur = min(batch, spp - done)
         for _ in range(cur):
@@ -717,6 +734,18 @@ def render_oracle(scene, size, spp, max_depth, seed=0, batch=16,
                 alive = alive & (throughput.max(axis=1) > 1e-6)
             accum += radiance
         done += cur
+        if ckpt is not None:
+            import json as _json
+
+            tmp = Path(str(ckpt) + ".tmp")
+            np.savez(
+                tmp, accum=accum, done=np.int64(done),
+                size=np.int64(size), seed=np.int64(seed),
+                rng_state=_json.dumps(rng.bit_generator.state),
+            )
+            # np.savez appends .npz to paths without it
+            src = tmp if tmp.exists() else Path(str(tmp) + ".npz")
+            src.replace(ckpt)
         if progress:
             print(f"  {done}/{spp} spp", flush=True)
     img = (accum / spp).reshape(h, w, 3).astype(np.float32)
@@ -734,14 +763,25 @@ def main():
     ap.add_argument("--max-depth", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="tests/data/oracle_cornell_64.exr")
+    ap.add_argument(
+        "--ckpt", default=None,
+        help="accumulation-checkpoint path (default: <out>.ckpt.npz); "
+             "'none' disables",
+    )
     args = ap.parse_args()
 
     from pupiloptixlab_tpu.scene import load_scene
     from pupiloptixlab_tpu.utils.image import save_image
 
+    ckpt = args.ckpt
+    if ckpt is None:
+        ckpt = args.out + ".ckpt.npz"
+    elif ckpt.lower() == "none":
+        ckpt = None
+
     scene = load_scene(args.scene)
     img = render_oracle(scene, args.size, args.spp, args.max_depth,
-                        seed=args.seed)
+                        seed=args.seed, ckpt=ckpt)
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     save_image(args.out, img[::-1])
     print(f"saved {args.out} mean={img.mean():.5f}")
