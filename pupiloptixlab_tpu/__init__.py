@@ -21,4 +21,18 @@ dispatch, CUDA textures, DX12 display), this package is designed TPU-first:
 
 __version__ = "0.1.0"
 
+# Belt-and-braces backend pin: honoring JAX_PLATFORMS=cpu must not
+# depend on plugin discovery. The container's sitecustomize registers a
+# TPU PJRT plugin at interpreter start, and when that plugin's remote
+# endpoint is unreachable its discovery can block a process that only
+# asked for the CPU backend; jax.config.update applied before the first
+# backend is created pins CPU deterministically (same approach as
+# tests/conftest.py).
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from pupiloptixlab_tpu.scene.scene import Scene, load_scene  # noqa: F401

@@ -285,3 +285,7 @@ class RenderConfig:
     # traversal transforms rays per leaf. Chosen by flatten when the
     # instancing duplication ratio makes it worthwhile.
     instanced: bool = False
+    # Value sanitizer (utils/debug.py): compile NaN/Inf stage checks
+    # into the frame — the OptiX debug-exception-flags analog
+    # (optix/pipeline.cpp:19; a pipeline COMPILE option there too).
+    debug_checks: bool = False

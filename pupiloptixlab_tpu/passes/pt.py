@@ -33,6 +33,13 @@ class PTPass(Pass):
         self.system = None
         self.max_depth_override = max_depth
         self.accumulate = True
+        # PUPIL_SANITIZE: compile value-sanitizer checks into the frame
+        # and gate every on_run on them — the reference's debug
+        # exception flags + CUDA_SYNC_CHECK-after-pass mode
+        # (optix/pipeline.cpp:19, system/system.cpp:51).
+        import os
+
+        self._sanitize = bool(os.environ.get("PUPIL_SANITIZE"))
         self.sample_cnt = 0
         self.seed = 0
         self._dirty = True
@@ -54,7 +61,9 @@ class PTPass(Pass):
         data, config = world.get_scene_data()
         if self.max_depth_override is not None:
             config = dataclasses.replace(config, max_depth=self.max_depth_override)
-        config = dataclasses.replace(config, accumulate=self.accumulate)
+        config = dataclasses.replace(
+            config, accumulate=self.accumulate, debug_checks=self._sanitize
+        )
         self._scene_data, self._config = data, config
         n = config.width * config.height
         self._accum = jnp.zeros((n, 3), jnp.float32)
@@ -79,7 +88,10 @@ class PTPass(Pass):
             data, config = world.get_scene_data()
             if self.max_depth_override is not None:
                 config = dataclasses.replace(config, max_depth=self.max_depth_override)
-            config = dataclasses.replace(config, accumulate=self.accumulate)
+            config = dataclasses.replace(
+                config, accumulate=self.accumulate,
+                debug_checks=self._sanitize,
+            )
             self._scene_data, self._config = data, config
             self.sample_cnt = 0
             self._dirty = False
@@ -101,6 +113,10 @@ class PTPass(Pass):
         bm.set_array("pt test", bufs["test"])
         if "final result" in bm:
             bm.set_array("final result", bufs["frame"])
+        if self._sanitize:
+            from pupiloptixlab_tpu.utils.debug import assert_all_finite
+
+            assert_all_finite(bufs["sanitizer"], context=self.name)
         self.sample_cnt += 1
         self.seed += 1
 

@@ -364,6 +364,20 @@ def render_sample(
     if _use_blocks(config):
         # decode lanes back to row-major pixels: pure reshape+transpose
         out = {k: _block_decode(v, w, h) for k, v in out.items()}
+    if config.debug_checks:
+        # sanitizer stage counts compiled into the frame (utils/debug.py
+        # — the OptiX debug-exception-flags analog). Radiance must be
+        # finite AND non-negative; throughput non-negative catches bad
+        # BSDF weights even when they never reach the image.
+        from pupiloptixlab_tpu.utils.debug import finite_report
+
+        out["sanitizer"] = finite_report({
+            "radiance": (out["radiance"], 0.0),
+            "albedo": (out["albedo"], 0.0),
+            "normal": (out["normal"], None),
+            "primary_t": (jnp.where(hit.hit_mask, hit.t, 0.0), 0.0),
+            "throughput": (carry[3].to_array(), 0.0),
+        })
     return out
 
 
@@ -394,6 +408,8 @@ def render_frame(
         "normal": out["normal"],
         "test": out["test"],
     }
+    if config.debug_checks:
+        buffers["sanitizer"] = out["sanitizer"]
     return new_accum, buffers
 
 
