@@ -218,6 +218,7 @@ class _MaterialBuilder:
         self.ssw: list[float] = []
         self.nonlinear: list[bool] = []
         self.aniso: list[bool] = []
+        self.dispersion: list[float] = []
         # texture ids actually referenced by a material slot (slot
         # defaults of 0 are never read for the material's type, so they
         # must not widen the specialization set)
@@ -269,14 +270,15 @@ class _MaterialBuilder:
         self.ssw.append(ssw)
         self.nonlinear.append(bool(mat.nonlinear))
         self.aniso.append(bool(getattr(mat, "anisotropic", False)))
+        self.dispersion.append(float(getattr(mat, "dispersion", 0.0)))
         return idx
 
     def build(self) -> MaterialTable:
         if not self.mtype:
             self.add(Material(type=MatType.DIFFUSE))
         from pupiloptixlab_tpu.flatten.types import (
-            MAT_ANISO, MAT_COLS, MAT_ETA, MAT_INT_FDR, MAT_NONLINEAR,
-            MAT_SSW, MAT_TEX0, MAT_TWOSIDED, MAT_TYPE,
+            MAT_ANISO, MAT_COLS, MAT_DISPERSION, MAT_ETA, MAT_INT_FDR,
+            MAT_NONLINEAR, MAT_SSW, MAT_TEX0, MAT_TWOSIDED, MAT_TYPE,
         )
 
         m = len(self.mtype)
@@ -288,6 +290,7 @@ class _MaterialBuilder:
         packed[:, MAT_SSW] = self.ssw
         packed[:, MAT_NONLINEAR] = self.nonlinear
         packed[:, MAT_ANISO] = self.aniso
+        packed[:, MAT_DISPERSION] = self.dispersion
         packed[:, MAT_TEX0 : MAT_TEX0 + 6] = self.tex
         return MaterialTable(
             packed=jnp.asarray(packed),
@@ -1041,6 +1044,7 @@ def flatten_scene(
         width=scene.sensor.film.w,
         height=scene.sensor.film.h,
         max_depth=scene.integrator.max_depth,
+        spectral=bool(getattr(scene.integrator, "spectral", False)),
         tri_count=tri_count,
         sphere_count=sphere_count,
         curve_count=curve_count,

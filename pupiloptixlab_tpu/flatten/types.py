@@ -44,6 +44,7 @@ TRI_ATTR_COLS = 24
 MAT_TYPE, MAT_TWOSIDED, MAT_ETA, MAT_INT_FDR, MAT_SSW, MAT_NONLINEAR = range(6)
 MAT_TEX0 = 6  # 6 texture-slot ids follow
 MAT_ANISO = 12  # 1.0 = the alpha texture's r/g hold (alpha_u, alpha_v)
+MAT_DISPERSION = 13  # Cauchy B (um^2) for spectral dielectrics; 0 = none
 MAT_COLS = 16
 
 # TextureTable.packed (K, 24)
@@ -289,3 +290,7 @@ class RenderConfig:
     # into the frame — the OptiX debug-exception-flags analog
     # (optix/pipeline.cpp:19; a pipeline COMPILE option there too).
     debug_checks: bool = False
+    # Hero-wavelength spectral transport (render/spectral.py; beyond
+    # the RGB-only reference): 4 wavelengths/path, CMF integration at
+    # the sensor, Cauchy dispersion in dielectrics.
+    spectral: bool = False

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from pupiloptixlab_tpu.accel.gather import gather_cols
 from pupiloptixlab_tpu.flatten.types import (
+    MAT_DISPERSION,
     MAT_ETA,
     MAT_INT_FDR,
     MAT_NONLINEAR,
@@ -96,6 +97,7 @@ class LocalBsdf:
     int_fdr: jnp.ndarray      # (N,)
     ssw: jnp.ndarray          # (N,)
     nonlinear: jnp.ndarray    # (N,) bool
+    dispersion: jnp.ndarray   # (N,) Cauchy B (um^2); spectral mode only
 
 
 def get_local_bsdf(
@@ -148,6 +150,7 @@ def get_local_bsdf(
         int_fdr=mcol[MAT_INT_FDR],
         ssw=mcol[MAT_SSW],
         nonlinear=mcol[MAT_NONLINEAR] > 0.5,
+        dispersion=mcol[MAT_DISPERSION],
     )
 
 

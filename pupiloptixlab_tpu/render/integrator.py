@@ -122,10 +122,39 @@ def _first_hit_emission(scene, config, geo) -> Vec3:
     )
 
 
-def _bounce(scene, config, n, carry, depth):
-    """One NEE + BSDF-bounce iteration (the body of main.cu:103-184)."""
-    (state, active, radiance, throughput, wo_world, geo, local, oprim,
-     esc) = carry
+def _apply_dispersion(local, lams):
+    """Spectral mode: Cauchy-shift the dielectric ior ratio to the HERO
+    wavelength (render/spectral.py; path geometry follows the hero)."""
+    import dataclasses
+
+    from pupiloptixlab_tpu.render import spectral as sp
+
+    return dataclasses.replace(
+        local, eta=sp.eta_at(local.eta, local.dispersion, lams.s0)
+    )
+
+
+def _bounce(scene, config, n, carry, depth, lams=None):
+    """One NEE + BSDF-bounce iteration (the body of main.cu:103-184).
+
+    ``lams`` (spectral mode only, closed over — constant through the
+    scan): the path's Spec4 wavelengths. radiance / throughput /
+    esc_tp are then Spec4 planes; every RGB quantity lifts through
+    spectral.lift at its use site, and the carry ends with the ``mono``
+    mask (hero-collapsed lanes after a dispersive transmission)."""
+    spectral = config.spectral
+    if spectral:
+        from pupiloptixlab_tpu.render import spectral as sp
+
+        (state, active, radiance, throughput, wo_world, geo, local, oprim,
+         esc, mono) = carry
+        zero_l = sp.Spec4.zeros(n)
+        lift = functools.partial(sp.lift, lams=lams)
+    else:
+        (state, active, radiance, throughput, wo_world, geo, local, oprim,
+         esc) = carry
+        zero_l = Vec3.zeros(n)
+        lift = lambda v: v  # noqa: E731
     em, tex = scene.emitters, scene.textures
     zero3 = Vec3.zeros(n)
 
@@ -176,9 +205,9 @@ def _bounce(scene, config, n, carry, depth):
     pdf_light = es.pdf * es.select_prob
     mis = jnp.where(es.is_delta, 1.0, mis_weight(pdf_light, pdf_bsdf))
     scale = nol * mis / jnp.maximum(pdf_light, _TINY)
-    contrib = throughput * es.radiance * f_nee * scale
+    contrib = throughput * lift(es.radiance) * lift(f_nee) * scale
     take = shadow_mask & ~occluded
-    radiance = radiance + where(take, contrib, zero3)
+    radiance = radiance + where(take, contrib, zero_l)
 
     # --- BSDF sampling + bounce (main.cu:142-183) ----------------------------
     wi_s, f_s, pdf_s, lobe = bsdf_mod.sample(
@@ -187,8 +216,26 @@ def _bounce(scene, config, n, carry, depth):
     cos_term = jnp.abs(wi_s.z)
     bad = is_zero(f_s * cos_term) | is_zero(pdf_s)
     active = active & ~bad
-    weight = f_s * (cos_term / jnp.maximum(pdf_s, _TINY))
+    weight = lift(f_s) * (cos_term / jnp.maximum(pdf_s, _TINY))
     throughput = where(active, throughput * weight, throughput)
+    if spectral:
+        # Hero collapse (Wilkie et al. 2014): a TRANSMISSION through a
+        # dispersive dielectric bends each wavelength differently; the
+        # path geometry follows the hero, so the 3 secondary
+        # wavelengths terminate — their throughput zeroes and the hero
+        # picks up the 4x MIS compensation, exactly once per path.
+        newly = (
+            active & (wi_s.z * wo_local.z < 0.0)
+            & (local.dispersion > 0.0) & ~mono
+        )
+        throughput = sp.Spec4(
+            jnp.where(newly, throughput.s0 * sp.SPECTRAL_SAMPLES,
+                      throughput.s0),
+            jnp.where(newly, 0.0, throughput.s1),
+            jnp.where(newly, 0.0, throughput.s2),
+            jnp.where(newly, 0.0, throughput.s3),
+        )
+        mono = mono | newly
 
     new_rd = to_world(wi_s, geo.normal)
     new_ro = geo.position
@@ -235,6 +282,8 @@ def _bounce(scene, config, n, carry, depth):
         scene.materials, tex, geo.mat_id, geo.uv, config.mat_types,
         config.mat_tex_kinds, config.mat_tex_filters,
     )
+    if spectral:
+        local = _apply_dispersion(local, lams)
     wo_world = -new_rd
 
     # hit an emitter -> MIS-weighted emission (main.cu:171-183)
@@ -251,11 +300,14 @@ def _bounce(scene, config, n, carry, depth):
     # light material flips the shading normal for backside hits, which
     # must not re-enable emission (see LocalGeometry.front)
     take_e = active & (geo.emitter_id >= 0) & ~is_zero(emit_pdf) & geo.front
-    radiance = radiance + where(take_e, throughput * emit_rad * mis_hit, zero3)
+    radiance = radiance + where(
+        take_e, throughput * lift(emit_rad) * mis_hit, zero_l
+    )
 
     oprim = origin_sort_prim(hit, scene, config)
-    return (state, active, radiance, throughput, wo_world, geo, local, oprim,
-            esc)
+    out = (state, active, radiance, throughput, wo_world, geo, local, oprim,
+           esc)
+    return out + (mono,) if spectral else out
 
 
 def render_sample(
@@ -288,6 +340,21 @@ def render_sample(
         # long thin frustum; incoherent routes it through the ray sort.
         primary_coherent = False
 
+    spectral = config.spectral
+    if spectral:
+        # 4 stratified path wavelengths from ONE draw (hero + 3
+        # rotations); radiance/throughput become Spec4 planes and the
+        # sensor integrates against the CMFs at the end
+        # (render/spectral.py — beyond the RGB-only reference).
+        from pupiloptixlab_tpu.render import spectral as sp
+
+        state, (u_lam,) = rng.next_floats(state, 1)
+        lams = sp.sample_wavelengths(u_lam)
+        lift = functools.partial(sp.lift, lams=lams)
+    else:
+        lams = None
+        lift = lambda v: v  # noqa: E731
+
     tmin = jnp.full(n, RAY_OFFSET, jnp.float32)
     tmax = jnp.full(n, MAX_DISTANCE, jnp.float32)
     hit = intersect_closest(
@@ -300,18 +367,25 @@ def render_sample(
         scene.materials, tex, geo.mat_id, geo.uv, config.mat_types,
         config.mat_tex_kinds, config.mat_tex_filters,
     )
+    if spectral:
+        local = _apply_dispersion(local, lams)
 
     active = hit.hit_mask
-    radiance = Vec3.zeros(n)
-    throughput = Vec3.ones(n)
+    radiance = sp.Spec4.zeros(n) if spectral else Vec3.zeros(n)
+    throughput = sp.Spec4.ones(n) if spectral else Vec3.ones(n)
     zero3 = Vec3.zeros(n)
+    zero_l = sp.Spec4.zeros(n) if spectral else zero3
 
     # Primary miss -> un-weighted environment radiance (main.cu:84,
     # 196-212), deferred to the single post-scan eval_env below
     # (esc_pdf = -1 encodes "no MIS weight"). Env-less scenes carry no
     # escape state at all (config is static).
     esc = (
-        (~active, rd, Vec3.ones(n), jnp.full(n, -1.0, jnp.float32))
+        (
+            ~active, rd,
+            sp.Spec4.ones(n) if spectral else Vec3.ones(n),
+            jnp.full(n, -1.0, jnp.float32),
+        )
         if config.has_env
         else None
     )
@@ -320,7 +394,7 @@ def render_sample(
     # consistent with every other emission term — see LocalGeometry.front).
     is_emitter = active & (geo.emitter_id >= 0) & geo.front
     emit0 = _first_hit_emission(scene, config, geo)
-    radiance = radiance + where(is_emitter, emit0, zero3)
+    radiance = radiance + where(is_emitter, lift(emit0), zero_l)
 
     # AOVs from the first hit (main.cu:94-99).
     albedo_aov = where(active, bsdf_mod.albedo(local), zero3)
@@ -331,10 +405,13 @@ def render_sample(
 
     oprim = origin_sort_prim(hit, scene, config)
     carry = (state, active, radiance, throughput, -rd, geo, local, oprim, esc)
+    if spectral:
+        carry = carry + (jnp.zeros(n, bool),)  # mono: hero-collapsed
     if config.max_depth > 1:
         depths = jnp.arange(1, config.max_depth, dtype=jnp.int32)
         carry, _ = jax.lax.scan(
-            lambda c, d: (_bounce(scene, config, n, c, d), None), carry, depths
+            lambda c, d: (_bounce(scene, config, n, c, d, lams=lams), None),
+            carry, depths,
         )
     radiance = carry[2]
 
@@ -352,8 +429,12 @@ def render_sample(
             mis_weight(esc_pdf, env_pdf * em.env_select_prob),
         )
         radiance = radiance + where(
-            esc_mask, esc_tp * env_rad * mis_env, zero3
+            esc_mask, esc_tp * lift(env_rad) * mis_env, zero_l
         )
+
+    if spectral:
+        # sensor: Monte-Carlo CMF integration over the path wavelengths
+        radiance = sp.to_rgb(radiance, lams)
 
     out = {
         "radiance": radiance.to_array(),
@@ -371,12 +452,13 @@ def render_sample(
         # BSDF weights even when they never reach the image.
         from pupiloptixlab_tpu.utils.debug import finite_report
 
+        tp = carry[3]  # Vec3 planes, or Spec4 in spectral mode
         out["sanitizer"] = finite_report({
             "radiance": (out["radiance"], 0.0),
             "albedo": (out["albedo"], 0.0),
             "normal": (out["normal"], None),
             "primary_t": (jnp.where(hit.hit_mask, hit.t, 0.0), 0.0),
-            "throughput": (carry[3].to_array(), 0.0),
+            "throughput": (jnp.stack(list(tp), -1), 0.0),
         })
     return out
 

@@ -119,13 +119,10 @@ class Vec3(NamedTuple):
         return jnp.stack([self.x, self.y, self.z], axis=-1)
 
 
-def where(mask, a: Vec3, b: Vec3) -> Vec3:
-    """Lane select; ``mask`` is (N,) bool."""
-    return Vec3(
-        jnp.where(mask, a.x, b.x),
-        jnp.where(mask, a.y, b.y),
-        jnp.where(mask, a.z, b.z),
-    )
+def where(mask, a, b):
+    """Lane select over any NamedTuple-of-planes (Vec3, Spec4, ...);
+    ``mask`` is (N,) bool."""
+    return type(a)(*(jnp.where(mask, ai, bi) for ai, bi in zip(a, b)))
 
 
 class Vec2(NamedTuple):

@@ -57,6 +57,10 @@ class Material:
     # plastic family
     diffuse_reflectance: Texture = field(default_factory=lambda: rgb_texture(0.5))
     nonlinear: bool = False
+    # spectral dispersion (dielectric family; render/spectral.py):
+    # Cauchy B in um^2. Parsed from ``dispersion`` or an ``abbe``
+    # number; 0 = non-dispersive (RGB renders ignore it entirely).
+    dispersion: float = 0.0
 
 
 def _texture_or_rgb(obj, scene, name: str, default) -> Texture:
@@ -115,6 +119,14 @@ def load_material_from_xml(obj, scene) -> Material:
         mat.ext_ior = load_dielectric_ior(obj.properties.get("ext_ior"), 1.000277)
         mat.specular_reflectance = _texture_or_rgb(obj, scene, "specular_reflectance", 1.0)
         mat.specular_transmittance = _texture_or_rgb(obj, scene, "specular_transmittance", 1.0)
+        disp = obj.properties.get("dispersion")
+        abbe = obj.properties.get("abbe")
+        if disp is not None:
+            mat.dispersion = float(disp)
+        elif abbe is not None:
+            from pupiloptixlab_tpu.render.spectral import abbe_to_cauchy
+
+            mat.dispersion = abbe_to_cauchy(mat.int_ior, float(abbe))
         if mtype == "roughdielectric":
             _load_alpha(mat, obj, scene)
     elif mtype in ("conductor", "roughconductor"):

@@ -58,6 +58,10 @@ class Sensor:
 @dataclass
 class Integrator:
     max_depth: int = 1
+    # hero-wavelength spectral transport (render/spectral.py; beyond
+    # the RGB-only reference): <integrator type="spectral_path"> or a
+    # boolean ``spectral`` property on a path integrator
+    spectral: bool = False
 
 
 class Scene:
@@ -329,7 +333,11 @@ class Scene:
         for obj in root.sub_objects:
             if obj.tag == "integrator":
                 self.integrator = Integrator(
-                    max_depth=int(obj.properties.get("max_depth", 1))
+                    max_depth=int(obj.properties.get("max_depth", 1)),
+                    spectral=(
+                        "spectral" in (obj.type or "")
+                        or obj.properties.get("spectral") == "true"
+                    ),
                 )
             elif obj.tag == "sensor":
                 self._load_sensor(obj)

@@ -25,6 +25,7 @@ def _local(n, mtype, **kw):
         int_fdr=jnp.full(n, 0.0),
         ssw=jnp.full(n, 0.5),
         nonlinear=jnp.zeros(n, bool),
+        dispersion=jnp.zeros(n),
     )
     for k, v in kw.items():
         d[k] = v
