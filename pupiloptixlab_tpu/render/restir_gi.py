@@ -70,7 +70,9 @@ def gi_initial_sample(scene: SceneData, config: RenderConfig, gb, local,
                       state, hit, oprim):
     """One BSDF continuation + direct light at the secondary vertex.
     Returns (state', y_pos, y_nrm, y_rad (radiance toward x), pdf_area,
-    valid)."""
+    valid, extra_rad) where extra_rad is the per-frame (un-resampled)
+    radiance of continuations that can't ride a reservoir: env escapes
+    (direction-parameterized) and delta-lobe bounces (see below)."""
     from pupiloptixlab_tpu.accel.intersect import (
         intersect_any, intersect_closest, origin_sort_prim,
     )
@@ -149,12 +151,96 @@ def gi_initial_sample(scene: SceneData, config: RenderConfig, gb, local,
     d2 = jnp.maximum(d.dot(d), _TINY)
     cos_y = jnp.abs(geo2.normal.dot(d.normalized()))
     pdf_area = pdf_s * cos_y / d2
-    # delta lobes resample poorly (their pdf is a discrete prob);
-    # exclude them — the PT pass handles specular transport
+    # Delta SECONDARY vertices: when the continuation LANDS on a mirror
+    # or glass surface, its outgoing radiance can't be NEE-estimated
+    # (f(delta) = 0), so the reservoir sample would be black and the
+    # wall-seen-via-mirror light vanished. Continue ONE segment through
+    # y's delta lobe and take the emission at z — exactly the transport
+    # a depth-3 PT covers for such paths (its emitter-hit term with the
+    # nee_blind weight-1 rule); deeper specular chains stay the PT
+    # pass's job. Statically compiled out of delta-free scenes.
+    y_blocked = jnp.zeros(n, bool)
+    if any(t in config.mat_types
+           for t in (bsdf_mod.DIELECTRIC, bsdf_mod.CONDUCTOR)):
+        y_delta_rad = Vec3.zeros(n)
+        y_is_delta = valid & (
+            (geo2.mat_id >= 0)
+            & ((local2.mtype == bsdf_mod.DIELECTRIC)
+               | (local2.mtype == bsdf_mod.CONDUCTOR))
+        )
+        state, us2 = rng.next_floats(state, 3)
+        wo2l = to_local(rd * -1.0, geo2.normal)
+        wi2, f2s, pdf2s, _ = bsdf_mod.sample(
+            local2, wo2l, *us2, config.mat_types
+        )
+        rd2 = to_world(wi2, geo2.normal)
+        w2 = f2s * (jnp.abs(wi2.z) / jnp.maximum(pdf2s, _TINY))
+        oprim2b = origin_sort_prim(hit2, scene, config)
+        hit3 = intersect_closest(
+            geo2.position, rd2, tmin, tmax, scene, config,
+            coherent=False, origin_prim=oprim2b, mask=y_is_delta,
+        )
+        geo3 = get_local_geometry(
+            scene, hit3, geo2.position, rd2, config.sphere_count,
+            config.instanced, config.curve_count,
+        )
+        if config.emitter_count > 0:
+            from pupiloptixlab_tpu.render.integrator import (
+                _first_hit_emission,
+            )
+
+            is_em_z = (
+                y_is_delta & hit3.hit_mask & (geo3.emitter_id >= 0)
+                & geo3.front
+            )
+            y_delta_rad = y_delta_rad + where(
+                is_em_z,
+                w2 * _first_hit_emission(scene, config, geo3),
+                Vec3.zeros(n),
+            )
+        if config.has_env:
+            env2, _ = emitter_mod.eval_env(em, tex, config, rd2)
+            y_delta_rad = y_delta_rad + where(
+                y_is_delta & ~hit3.hit_mask, w2 * env2, Vec3.zeros(n)
+            )
+        y_rad = y_rad + y_delta_rad
+        # reconnection through y's delta lobe is x-specific: the sample
+        # must not be spatially/temporally reused (routed per-frame
+        # below instead)
+        y_blocked = y_is_delta
+
+    # Delta lobes AT X can't ride reservoirs either (a reconnection
+    # through a delta lobe evaluates to f = 0, and their pdf is a
+    # discrete probability, not an area density). Instead of DROPPING
+    # them (which lost all specular transport in this pass: the direct
+    # NEE at x is also 0 for delta receivers, so mirrors showed neither
+    # reflected emitters nor reflected indirect), their one-bounce
+    # contribution is returned as a plain per-frame term: BSDF weight x
+    # (emission AT y + the NEE estimate at y). Emission at y is NOT
+    # double counted for these lanes — x's own direct estimator has
+    # f(delta) = 0.
     is_delta = (lobe & bsdf_mod.LOBE_DELTA) != 0
-    valid = valid & ~is_delta & (pdf_area > _TINY)
+    w_bsdf = f_s * (jnp.abs(wi_s.z) / jnp.maximum(pdf_s, _TINY))
+    emis_y = Vec3.zeros(n)
+    if config.emitter_count > 0:
+        from pupiloptixlab_tpu.render.integrator import _first_hit_emission
+
+        is_em_y = valid & (geo2.emitter_id >= 0) & geo2.front
+        emis_y = where(
+            is_em_y, _first_hit_emission(scene, config, geo2), emis_y
+        )
+    delta_rad = where(
+        valid & is_delta, w_bsdf * (y_rad + emis_y), Vec3.zeros(n)
+    )
+    # diffuse x whose continuation landed on a delta y: the sample can't
+    # be reused (its radiance rides a delta reconnection), so its
+    # contribution flows per-frame like the delta-x term
+    routed = where(
+        valid & ~is_delta & y_blocked, w_bsdf * y_rad, Vec3.zeros(n)
+    )
+    valid = valid & ~is_delta & ~y_blocked & (pdf_area > _TINY)
     return (state, geo2.position, geo2.normal, y_rad, pdf_area, valid,
-            esc_rad)
+            esc_rad + delta_rad + routed)
 
 
 def reproject_pixels(motion, width, height):
@@ -286,14 +372,27 @@ def restir_gi_frame(
             & in_frame)
     r = merge(r, r_prev, gb, local, config.mat_types, u_t, ok_t, m_cap)
 
-    # spatial merges with reconnection Jacobian
+    # spatial merges with reconnection Jacobian. The tap radius shrinks
+    # with receiver GLOSSINESS: a low-alpha receiver's target function
+    # p_hat = lum(f_x L cos) is a narrow lobe around its own sample, so
+    # far-neighbor reservoirs almost always resample to ~0 weight
+    # (wasted taps) or import bias through the similarity gate. Diffuse
+    # receivers keep the full radius.
     packed0 = _pack(r, gb)
+    rough = (
+        (local.mtype == bsdf_mod.ROUGH_DIELECTRIC)
+        | (local.mtype == bsdf_mod.ROUGH_CONDUCTOR)
+        | (local.mtype == bsdf_mod.ROUGH_PLASTIC)
+    )
+    radius = spatial_radius * jnp.where(
+        rough, jnp.clip(local.alpha / 0.3, 0.1, 1.0), 1.0
+    )
     px = jnp.arange(n, dtype=jnp.int32) % w
     py = jnp.arange(n, dtype=jnp.int32) // w
     for _ in range(spatial_taps):
         state, (u1s, u2s, u3s) = rng.next_floats(state, 3)
-        dx = jnp.floor((u1s * 2.0 - 1.0) * spatial_radius).astype(jnp.int32)
-        dy = jnp.floor((u2s * 2.0 - 1.0) * spatial_radius).astype(jnp.int32)
+        dx = jnp.floor((u1s * 2.0 - 1.0) * radius).astype(jnp.int32)
+        dy = jnp.floor((u2s * 2.0 - 1.0) * radius).astype(jnp.int32)
         nx = jnp.clip(px + dx, 0, w - 1)
         ny = jnp.clip(py + dy, 0, h - 1)
         rows = packed0[ny * w + nx]

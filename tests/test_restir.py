@@ -244,3 +244,81 @@ def test_restir_gi_motion_warp_reuses_history():
     # warped reuse keeps clearly more history than identity reuse under
     # camera motion
     assert m_warp > 1.2 * m_ident, (m_warp, m_ident)
+
+
+def test_restir_gi_mirror_sees_emitter_and_indirect():
+    """Delta continuations can't ride reservoirs; their one-bounce
+    contribution (emission at y + NEE at y, BSDF-weighted) must flow
+    through the per-frame extra term instead of being dropped — a
+    mirror must converge to PT in the GI pass (ROADMAP #6)."""
+    from pupiloptixlab_tpu.render.restir_gi import restir_gi_frame
+    from pupiloptixlab_tpu.scene import Scene
+    from pupiloptixlab_tpu.scene.emitters import Emitter, EmitterType
+    from pupiloptixlab_tpu.scene.materials import Material, MatType
+    from pupiloptixlab_tpu.scene.shapes import ShapeInstance
+    from pupiloptixlab_tpu.scene.textures import rgb_texture
+    from pupiloptixlab_tpu.utils.math import (
+        Transform,
+        look_at_matrix,
+        mitsuba_handedness_fix,
+    )
+
+    scene = Scene()
+    mirror = Material(type=MatType.CONDUCTOR)  # delta lobe
+    scene.shape_instances = [
+        # mirror floor seen by the camera
+        ShapeInstance(
+            shape=scene.shape_manager.load_rectangle(),
+            material=mirror,
+            transform=Transform().scale(4, 4, 1).rotate(1, 0, 0, -90),
+        ),
+        # diffuse wall the mirror reflects (lit by the area light)
+        ShapeInstance(
+            shape=scene.shape_manager.load_rectangle(),
+            material=Material(
+                type=MatType.DIFFUSE, reflectance=rgb_texture(0.8)
+            ),
+            transform=Transform().scale(4, 4, 1).translate(0, 2, -3.5),
+        ),
+        # area light facing the wall (one-sided: normal must point -z)
+        ShapeInstance(
+            shape=scene.shape_manager.load_rectangle(),
+            material=Material(type=MatType.DIFFUSE),
+            transform=Transform().scale(0.6, 0.6, 1)
+            .rotate(1, 0, 0, 145).translate(0, 3.4, 2.5),
+            emitter=Emitter(
+                type=EmitterType.AREA, radiance=rgb_texture(12, 12, 12)
+            ),
+            is_emitter=True,
+        ),
+    ]
+    scene.sensor.film.w, scene.sensor.film.h = 64, 64
+    scene.integrator.max_depth = 3
+    m = mitsuba_handedness_fix(mitsuba_handedness_fix(
+        look_at_matrix([0, 2.5, 3.5], [0, 1.2, -1], [0, 1, 0])
+    ))
+    scene.sensor.transform = Transform(m)
+    scene.sensor.fov = 45.0
+    data, config = flatten_scene(scene)
+    config = dataclasses.replace(config, max_depth=3, accumulate=True)
+    camera = camera_block_from_scene(scene)
+
+    ref = np.asarray(render(data, camera, config, spp=64))
+    n = config.width * config.height
+    accum = jnp.zeros((n, 3), jnp.float32)
+    packed = jnp.zeros((n, N_PACK), jnp.float32)
+    for s in range(32):
+        accum, packed, _ = restir_gi_frame(
+            data, camera, jnp.uint32(4000 + s), packed, accum,
+            jnp.int32(s), config, spatial_taps=2, spatial_radius=8,
+        )
+    img = np.asarray(accum).reshape(config.height, config.width, 3)
+    # the mirror region is a large fraction of the frame; global energy
+    # must match PT (before the fix the GI pass rendered mirrors BLACK
+    # except direct emitter hits: ratio ~0.2)
+    ratio = img.mean() / ref.mean()
+    assert abs(ratio - 1.0) < 0.06, ratio
+    a, b = _downsample(img), _downsample(ref)
+    mask = b.mean(axis=-1) > 1e-3
+    rel = np.abs(a - b).sum(axis=-1)[mask] / (b.sum(axis=-1)[mask] + 1e-3)
+    assert np.median(rel) < 0.25, np.median(rel)
