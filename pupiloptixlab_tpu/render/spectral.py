@@ -193,12 +193,33 @@ def _calibrate():
 _D_SCALE, _M_BASIS, _C_RGB = _calibrate()
 
 
+# Visible-wavelength importance sampling: p(lambda) proportional to
+# sech^2(A (lambda - MU)) — a smooth envelope of photopic sensitivity
+# (the pbrt-v4 "visible wavelengths" pdf). Sampling the sensor's
+# integrand's envelope instead of uniform cuts the chroma noise of the
+# wavelength MC by ~3x on white scenes. The normalization over
+# [LAM_MIN, LAM_MAX] is computed in closed form at import time.
+_VIS_A, _VIS_MU = 0.0072, 538.5
+_VIS_T0 = float(np.tanh(_VIS_A * (LAM_MIN - _VIS_MU)))
+_VIS_T1 = float(np.tanh(_VIS_A * (LAM_MAX - _VIS_MU)))
+# integral of sech^2(A(l-mu)) dl = tanh(A(l-mu))/A
+_VIS_NORM = (_VIS_T1 - _VIS_T0) / _VIS_A
+
+
+def wavelength_pdf(lam: jnp.ndarray) -> jnp.ndarray:
+    c = jnp.cosh(_VIS_A * (lam - _VIS_MU))
+    return 1.0 / (_VIS_NORM * c * c)
+
+
 def sample_wavelengths(u: jnp.ndarray) -> Spec4:
     """One uniform draw -> 4 stratified wavelengths (nm): the hero plus
-    3 equal rotations of the visible range (each marginally uniform)."""
+    3 equal rotations, warped through the visible-importance CDF
+    (each marginally p = wavelength_pdf)."""
     def lam(j):
         f = u + j / SPECTRAL_SAMPLES
-        return LAM_MIN + LAM_RANGE * (f - jnp.floor(f))
+        f = f - jnp.floor(f)
+        t = _VIS_T0 + (_VIS_T1 - _VIS_T0) * f
+        return _VIS_MU + jnp.arctanh(t) / _VIS_A
 
     return Spec4(lam(0), lam(1), lam(2), lam(3))
 
@@ -220,18 +241,19 @@ def lift(rgb: Vec3, lams: Spec4) -> Spec4:
 
 
 def to_rgb(spec: Spec4, lams: Spec4) -> Vec3:
-    """Monte-Carlo CMF integration over the 4 path wavelengths
-    (uniform pdf 1/range): rgb = mean_j S_j * rgbw(lambda_j) * range."""
+    """Monte-Carlo CMF integration over the 4 path wavelengths:
+    rgb = mean_j S_j * rgbw(lambda_j) / p(lambda_j)."""
     d = _D_SCALE
     acc = [0.0, 0.0, 0.0]
     for s, lam in zip(spec, lams):
         x, y, z = cie_x(lam), cie_y(lam), cie_z(lam)
+        sp = s / wavelength_pdf(lam)
         for c in range(3):
             m = _XYZ_TO_SRGB[c]
-            acc[c] = acc[c] + s * (
+            acc[c] = acc[c] + sp * (
                 d[c] * (m[0] * x + m[1] * y + m[2] * z)
             )
-    w = LAM_RANGE / SPECTRAL_SAMPLES
+    w = 1.0 / SPECTRAL_SAMPLES
     return Vec3(acc[0] * w, acc[1] * w, acc[2] * w)
 
 
