@@ -116,12 +116,58 @@ def gather_cols(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
     The one-hot contraction keeps both operands f32, so values reproduce
     bit-for-bit (integer ids packed as floats survive; see kernel note).
+
+    Large tables take the native row gather, but NOT a native transpose:
+    when the (N, C) gather result is consumed plane-wise inside a jit,
+    XLA's layout assignment materializes it physically transposed, which
+    costs ~17 ms per 2M-lane 24-col gather (vs ~5 ms for the gather
+    itself — measured on mesh_env tri attrs). Feeding the row-major
+    gather into a Pallas transpose kernel instead pins the intermediate
+    to the default layout (pallas operands demand it) and does the
+    relayout once in VMEM: 22 -> ~10 ms end-to-end for gather+interp.
     """
     t, c = table.shape
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu or t > _MAX_PALLAS_ROWS or c > _MAX_PALLAS_COLS:
-        return table[jnp.clip(idx, 0, t - 1)].T
+        rows = table[jnp.clip(idx, 0, t - 1)]
+        if (not on_tpu or c > 128 or idx.ndim != 1
+                or idx.shape[0] < _TR_BLOCK or _NO_PALLAS_TRANSPOSE):
+            return rows.T
+        return _transpose_cols_pallas(rows)
     return _gather_cols_pallas(table.T, idx)
+
+
+_TR_BLOCK = 1024  # sweep on v5e: 4.4 ms at 1024, 4.7 at 512, 9.4 at 2048
+                  # for a (2M, 24) f32 relayout; >=4096 hangs the Mosaic
+                  # compile (giant unrolled relayout)
+import os as _os
+
+# debug/A-B knob: force the plain XLA transpose in the big-table fallback
+_NO_PALLAS_TRANSPOSE = bool(_os.environ.get("PUPIL_NO_PALLAS_TRANSPOSE"))
+
+
+def _transpose_kernel(x_ref, o_ref):
+    o_ref[:] = x_ref[:].T
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _transpose_cols_pallas(x: jnp.ndarray, interpret: bool = False):
+    """(N, C) -> (C, N) relayout, C <= 128, one VMEM transpose per block."""
+    n, c = x.shape
+    pad = (-n) % _TR_BLOCK
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, c), x.dtype)], 0)
+    out = pl.pallas_call(
+        _transpose_kernel,
+        grid=((n + pad) // _TR_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((_TR_BLOCK, c), lambda r: (r, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((c, _TR_BLOCK), lambda r: (0, r), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, n + pad), x.dtype),
+        interpret=interpret,
+    )(x)
+    return out[:, :n]
 
 
 def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

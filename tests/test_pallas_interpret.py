@@ -16,6 +16,7 @@ import pytest
 from pupiloptixlab_tpu.accel.gather import (
     _count_less_pallas,
     _gather_cols_pallas,
+    _transpose_cols_pallas,
 )
 from pupiloptixlab_tpu.accel.pallas_intersect import (
     LANES,
@@ -39,6 +40,17 @@ def test_gather_cols_interpret_matches_xla(t_rows):
         _gather_cols_pallas(jnp.asarray(table.T), jnp.asarray(idx), interpret=True)
     )
     np.testing.assert_array_equal(got, want)  # bit-for-bit, not allclose
+
+
+@pytest.mark.parametrize("n,c", [(1024, 24), (5000, 12), (2048, 1), (3000, 128)])
+def test_transpose_cols_interpret_matches_xla(n, c):
+    """The big-table gather fallback's (N, C) -> (C, N) relayout kernel
+    (wide-table gathers consumed plane-wise; see gather.py note)."""
+    r = np.random.RandomState(n + c)
+    x = r.randn(n, c).astype(np.float32) * 100.0
+    x[:, 0] = r.randint(0, 300000, size=n).astype(np.float32)
+    got = np.asarray(_transpose_cols_pallas(jnp.asarray(x), interpret=True))
+    np.testing.assert_array_equal(got, x.T)
 
 
 def test_gather_cols_interpret_clamps_out_of_range():
