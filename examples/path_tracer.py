@@ -29,13 +29,16 @@ def main() -> None:
     ap.add_argument("--out", default="pt_out.exr")
     ap.add_argument("--interactive", action="store_true")
     ap.add_argument("--max-depth", type=int, default=None)
+    ap.add_argument("--spectral", action="store_true",
+                    help="hero-wavelength spectral transport "
+                         "(render/spectral.py; dispersion-capable)")
     ap.add_argument("--web", action="store_true",
                     help="serve the interactive GUI over HTTP (remote hosts)")
     ap.add_argument("--port", type=int, default=8090)
     args = ap.parse_args()
 
     system = System(display="web" if args.web else "window")
-    system.add_pass(PTPass(max_depth=args.max_depth))
+    system.add_pass(PTPass(max_depth=args.max_depth, spectral=args.spectral or None))
     if not system.set_scene(args.scene):
         raise SystemExit(1)
 

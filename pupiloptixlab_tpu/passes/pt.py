@@ -28,10 +28,14 @@ from pupiloptixlab_tpu.utils.event import (
 
 
 class PTPass(Pass):
-    def __init__(self, name: str = "Path Tracing", max_depth: int | None = None):
+    def __init__(self, name: str = "Path Tracing", max_depth: int | None = None,
+                 spectral: bool | None = None):
         super().__init__(name, PassTag.NONE)
         self.system = None
         self.max_depth_override = max_depth
+        # None = follow the scene's integrator (<integrator
+        # type="spectral_path">); True/False force it
+        self.spectral_override = spectral
         self.accumulate = True
         # PUPIL_SANITIZE: compile value-sanitizer checks into the frame
         # and gate every on_run on them — the reference's debug
@@ -61,6 +65,8 @@ class PTPass(Pass):
         data, config = world.get_scene_data()
         if self.max_depth_override is not None:
             config = dataclasses.replace(config, max_depth=self.max_depth_override)
+        if self.spectral_override is not None:
+            config = dataclasses.replace(config, spectral=self.spectral_override)
         config = dataclasses.replace(
             config, accumulate=self.accumulate, debug_checks=self._sanitize
         )
@@ -88,6 +94,10 @@ class PTPass(Pass):
             data, config = world.get_scene_data()
             if self.max_depth_override is not None:
                 config = dataclasses.replace(config, max_depth=self.max_depth_override)
+            if self.spectral_override is not None:
+                config = dataclasses.replace(
+                    config, spectral=self.spectral_override
+                )
             config = dataclasses.replace(
                 config, accumulate=self.accumulate,
                 debug_checks=self._sanitize,
