@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mosaic_params import ray_grid_params
+
 _BLOCK = 4096
 _WINDOW = 2048           # table rows per in-kernel window
 # The one-hot matmul is O(N * T * C): unbeatable for the small dense
@@ -102,6 +104,7 @@ def _gather_cols_pallas(table_t: jnp.ndarray, idx: jnp.ndarray, interpret: bool 
         out_specs=pl.BlockSpec((c, _BLOCK), lambda r: (0, r), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, n + pad), jnp.float32),
         interpret=interpret,
+        compiler_params=ray_grid_params(),
         cost_estimate=pl.CostEstimate(
             flops=2 * (n + pad) * t_pad * c,
             bytes_accessed=(n + pad) * (4 + 4 * c) + t_pad * c * 4,
@@ -166,6 +169,7 @@ def _transpose_cols_pallas(x: jnp.ndarray, interpret: bool = False):
         out_specs=pl.BlockSpec((c, _TR_BLOCK), lambda r: (0, r), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, n + pad), x.dtype),
         interpret=interpret,
+        compiler_params=ray_grid_params(),
     )(x)
     return out[:, :n]
 
@@ -234,6 +238,7 @@ def _count_less_pallas(table: jnp.ndarray, q: jnp.ndarray, interpret: bool = Fal
         ),
         out_shape=jax.ShapeDtypeStruct((1, n + pad), jnp.int32),
         interpret=interpret,
+        compiler_params=ray_grid_params(),
     )(q[None, :], table[None, :])
     return out[0, :n]
 

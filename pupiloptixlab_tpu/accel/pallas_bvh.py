@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mosaic_params import ray_grid_params
+
 MAX_DISTANCE = 1e16
 _DET_EPS = 1e-12
 
@@ -652,6 +654,7 @@ def _call(kernel, tri, boxes, n, rb, outs, interpret, flops, leaf_count,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=ray_grid_params(),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=n * 52 + tri.shape[0] * 48 + boxes.size * 4,

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mosaic_params import ray_grid_params
+
 MAX_DISTANCE = 1e16
 _DET_EPS = 1e-12
 
@@ -176,6 +178,7 @@ def sweep_triangles_any(
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         interpret=interpret,
+        compiler_params=ray_grid_params(extra_arbitrary=1),
         cost_estimate=pl.CostEstimate(
             flops=50 * n * t_total, bytes_accessed=n * 36 + t_total * 48,
             transcendentals=0,
@@ -358,6 +361,7 @@ def sweep_triangles(
                 jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
             ),
             interpret=interpret,
+            compiler_params=ray_grid_params(extra_arbitrary=1),
             cost_estimate=pl.CostEstimate(
                 flops=55 * n * t_total, bytes_accessed=n * 40 + t_total * 48,
                 transcendentals=0,
@@ -417,6 +421,7 @@ def sweep_triangles(
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         ),
         interpret=interpret,
+        compiler_params=ray_grid_params(),
         cost_estimate=pl.CostEstimate(
             flops=55 * n * t_total, bytes_accessed=n * 52 + t_total * 48,
             transcendentals=0,

@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..accel.mosaic_params import ray_grid_params
+
 _B3 = [1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0]
 
 R = 32          # output rows per grid step (f32 sublane multiple)
@@ -219,6 +221,7 @@ def atrous_denoise_pallas(
                 pltpu.SemaphoreType.DMA((9,)),
             ],
             interpret=interpret,
+            compiler_params=ray_grid_params(extra_parallel=1),
             cost_estimate=pl.CostEstimate(
                 flops=25 * 40 * h_pad * wi_pad,
                 bytes_accessed=12 * 4 * h_pad * wi_pad * 3,
