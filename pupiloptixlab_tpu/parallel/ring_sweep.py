@@ -14,10 +14,13 @@ per sweep (the classic ring-all-gather fused into compute — the
 sweeps).
 
 Per-chip MT work equals the replicated pixel-sharded sweep (N/D rays x
-T rows); only residency and traffic change. The inner test is a chunked
-jnp scan (backend-agnostic: runs on the virtual CPU mesh in tests and on
-TPU); dropping the per-round inner loop into the Pallas chunk sweep is a
-straightforward swap once multi-chip hardware is available to profile.
+T rows); only residency and traffic change. The inner test has two
+interchangeable backends (``inner=``): a chunked jnp scan
+(backend-agnostic — the virtual CPU mesh in tests) and the Pallas chunk
+sweep ``accel.pallas_intersect.sweep_triangles`` (``inner="pallas"``,
+default on TPU) whose per-round chunk AABBs are built on the fly from
+the rotating shard; equality of the two is pinned by
+``tests/test_sharding.py::test_ring_sweep_pallas_inner_matches_jnp``.
 """
 
 from __future__ import annotations
@@ -113,6 +116,24 @@ def _local_closest(ro, rd, tmin, tmax, rows, base, chunk=1024):
     return bt, bp
 
 
+def _chunk_boxes(rows: jnp.ndarray, tc: int) -> jnp.ndarray:
+    """(T, 12) packed rows -> (T/tc, 8) chunk AABBs [min xyz, max xyz,
+    0, 0] over the three vertices v0, v0+e1, v0+e2 of each triangle.
+    All-zero padding rows give a degenerate point box at the origin —
+    a spurious chunk-cull pass at worst; the MT inside rejects them
+    (det = 0)."""
+    t = rows.shape[0]
+    g = rows.reshape(t // tc, tc, rows.shape[1])
+    v0 = g[:, :, 0:3]
+    v1 = v0 + g[:, :, 3:6]
+    v2 = v0 + g[:, :, 6:9]
+    lo = jnp.minimum(jnp.minimum(v0, v1), v2).min(axis=1)
+    hi = jnp.maximum(jnp.maximum(v0, v1), v2).max(axis=1)
+    return jnp.concatenate(
+        [lo, hi, jnp.zeros((t // tc, 2), rows.dtype)], axis=1
+    )
+
+
 def ring_closest(
     mesh: Mesh,
     ro_flat: jnp.ndarray,    # (3, N) ray origin component rows
@@ -121,23 +142,66 @@ def ring_closest(
     tmax: jnp.ndarray,       # (N,)
     tris_sharded: jnp.ndarray,  # (T_pad, 12) row-sharded over the mesh
     shard_rows: int,
+    inner: str = "jnp",      # "jnp" | "pallas"
+    interpret: bool = False,
 ):
     """Closest hit of all rays vs the full (sharded) table: D rounds of
     local sweep + one ppermute table rotation each. Returns (t, idx)
-    pixel-sharded like the inputs."""
+    pixel-sharded like the inputs.
+
+    ``inner="pallas"`` runs each round through the Pallas chunk sweep
+    (ROADMAP #8): per-chip rays pad to the (8, 128) ray tile, the shard
+    pads to the 64-row chunk, and chunk AABBs are rebuilt per round from
+    the rotating shard (a jnp reduction — negligible next to the MT
+    volume, and it keeps the rotation payload at just the rows)."""
     from jax.experimental.shard_map import shard_map
 
     axis = mesh.axis_names[0]
     d = mesh.devices.size
+    use_pallas = inner == "pallas"
+    if use_pallas:
+        from pupiloptixlab_tpu.accel.pallas_intersect import sweep_triangles
 
     def per_chip(ro, rd, tmn, tmx, shard):
         my = jax.lax.axis_index(axis)
+        n = tmn.shape[0]
+
+        if use_pallas:
+            # dead-pad local rays to the ray-tile quantum; padding lanes
+            # carry an empty (tmax <= tmin) interval so they never hit
+            pad_n = (-n) % 1024
+            tc = 64
+            pad_t = (-shard.shape[0]) % tc
+
+            def padv(a, v=0.0):
+                return jnp.concatenate(
+                    [a, jnp.full((pad_n,), v, a.dtype)]
+                ) if pad_n else a
+
+            rop = [padv(ro[i]) for i in range(3)]
+            rdp = [padv(rd[i], 1.0) for i in range(3)]
+            tmnp = padv(tmn, 1.0)
+            tmxp = padv(tmx, 0.0)
 
         def round_body(k, carry):
             bt, bp, rows = carry
             # the shard currently held started life on chip (my + k) % d
             base = ((my + k) % d) * shard_rows
-            t, p = _local_closest(ro, rd, tmn, tmx, rows, base)
+            if use_pallas:
+                rows_p = (
+                    jnp.concatenate(
+                        [rows, jnp.zeros((pad_t, rows.shape[1]),
+                                         rows.dtype)], 0
+                    ) if pad_t else rows
+                )
+                tp, pp = sweep_triangles(
+                    *rop, *rdp, tmnp, tmxp, rows_p,
+                    _chunk_boxes(rows_p, tc), tc=tc, interpret=interpret,
+                )
+                t, p = tp[:n], pp[:n]
+            else:
+                t, p = _local_closest(ro, rd, tmn, tmx, rows, 0)
+            p = jnp.where(p >= 0, p + base, p)
             better = t < bt
             bt = jnp.where(better, t, bt)
             bp = jnp.where(better, p, bp)
@@ -147,7 +211,6 @@ def ring_closest(
             )
             return bt, bp, rows
 
-        n = tmn.shape[0]
         init = (
             jnp.full(n, MAX_DISTANCE, jnp.float32),
             jnp.full(n, -1, jnp.int32),

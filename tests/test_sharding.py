@@ -50,6 +50,52 @@ def test_sharded_matches_single_device(tiny_cornell):
     assert len(out_accum.sharding.device_set) == 8
 
 
+def test_ring_sweep_pallas_inner_matches_jnp():
+    """ROADMAP #8: the ring sweep's per-round inner loop dropped into
+    the Pallas chunk sweep (interpret mode on the CPU mesh) returns
+    bit-identical hits to the jnp inner."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pupiloptixlab_tpu.flatten import camera_block_from_scene, flatten_scene
+    from pupiloptixlab_tpu.parallel.ring_sweep import (
+        ring_closest, shard_tris,
+    )
+    from pupiloptixlab_tpu.parallel.sharding import make_mesh
+    from pupiloptixlab_tpu.render.camera import generate_rays
+    from pupiloptixlab_tpu.scene import load_scene
+
+    scene = load_scene("/root/repo/data/mesh_env.xml")
+    scene.sensor.film.w, scene.sensor.film.h = 64, 32
+    data, config = flatten_scene(scene)
+    camera = camera_block_from_scene(scene)
+    n = config.width * config.height
+    jx = jnp.zeros(n)
+    ro, rd = generate_rays(camera, config.width, config.height, jx, jx)
+    tmin = jnp.full(n, 1e-3, jnp.float32)
+    tmax = jnp.full(n, 1e16, jnp.float32)
+
+    mesh = make_mesh(8, axis="shards")
+    tris_sh, shard_rows = shard_tris(data.tris.packed, mesh)
+    ro_flat = jnp.stack([ro.x, ro.y, ro.z])
+    rd_flat = jnp.stack([rd.x, rd.y, rd.z])
+    t_j, p_j = ring_closest(
+        mesh, ro_flat, rd_flat, tmin, tmax, tris_sh, shard_rows
+    )
+    t_p, p_p = ring_closest(
+        mesh, ro_flat, rd_flat, tmin, tmax, tris_sh, shard_rows,
+        inner="pallas", interpret=True,
+    )
+    p_p, p_j = np.asarray(p_p), np.asarray(p_j)
+    # same hit mask; indices may differ only on fp near-ties (the Pallas
+    # MT uses a Newton-refined approximate reciprocal)
+    np.testing.assert_array_equal(p_p >= 0, p_j >= 0)
+    assert (p_p == p_j).mean() > 0.999
+    np.testing.assert_allclose(
+        np.asarray(t_p), np.asarray(t_j), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_ring_sharded_sweep_matches_single_device():
     """Ring-sharded traversal (tri table sharded over the 8-dev mesh,
     rotated by ppermute) returns the same closest hits as the
