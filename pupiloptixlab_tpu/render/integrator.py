@@ -315,17 +315,29 @@ def render_sample(
     camera: CameraBlock,
     seed: jnp.ndarray,
     config: RenderConfig,
+    tile_perm: jnp.ndarray | None = None,
 ):
     """Trace one sample per pixel; returns dict of flat (N,*) buffers:
-    radiance, albedo, normal, test."""
+    radiance, albedo, normal, test.
+
+    ``tile_perm`` (optional, (n/1024,) i32 permutation): reorders the
+    1024-pixel sweep TILES before the lanes shard over a mesh, so each
+    chip's contiguous lane slab holds a cost-balanced mix of tiles
+    (parallel/balance.py). Per-pixel RNG is keyed by pixel id, so the
+    image is bit-identical for any permutation; block-order scenes only.
+    """
     w, h = config.width, config.height
     n = w * h
     em, tex = scene.emitters, scene.textures
+    if tile_perm is not None and not _use_blocks(config):
+        tile_perm = None  # chunk-sweep scenes keep row-major lanes
 
     if _use_blocks(config):
         # lanes ARE (8x128)-block pixels (see the module constant):
         # coherent primaries with zero sort cost; decoded once at return
         pix = jnp.asarray(_block_pix(w, h))
+        if tile_perm is not None:
+            pix = pix.reshape(-1, _BLOCK_H * _BLOCK_W)[tile_perm].reshape(-1)
         state = rng.tea_init(pix.astype(jnp.uint32), seed)
         state, (jx, jy) = rng.next_floats(state, 2)
         from pupiloptixlab_tpu.render.camera import generate_rays_for
@@ -443,6 +455,16 @@ def render_sample(
         "test": test_aov,
     }
     if _use_blocks(config):
+        if tile_perm is not None:
+            # un-permute tiles first (block-granular gather: one
+            # contiguous 1024-row move per tile, then the free decode)
+            inv = jnp.argsort(tile_perm)
+            out = {
+                k: v.reshape(n // 1024, 1024, *v.shape[1:])[inv].reshape(
+                    v.shape
+                )
+                for k, v in out.items()
+            }
         # decode lanes back to row-major pixels: pure reshape+transpose
         out = {k: _block_decode(v, w, h) for k, v in out.items()}
     if config.debug_checks:
@@ -471,12 +493,14 @@ def render_frame(
     sample_cnt: jnp.ndarray,
     accum: jnp.ndarray,
     config: RenderConfig,
+    tile_perm: jnp.ndarray | None = None,
 ):
     """One progressive frame: trace + accumulate (main.cu:187-193).
 
     Returns (accum', buffers) where buffers holds the displayable AOVs.
+    ``tile_perm``: see render_sample (multi-chip load balancing).
     """
-    out = render_sample(scene, camera, seed, config)
+    out = render_sample(scene, camera, seed, config, tile_perm)
     radiance = out["radiance"]
     if config.accumulate:
         t = 1.0 / (sample_cnt.astype(jnp.float32) + 1.0)
