@@ -58,6 +58,10 @@ DEFAULT_RB = 8
 import os as _os
 
 DEFAULT_STREAM_DEPTH = int(_os.environ.get("PUPIL_STREAM_DEPTH", "2"))
+# Nodes popped per vector->scalar sync in the resident kernels (A/B
+# knob; 2 measured best-known, 4 halves syncs again at the cost of
+# wasted slab tests on shallow stacks).
+POP_N = int(_os.environ.get("PUPIL_POP_N", "2"))
 
 
 def _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v):
@@ -124,41 +128,46 @@ def _slab8(blk, ox, oy, oz, ix, iy, iz, tmn_v, tfar_clamp):
 
 def _dual_pop(nstack_ref, box_ref, ax_ref, child_ref,
               ox, oy, oz, ix, iy, iz, tmn_v, tfar_clamp, sx, sy, sz,
-              nsp, lsp, lstack_ref, ordered: bool):
-    """Pop TWO internal nodes per vector->scalar sync.
+              nsp, lsp, lstack_ref, ordered: bool, n_pop: int = 2):
+    """Pop ``n_pop`` internal nodes per vector->scalar sync.
 
     The single-pop loop pays one VPU-reduction -> scalar-branch sync per
     node; at ~20 pops/tile that sync is the dominant per-pop cost once
-    leaves drain in the inner while. Here both nodes' 8-child slab tests
-    run back to back and their votes land in ONE (16,1) reduction, so
-    the sync count halves. Ordering degrades gracefully: node1 (stack
-    top, nearer) still contributes its children above node2's, and
-    closest-hit correctness never depends on visit order (tbest only
-    prunes). ``ordered=False`` (any-hit) skips the near-first child
-    iteration."""
-    have1 = nsp > 0
-    have2 = nsp > 1
-    n1 = jnp.maximum(jnp.where(have1, nstack_ref[jnp.maximum(nsp - 1, 0)], 0), 0)
-    n2 = jnp.maximum(jnp.where(have2, nstack_ref[jnp.maximum(nsp - 2, 0)], 0), 0)
-    nsp = nsp - have1.astype(jnp.int32) - have2.astype(jnp.int32)
-    blk1 = box_ref[pl.ds(pl.multiple_of(n1 * 8, 8), 8), :]
-    blk2 = box_ref[pl.ds(pl.multiple_of(n2 * 8, 8), 8), :]
-    tn1, tf1 = _slab8(blk1, ox, oy, oz, ix, iy, iz, tmn_v, tfar_clamp)
-    tn2, tf2 = _slab8(blk2, ox, oy, oz, ix, iy, iz, tmn_v, tfar_clamp)
-    h1 = jnp.any(tn1 <= tf1, axis=2)  # (8, rb)
-    h2 = jnp.any(tn2 <= tf2, axis=2)
-    w = jnp.concatenate(
-        [jnp.any(h1, axis=1, keepdims=True), jnp.any(h2, axis=1, keepdims=True)],
-        axis=0,
-    )  # (16, 1)
-    weights = 1 << jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
-    bits = jnp.sum(w.astype(jnp.int32) * weights)  # ONE sync for 2 pops
-    bits1 = jnp.where(have1, bits & 0xFF, 0)
-    bits2 = jnp.where(have2, bits >> 8, 0)
+    leaves drain in the inner while. Here all popped nodes' 8-child slab
+    tests run back to back and their votes land in ONE (n_pop*8, 1)
+    reduction, so the sync count divides by n_pop. Ordering degrades
+    gracefully: the stack top (nearest) still contributes its children
+    above deeper nodes', and closest-hit correctness never depends on
+    visit order (tbest only prunes). Idle pop slots clamp to the root
+    and gate their bits to 0 — extra VECTOR work only, no extra sync,
+    which is the right trade while the sync dominates. ``ordered=False``
+    (any-hit) skips the near-first child iteration. n_pop is a power of
+    two <= 4 (bits pack into one i32)."""
+    haves = [nsp > i for i in range(n_pop)]
+    nodes = [
+        jnp.maximum(
+            jnp.where(h, nstack_ref[jnp.maximum(nsp - 1 - i, 0)], 0), 0
+        )
+        for i, h in enumerate(haves)
+    ]
+    for h in haves:
+        nsp = nsp - h.astype(jnp.int32)
+    hs = []
+    for nd in nodes:
+        blk = box_ref[pl.ds(pl.multiple_of(nd * 8, 8), 8), :]
+        tn, tf = _slab8(blk, ox, oy, oz, ix, iy, iz, tmn_v, tfar_clamp)
+        hs.append(jnp.any(jnp.any(tn <= tf, axis=2), axis=1, keepdims=True))
+    w = jnp.concatenate(hs, axis=0)  # (n_pop*8, 1)
+    weights = 1 << jax.lax.broadcasted_iota(jnp.int32, (n_pop * 8, 1), 0)
+    bits = jnp.sum(w.astype(jnp.int32) * weights)  # ONE sync for n_pop pops
+    bits_k = [
+        jnp.where(h, (bits >> (8 * i)) & 0xFF, 0)
+        for i, h in enumerate(haves)
+    ]
     nsp2, lsp2 = nsp, lsp
-    # node2 sits deeper in the stack -> push its children FIRST so
-    # node1's (nearer) children stay on top
-    for node, bitsk in ((n2, bits2), (n1, bits1)):
+    # deeper stack entries push FIRST so the top node's (nearer)
+    # children stay on top
+    for node, bitsk in zip(nodes[::-1], bits_k[::-1]):
         if ordered:
             axis = ax_ref[node]
             fwd = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
@@ -397,6 +406,7 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
                         ox, oy, oz, ix, iy, iz, tmn_v,
                         jnp.minimum(tbest[:], tmx_v), sx, sy, sz,
                         nsp, jnp.int32(0), lstack_ref, ordered=True,
+                        n_pop=POP_N,
                     )
                 else:
                     nsp2, lsp2 = pop_and_push(nsp, jnp.int32(0))
@@ -582,6 +592,7 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
                         nstack_ref, box_ref, ax_ref, child_ref,
                         ox, oy, oz, ix, iy, iz, tmn_v, tfar, 0, 0, 0,
                         nsp, jnp.int32(0), lstack_ref, ordered=False,
+                        n_pop=POP_N,
                     )
                     all_occ = jnp.min(occ[:]) > 0
                     nsp2 = jnp.where(all_occ, 0, nsp2)
