@@ -113,6 +113,14 @@ print(json.dumps({'depth': os.environ.get('PUPIL_STREAM_DEPTH','2'), 'big_env_ms
 """
 
 
+DENOISE_ONLY = """
+import json
+import bench
+ms = bench._bench_denoise()
+print(json.dumps({'denoise_ms': round(ms, 2)}))
+"""
+
+
 def main():
     quick = "--quick" in sys.argv
     log("=== tpu_suite start ===")
@@ -120,10 +128,18 @@ def main():
     if not ok:
         log("tunnel still down; aborting")
         return 1
+    # A/B: n-way pop (sync amortization) and megacore grid semantics
+    run("mesh_env (pop2 mega1 baseline)", MESH_FRAME, timeout=900)
+    run("mesh_env (pop4)", MESH_FRAME, timeout=900,
+        env={"PUPIL_POP_N": "4"})
+    run("mesh_env (mega off)", MESH_FRAME, timeout=900,
+        env={"PUPIL_MEGACORE": "0"})
     # A/B: pallas transpose in the big-table gather fallback
-    run("mesh_env (pallas transpose)", MESH_FRAME, timeout=900)
     run("mesh_env (xla transpose)", MESH_FRAME, timeout=900,
         env={"PUPIL_NO_PALLAS_TRANSPOSE": "1"})
+    # denoiser alone, contention-sensitive: run FIRST after the frame
+    # stages, fresh process
+    run("denoise_only", DENOISE_ONLY, timeout=900)
     # headline bench
     ok, tail = run("bench", "import bench; bench.main()", timeout=1500)
     if ok:
