@@ -322,3 +322,51 @@ def test_restir_gi_mirror_sees_emitter_and_indirect():
     mask = b.mean(axis=-1) > 1e-3
     rel = np.abs(a - b).sum(axis=-1)[mask] / (b.sum(axis=-1)[mask] + 1e-3)
     assert np.median(rel) < 0.25, np.median(rel)
+
+
+def test_restir_gi_variance_beats_one_pt_sample(restir_scene):
+    """The GI reservoir's reuse (temporal M growth + spatial taps) must
+    make a single frame's indirect estimate clearly less noisy than one
+    PT sample at the same depth — the estimator's reason to exist.
+    Proxy: median per-pixel luminance deviation from a converged PT
+    reference, measured on the frame AFTER temporal history warmed up."""
+    from pupiloptixlab_tpu.render.restir_gi import restir_gi_frame
+
+    data, config, camera = restir_scene
+    n = config.width * config.height
+    cfg3 = dataclasses.replace(config, max_depth=3, accumulate=False)
+    ref3 = np.asarray(
+        render(data, camera, dataclasses.replace(cfg3, accumulate=True),
+               spp=64)
+    ).reshape(-1, 3)
+    ref2 = np.asarray(
+        render(data, camera,
+               dataclasses.replace(config, max_depth=2, accumulate=True),
+               spp=64)
+    ).reshape(-1, 3)
+
+    accum = jnp.zeros((n, 3), jnp.float32)
+    packed = jnp.zeros((n, N_PACK), jnp.float32)
+    frame = None
+    for s in range(6):  # 5 warmup frames fill temporal reservoirs
+        accum, packed, frame = restir_gi_frame(
+            data, camera, jnp.uint32(9000 + s), packed, accum,
+            jnp.int32(s), cfg3, spatial_taps=2, spatial_radius=8,
+        )
+    one_pt = np.asarray(
+        render(data, camera, cfg3, spp=1, seed0=9005)
+    ).reshape(-1, 3)
+
+    # both estimators share the SAME one-draw direct path, so the win
+    # only shows where the one-bounce term carries the energy: gate on
+    # pixels whose indirect fraction (depth-3 minus depth-2 reference)
+    # exceeds 20% (measured ratio there: 0.76-0.85 across film sizes)
+    lum = np.array([0.2126, 0.7152, 0.0722])
+    ind = np.maximum((ref3 - ref2) @ lum, 0.0)
+    mask = ind > 0.2 * np.maximum(ref3 @ lum, 1e-6)
+    assert mask.sum() > 100, mask.sum()
+    err_gi = np.abs((np.asarray(frame).reshape(-1, 3) - ref3) @ lum)
+    err_pt = np.abs((one_pt - ref3) @ lum)
+    assert np.median(err_gi[mask]) < 0.9 * np.median(err_pt[mask]), (
+        np.median(err_gi[mask]), np.median(err_pt[mask])
+    )
