@@ -26,8 +26,12 @@ from pupiloptixlab_tpu.render.vec import Vec3
 
 _DET_EPS = 1e-12
 
-# Tunables for the Pallas sweep (read at trace time).
-PALLAS_RB = 8
+# Tunables for the Pallas sweep (read at trace time). PUPIL_RB must
+# match pallas_bvh.DEFAULT_RB (both read the same env) so the sort
+# wrapper's pad quantum equals the kernel tile.
+import os as _os
+
+PALLAS_RB = int(_os.environ.get("PUPIL_RB", "8"))
 
 
 def _register(cls):

@@ -46,17 +46,21 @@ from .mosaic_params import ray_grid_params
 MAX_DISTANCE = 1e16
 _DET_EPS = 1e-12
 
+import os as _os
+
 LANES = 128
 STACK_SIZE = 128  # dual-pop pushes up to 14 children/iteration
 # Ray rows per tile. 8 is the f32 sublane tile — Mosaic requires block
 # sublane counts divisible by 8, so 1024 rays (8 x 128) is the smallest
 # legal tile; ray sorting (accel/intersect.py) keeps those coherent.
-DEFAULT_RB = 8
+# PUPIL_RB widens the tile (16 -> 2048 rays): fewer tiles halves the
+# per-tile vector->scalar sync count per ray at the cost of larger
+# per-tile leaf unions (A/B knob; intersect.PALLAS_RB reads the same
+# env so the pad quantum stays consistent).
+DEFAULT_RB = int(_os.environ.get("PUPIL_RB", "8"))
 # In-flight leaf DMAs in streaming mode (ring of scratch buffers); the
 # fetch consumed at iteration i was issued at i - depth.
 # PUPIL_STREAM_DEPTH overrides for sweeps (debug knob).
-import os as _os
-
 DEFAULT_STREAM_DEPTH = int(_os.environ.get("PUPIL_STREAM_DEPTH", "2"))
 # Nodes popped per vector->scalar sync in the resident kernels (A/B
 # knob; 2 measured best-known, 4 halves syncs again at the cost of

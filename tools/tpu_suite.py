@@ -134,6 +134,10 @@ def main():
         env={"PUPIL_POP_N": "4"})
     run("mesh_env (mega off)", MESH_FRAME, timeout=900,
         env={"PUPIL_MEGACORE": "0"})
+    run("mesh_env (rb16)", MESH_FRAME, timeout=900,
+        env={"PUPIL_RB": "16"})
+    run("mesh_env (rb16 pop4)", MESH_FRAME, timeout=900,
+        env={"PUPIL_RB": "16", "PUPIL_POP_N": "4"})
     # A/B: pallas transpose in the big-table gather fallback
     run("mesh_env (xla transpose)", MESH_FRAME, timeout=900,
         env={"PUPIL_NO_PALLAS_TRANSPOSE": "1"})
