@@ -158,6 +158,12 @@ def main():
     for depth in ("2", "4", "8"):
         run(f"big_env depth={depth}", BIG_ENV_DEPTH, timeout=900,
             env={"PUPIL_STREAM_DEPTH": depth})
+    # streamed leaf-size sweep (bigger slices amortize each DMA)
+    for tcl in ("64", "128"):
+        run(f"big_env tcl={tcl}", BIG_ENV_DEPTH, timeout=900,
+            env={"PUPIL_TCL": tcl})
+    run("big_env tcl=64 depth=4", BIG_ENV_DEPTH, timeout=900,
+        env={"PUPIL_TCL": "64", "PUPIL_STREAM_DEPTH": "4"})
     log("=== tpu_suite done ===")
     return 0
 
