@@ -65,6 +65,7 @@ def tile_costs(
         scene.tris.packed, scene.tris.bvh_child, scene.tris.bvh_axis,
         scene.tris.bvh_boxes, tcl=config.bvh_tcl, count_iters=True,
         stream=False, pop2=False,
+        rb=8,  # cost granularity is the 1024-pixel block, not PUPIL_RB
         interpret=jax.default_backend() != "tpu",
     )
     per_lane = np.asarray(ib).reshape(n // _TILE, _TILE)
