@@ -160,7 +160,10 @@ def build_bvh(
             np.maximum.at(bhi, bins, hi_tri[idx])
             # prefix/suffix surface areas
             def areas(lo_b, hi_b):
-                d = np.maximum(hi_b - lo_b, 0.0)
+                # f64: sentinel boxes (hidden/degenerate rows, +-1e30)
+                # square past f32 range and the inf can poison the SAH
+                # compare via inf*0
+                d = np.maximum((hi_b - lo_b).astype(np.float64), 0.0)
                 return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 0] * d[:, 2]
             plo = np.minimum.accumulate(blo, axis=0)
             phi = np.maximum.accumulate(bhi, axis=0)

@@ -196,7 +196,7 @@ def atrous_denoise_pallas(
         for ch in range(3)
     ]
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec((R, cb), lambda i, c: (i, c),
                             memory_space=pltpu.VMEM)
 

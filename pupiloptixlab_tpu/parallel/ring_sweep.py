@@ -154,7 +154,7 @@ def ring_closest(
     pads to the 64-row chunk, and chunk AABBs are rebuilt per round from
     the rotating shard (a jnp reduction — negligible next to the MT
     volume, and it keeps the rotation payload at just the rows)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     axis = mesh.axis_names[0]
     d = mesh.devices.size
@@ -226,6 +226,6 @@ def ring_closest(
         mesh=mesh,
         in_specs=(vec, vec, spec, spec, spec),
         out_specs=(spec, spec),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(ro_flat, rd_flat, tmin, tmax, tris_sharded)

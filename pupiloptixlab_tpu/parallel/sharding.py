@@ -78,7 +78,7 @@ def render_samples_sharded(
     """Sample-parallel rendering: every chip traces the full film with its
     own seed; a psum-mean over the ``samples`` axis merges (one collective
     per call, riding ICI). Effective spp = mesh size. Returns (h*w, 3)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     axis = mesh.axis_names[0]
 
@@ -96,6 +96,6 @@ def render_samples_sharded(
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(scene, camera)
