@@ -35,7 +35,9 @@ def run(name, code, timeout=900, env=None):
             timeout=timeout, env=e,
         )
         out = (r.stdout + r.stderr).strip().splitlines()
-        tail = out[-1] if out else ""
+        # prefer the JSON result line (stderr warnings print after stdout)
+        json_lines = [l for l in out if l.startswith("{")]
+        tail = json_lines[-1] if json_lines else (out[-1] if out else "")
         log(f"{name}: rc={r.returncode} {time.time()-t0:.0f}s :: {tail}")
         return r.returncode == 0, tail
     except subprocess.TimeoutExpired:
