@@ -26,12 +26,28 @@ from pupiloptixlab_tpu.render.vec import Vec3
 
 _DET_EPS = 1e-12
 
-# Tunables for the Pallas sweep (read at trace time). PUPIL_RB must
-# match pallas_bvh.DEFAULT_RB (both read the same env) so the sort
-# wrapper's pad quantum equals the kernel tile.
+# Ray-tile height for the Pallas sweeps (rb x 128 rays per tile),
+# chosen per traversal path from A/B measurements (tools/tpu_suite.py,
+# 1080p 1spp, real TPU):
+#   resident BVH (mesh_env):  rb8 430 ms, rb16 386 ms  -> 16
+#   chunk sweep  (cornell):   rb8 205,    rb16 225 Mray/s -> 16
+#   streamed BVH (big_env):   rb8 1403 ms, rb16 1580 ms -> 8
+# Wider tiles halve the per-ray vector->scalar sync count, which wins
+# while the table is VMEM-resident; streamed scenes are DMA-bound and
+# pay the larger per-tile leaf unions instead. PUPIL_RB overrides both.
 import os as _os
 
-PALLAS_RB = int(_os.environ.get("PUPIL_RB", "8"))
+_RB_ENV = _os.environ.get("PUPIL_RB")
+RB_RESIDENT = int(_RB_ENV) if _RB_ENV else 16
+RB_STREAMED = int(_RB_ENV) if _RB_ENV else 8
+
+
+def _rb_for(scene: "SceneData") -> int:
+    from pupiloptixlab_tpu.accel.pallas_bvh import STREAM_TRI_BYTES
+
+    packed = scene.tris.packed
+    streamed = packed.shape[0] * packed.shape[1] * 4 > STREAM_TRI_BYTES
+    return RB_STREAMED if streamed else RB_RESIDENT
 
 
 def _register(cls):
@@ -234,7 +250,7 @@ def _ray_sort_key_leaf(origin_prim, rd: Vec3, config: RenderConfig, mask=None):
 
 def _sorted_ray_sweep(
     ro: Vec3, rd: Vec3, tmin, tmax, coherent, n_chunks, run,
-    sort_keys=None, const_tmin=None, const_tmax=None,
+    sort_keys=None, const_tmin=None, const_tmax=None, rb=RB_RESIDENT,
 ):
     """Shared pad + coherence-sort + un-permute wrapper around a sweep
     callable ``run(arrays) -> (t, idx-or-occluded)``.
@@ -248,7 +264,7 @@ def _sorted_ray_sweep(
     from pupiloptixlab_tpu.accel.pallas_intersect import LANES
 
     n = ro.x.shape[0]
-    block = LANES * PALLAS_RB
+    block = LANES * rb
     pad = (-n) % block
 
     def padv(a):
@@ -314,6 +330,7 @@ def _sweep_tris_pallas(
     const_tmin=None, const_tmax=None,
 ):
     n_chunks = scene.tris.chunk_boxes.shape[0]
+    rb = _rb_for(scene)
     sort_keys = (
         _ray_sort_key_leaf(origin_prim, rd, config, mask)
         if origin_prim is not None and config.bvh_nodes > 0
@@ -330,6 +347,7 @@ def _sweep_tris_pallas(
                 scene.tris.bvh_child,
                 scene.tris.bvh_axis,
                 scene.tris.bvh_boxes,
+                rb=rb,
                 tcl=config.bvh_tcl,
                 instanced=True,
                 leaf_start=scene.tris.leaf_start,
@@ -341,7 +359,7 @@ def _sweep_tris_pallas(
         t, idx, leaf = _sorted_ray_sweep(
             ro, rd, tmin, tmax, coherent, n_chunks, run,
             sort_keys=sort_keys, const_tmin=const_tmin,
-            const_tmax=const_tmax,
+            const_tmax=const_tmax, rb=rb,
         )
         inst = jnp.take(
             scene.tris.leaf_inst, jnp.maximum(leaf, 0), axis=0
@@ -367,6 +385,7 @@ def _sweep_tris_pallas(
                 scene.tris.bvh_child,
                 scene.tris.bvh_axis,
                 scene.tris.bvh_boxes,
+                rb=rb,
                 tcl=config.bvh_tcl,
                 interpret=_interp(),
             )
@@ -378,12 +397,12 @@ def _sweep_tris_pallas(
                 *arrays,
                 scene.tris.packed,
                 scene.tris.chunk_boxes,
-                rb=PALLAS_RB, tc=64, interpret=_interp(),
+                rb=rb, tc=64, interpret=_interp(),
             )
 
     t, idx = _sorted_ray_sweep(
         ro, rd, tmin, tmax, coherent, n_chunks, run, sort_keys=sort_keys,
-        const_tmin=const_tmin, const_tmax=const_tmax,
+        const_tmin=const_tmin, const_tmax=const_tmax, rb=rb,
     )
     u, v = _recompute_barycentrics(ro, rd, idx, scene)
     hit = idx >= 0
@@ -725,6 +744,8 @@ def intersect_any(
     if config.tri_count > 0 and config.bvh_nodes > 0 and _use_pallas():
         from pupiloptixlab_tpu.accel.pallas_bvh import bvh_anyhit
 
+        rb = _rb_for(scene)
+
         def run(arrays):
             occ = bvh_anyhit(
                 *arrays,
@@ -732,6 +753,7 @@ def intersect_any(
                 scene.tris.bvh_child,
                 scene.tris.bvh_axis,
                 scene.tris.bvh_boxes,
+                rb=rb,
                 tcl=config.bvh_tcl,
                 instanced=config.instanced,
                 leaf_start=scene.tris.leaf_start if config.instanced else None,
@@ -749,7 +771,7 @@ def intersect_any(
         )
         (occ,) = _sorted_ray_sweep(
             ro, rd, tmin, tmax, coherent, n_chunks, run, sort_keys=sort_keys,
-            const_tmin=const_tmin,
+            const_tmin=const_tmin, rb=rb,
         )
         occluded = occ != 0
         if config.sphere_count > 0:
@@ -767,17 +789,19 @@ def intersect_any(
             sweep_triangles_any,
         )
 
+        rb = _rb_for(scene)
+
         def run(arrays):
             occ = sweep_triangles_any(
                 *arrays, scene.tris.packed, scene.tris.chunk_boxes,
-                rb=PALLAS_RB, tc=64, interpret=_interp(),
+                rb=rb, tc=64, interpret=_interp(),
             )
             return (occ,)
 
         n_chunks = scene.tris.chunk_boxes.shape[0]
         (occ,) = _sorted_ray_sweep(
             ro, rd, tmin, tmax, coherent, n_chunks, run,
-            sort_keys=None, const_tmin=const_tmin,
+            sort_keys=None, const_tmin=const_tmin, rb=rb,
         )
         occluded = occ != 0
         if config.sphere_count > 0:

@@ -50,13 +50,13 @@ import os as _os
 
 LANES = 128
 STACK_SIZE = 128  # dual-pop pushes up to 14 children/iteration
-# Ray rows per tile. 8 is the f32 sublane tile — Mosaic requires block
-# sublane counts divisible by 8, so 1024 rays (8 x 128) is the smallest
-# legal tile; ray sorting (accel/intersect.py) keeps those coherent.
-# PUPIL_RB widens the tile (16 -> 2048 rays): fewer tiles halves the
-# per-tile vector->scalar sync count per ray at the cost of larger
-# per-tile leaf unions (A/B knob; intersect.PALLAS_RB reads the same
-# env so the pad quantum stays consistent).
+# Ray rows per tile (fallback when the caller passes no rb). 8 is the
+# f32 sublane tile — Mosaic requires block sublane counts divisible by
+# 8, so 1024 rays (8 x 128) is the smallest legal tile. The production
+# path (accel/intersect.py::_rb_for) picks 16 for VMEM-resident tables
+# and 8 for streamed ones from tpu_suite A/B measurements and passes it
+# explicitly (with the sort pad quantum kept consistent); PUPIL_RB
+# overrides everywhere.
 DEFAULT_RB = int(_os.environ.get("PUPIL_RB", "8"))
 # In-flight leaf DMAs in streaming mode (ring of scratch buffers); the
 # fetch consumed at iteration i was issued at i - depth.

@@ -121,7 +121,7 @@ def main():
         # Iteration/leaf-visit statistics of the REAL closest kernel on
         # real bounce-1 rays, via the count_iters debug plane.
         from pupiloptixlab_tpu.accel.intersect import (
-            PALLAS_RB, _ray_sort_key_leaf, _sorted_ray_sweep,
+            RB_RESIDENT, _ray_sort_key_leaf, _sorted_ray_sweep,
         )
         from pupiloptixlab_tpu.accel.pallas_bvh import bvh_closest
         from pupiloptixlab_tpu.render import bsdf as bsdf_mod
@@ -152,7 +152,7 @@ def main():
             [*sort_keys, *arrays], dimension=0, num_keys=2, is_stable=False
         )
         arrays = list(sorted_ops[2:])
-        block = 128 * PALLAS_RB
+        block = 128 * RB_RESIDENT
         pad = (-n) % block
         if pad:
             arrays = [jnp.concatenate([a, jnp.zeros(pad, a.dtype)])
@@ -160,7 +160,7 @@ def main():
         t, code = bvh_closest(
             *arrays, data.tris.packed, data.tris.bvh_child,
             data.tris.bvh_axis, data.tris.bvh_boxes,
-            tcl=config.bvh_tcl, count_iters=True,
+            rb=RB_RESIDENT, tcl=config.bvh_tcl, count_iters=True,
         )
         code = np.asarray(code).reshape(-1)[::block]
         iters = code // 65536
