@@ -66,6 +66,14 @@ DEFAULT_STREAM_DEPTH = int(_os.environ.get("PUPIL_STREAM_DEPTH", "2"))
 # knob; 2 measured best-known, 4 halves syncs again at the cost of
 # wasted slab tests on shallow stacks).
 POP_N = int(_os.environ.get("PUPIL_POP_N", "2"))
+# Leaves tested per inner drain-loop iteration in the resident kernels.
+# >1 halves (etc.) the Mosaic while-loop overhead per leaf at the cost
+# of one duplicate/garbage leaf MT when the stack depth isn't a
+# multiple: SAFE because any leaf slice only ever contributes TRUE
+# intersections (tbest/occ take a min/or over real triangle hits, and
+# dead lanes carry empty ray intervals), the same argument that lets
+# streamed dead fetches run unguarded.
+DRAIN_N = int(_os.environ.get("PUPIL_DRAIN_N", "1"))
 
 
 def _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v):
@@ -389,13 +397,16 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
                 return s > 0
 
             def drain_body(s):
-                lstart = lstack_ref[s - 1]
-                if instanced:
-                    mt_update_inst(lstart)
-                else:
-                    start = clamp_leaf(lstart)
-                    mt_update(tri_ref[pl.ds(start, tcl), :], start)
-                return s - 1
+                # DRAIN_N leaves per iteration; index clamps below 0 re-
+                # test an already-drained slot — harmless (see DRAIN_N)
+                for j in range(DRAIN_N):
+                    lstart = lstack_ref[jnp.maximum(s - 1 - j, 0)]
+                    if instanced:
+                        mt_update_inst(lstart)
+                    else:
+                        start = clamp_leaf(lstart)
+                        mt_update(tri_ref[pl.ds(start, tcl), :], start)
+                return jnp.maximum(s - DRAIN_N, 0)
 
             def cond(c):
                 nsp, lsp = c[0], c[1]
@@ -576,12 +587,15 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
                 return s > 0
 
             def drain_body(s):
-                lstart = lstack_ref[s - 1]
-                if instanced:
-                    occ_update_inst(lstart)
-                else:
-                    occ_update(tri_ref[pl.ds(clamp_leaf(lstart), tcl), :])
-                return s - 1
+                for j in range(DRAIN_N):
+                    lstart = lstack_ref[jnp.maximum(s - 1 - j, 0)]
+                    if instanced:
+                        occ_update_inst(lstart)
+                    else:
+                        occ_update(
+                            tri_ref[pl.ds(clamp_leaf(lstart), tcl), :]
+                        )
+                return jnp.maximum(s - DRAIN_N, 0)
 
             def cond(c):
                 nsp, lsp = c
