@@ -72,8 +72,12 @@ POP_N = int(_os.environ.get("PUPIL_POP_N", "2"))
 # multiple: SAFE because any leaf slice only ever contributes TRUE
 # intersections (tbest/occ take a min/or over real triangle hits, and
 # dead lanes carry empty ray intervals), the same argument that lets
-# streamed dead fetches run unguarded.
-DRAIN_N = int(_os.environ.get("PUPIL_DRAIN_N", "1"))
+# streamed dead fetches run unguarded. Clamped >= 1: the drain loop
+# decrements by DRAIN_N, so 0/negative would never terminate.
+# NOTE (count_iters diagnostics): with DRAIN_N > 1 the leaf counter
+# counts stack DRAINS, not MT invocations — clamped duplicate re-tests
+# are invisible in the counter.
+DRAIN_N = max(1, int(_os.environ.get("PUPIL_DRAIN_N", "1")))
 
 
 def _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v):
@@ -638,8 +642,9 @@ def _call(kernel, tri, boxes, n, rb, outs, interpret, flops, leaf_count,
     rows = n // LANES
     scratch = [
         pltpu.SMEM((STACK_SIZE,), jnp.int32),
-        # leaf stack: drained 1/iteration, so worst-case depth is
-        # every leaf pushed before any drain = the whole leaf count
+        # leaf stack: drained DRAIN_N/iteration; worst-case depth is
+        # unchanged (every leaf pushed before any drain = the whole
+        # leaf count)
         pltpu.SMEM((max(leaf_count + 8, 64),), jnp.int32),
     ]
     if stream:

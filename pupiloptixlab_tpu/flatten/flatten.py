@@ -308,32 +308,15 @@ def _round_up(n: int, m: int) -> int:
     return max(((n + m - 1) // m) * m, m)
 
 
-def _tessellate_curve(pts: np.ndarray, degree: int, subdiv: int = 8):
-    """Control vertices (P, 4) [x y z r] -> polyline (M, 4).
+def _tessellate_curve(pts: np.ndarray, basis: str, subdiv: int = 8):
+    """Control vertices (P, 4) [x y z r] -> polyline (M, 4) whose pairs
+    become rounded-cone segments — the flatten-time analog of the four
+    optix builtin curve intersection modules (module.h:20-29). The
+    spline math lives in scene/curves.py (linear / quadratic b-spline /
+    cubic b-spline / catmull-rom, OptiX window semantics)."""
+    from pupiloptixlab_tpu.scene.curves import tessellate
 
-    degree 1 passes through; degree 3 evaluates a uniform Catmull-Rom
-    through the control points (endpoint-clamped), ``subdiv`` samples
-    per span — the flatten-time analog of the optix builtin curve
-    tessellation (module.h:20-29 exposes the hardware IS; here curves
-    become rounded-cone segments the analytic intersector handles)."""
-    pts = np.asarray(pts, np.float32)
-    if degree <= 1 or pts.shape[0] < 3:
-        return pts
-    p = np.concatenate([pts[:1], pts, pts[-1:]], axis=0)  # clamped ends
-    out = [pts[0]]
-    for i in range(pts.shape[0] - 1):
-        p0, p1, p2, p3 = p[i], p[i + 1], p[i + 2], p[i + 3]
-        for k in range(1, subdiv + 1):
-            t = k / subdiv
-            t2, t3 = t * t, t * t * t
-            v = 0.5 * (
-                (2.0 * p1)
-                + (-p0 + p2) * t
-                + (2.0 * p0 - 5.0 * p1 + 4.0 * p2 - p3) * t2
-                + (-p0 + 3.0 * p1 - 3.0 * p2 + p3) * t3
-            )
-            out.append(v.astype(np.float32))
-    return np.stack(out)
+    return tessellate(pts, basis, subdiv)
 
 
 def flatten_scene(
@@ -445,7 +428,8 @@ def flatten_scene(
         if ins.shape.type == ShapeType.CURVE:
             # round curves -> world-space rounded-cone segment rows
             poly = _tessellate_curve(
-                ins.shape.curve_points, ins.shape.curve_degree
+                ins.shape.curve_points,
+                getattr(ins.shape, "curve_basis", "linear"),
             )
             wp = transform_points(poly[:, :3], m).astype(np.float32)
             # radius scales by the mean axis scale of the transform

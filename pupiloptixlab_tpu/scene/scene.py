@@ -235,13 +235,23 @@ class Scene:
             else:
                 path = self.root_path / obj.properties.get("filename", "")
                 pts = _np.loadtxt(path, dtype=_np.float32).reshape(-1, 4)
-            degree = {"linearcurve": 1, "bsplinecurve": 3,
-                      "catmullromcurve": 3}[stype]
+            from pupiloptixlab_tpu.scene.curves import basis_for, min_points
             from pupiloptixlab_tpu.scene.shapes import Shape
 
+            deg_attr = obj.properties.get("degree")
+            basis = basis_for(stype, int(deg_attr) if deg_attr else None)
             s = Shape(ShapeType.CURVE, key=f"curve-{obj.id or id(obj)}")
             s.curve_points = pts
-            s.curve_degree = int(obj.properties.get("degree", degree))
+            s.curve_basis = basis
+            s.curve_degree = {"linear": 1, "bspline2": 2, "bspline3": 3,
+                              "catmullrom": 3}[basis]
+            if pts.shape[0] < min_points(basis):
+                log.warning(
+                    "curve %s: %d control points < %d required for %s; "
+                    "treating as linear", obj.id, pts.shape[0],
+                    min_points(basis), basis,
+                )
+                s.curve_basis, s.curve_degree = "linear", 1
             s.aabb.merge_points(pts[:, :3] + pts[:, 3:4])
             s.aabb.merge_points(pts[:, :3] - pts[:, 3:4])
             ins.shape = s

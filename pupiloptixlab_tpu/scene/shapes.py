@@ -52,11 +52,15 @@ class Shape:
     mesh: Mesh | None = None
     aabb: AABB = field(default_factory=AABB)
     key: str = ""  # dedupe key (file path or builtin name)
-    # round curve: control vertices (P, 4) [x y z radius] + spline degree
-    # (1 linear, 2 quadratic b-spline, 3 cubic b-spline); higher degrees
-    # tessellate to rounded-cone segments at flatten time
+    # round curve: control vertices (P, 4) [x y z radius] + basis from
+    # the builtin curve-module set (reference optix/module.h:20-29):
+    # "linear" | "bspline2" | "bspline3" | "catmullrom". Non-linear
+    # bases tessellate to rounded-cone segments at flatten time
+    # (scene/curves.py). curve_degree is kept as the legacy numeric view
+    # (1 linear, 2 quadratic, 3 cubic/catrom).
     curve_points: np.ndarray | None = None
     curve_degree: int = 1
+    curve_basis: str = "linear"
 
 
 @dataclass

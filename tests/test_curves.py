@@ -54,8 +54,12 @@ def test_curve_xml_parses(curve_scene):
     assert types.count(ShapeType.CURVE) == 2
     lin = scene.shape_instances[0].shape
     assert lin.curve_degree == 1 and lin.curve_points.shape == (3, 4)
-    # linear: 2 segments; cubic: tessellated to 8 per span (3 spans)
-    assert config.curve_count == 2 + 3 * 8
+    assert lin.curve_basis == "linear"
+    bsp = scene.shape_instances[1].shape
+    assert bsp.curve_basis == "bspline3"
+    # linear: 2 segments; cubic b-spline: 4 cvs = ONE span (OptiX window
+    # semantics) tessellated to 8 rounded cones
+    assert config.curve_count == 2 + 8
     assert data.curves.packed.shape[0] == config.curve_count
 
 
@@ -108,6 +112,150 @@ def test_curve_render_and_occlusion(curve_scene):
     assert img[24:40, 16:48, 0].max() > 0.05
     # const-env pixels away from the curves are the env color
     assert abs(img[2, 2].mean() - 0.8) < 0.05
+
+
+class TestCurveBases:
+    """The four builtin curve flavors (reference optix/module.h:20-29):
+    spline math properties + intersection convergence vs a DENSE
+    rounded-cone tessellation of the same spline."""
+
+    # a wiggly 6-cv strand with varying radius
+    CVS = np.array([
+        [-1.0, 0.0, 0.0, 0.20],
+        [-0.6, 0.5, 0.2, 0.16],
+        [-0.2, -0.1, -0.2, 0.12],
+        [0.2, 0.4, 0.1, 0.15],
+        [0.6, -0.2, -0.1, 0.10],
+        [1.0, 0.3, 0.0, 0.18],
+    ], np.float32)
+
+    def test_span_counts(self):
+        from pupiloptixlab_tpu.scene.curves import tessellate
+
+        p = self.CVS
+        assert tessellate(p, "linear").shape == (6, 4)
+        # quadratic: P-2 = 4 spans x 4 subdiv + 1
+        assert tessellate(p, "bspline2", 4).shape == (17, 4)
+        # cubic / catmullrom: P-3 = 3 spans x 4 subdiv + 1
+        assert tessellate(p, "bspline3", 4).shape == (13, 4)
+        assert tessellate(p, "catmullrom", 4).shape == (13, 4)
+
+    def test_partition_of_unity_and_hull(self):
+        """B-spline bases sum to 1 and stay in the control hull; the
+        affine-invariance every basis must satisfy."""
+        from pupiloptixlab_tpu.scene.curves import (
+            _catmullrom_coeffs,
+            _cubic_bspline_coeffs,
+            _quadratic_bspline_coeffs,
+        )
+
+        t = np.linspace(0, 1, 33)
+        for fn in (_quadratic_bspline_coeffs, _cubic_bspline_coeffs,
+                   _catmullrom_coeffs):
+            np.testing.assert_allclose(fn(t).sum(0), 1.0, atol=1e-6)
+        # b-splines (not CR) additionally have non-negative weights ->
+        # convex hull property
+        for fn in (_quadratic_bspline_coeffs, _cubic_bspline_coeffs):
+            assert fn(t).min() >= -1e-7
+
+    def test_catmullrom_interpolates_bspline_approximates(self):
+        from pupiloptixlab_tpu.scene.curves import tessellate
+
+        cr = tessellate(self.CVS, "catmullrom", 8)
+        # CR span i starts exactly at cv i+1 and ends at cv i+2
+        np.testing.assert_allclose(cr[0], self.CVS[1], atol=1e-6)
+        np.testing.assert_allclose(cr[-1], self.CVS[-2], atol=1e-6)
+        np.testing.assert_allclose(cr[8], self.CVS[2], atol=1e-6)
+        # cubic b-spline does NOT pass through interior cvs
+        bs = tessellate(self.CVS, "bspline3", 8)
+        assert np.abs(bs[8] - self.CVS[2]).max() > 1e-3
+        # ... but starts at the well-known (p0 + 4 p1 + p2)/6 point
+        np.testing.assert_allclose(
+            bs[0], (self.CVS[0] + 4 * self.CVS[1] + self.CVS[2]) / 6.0,
+            atol=1e-6,
+        )
+
+    def test_quadratic_bspline_midpoints(self):
+        from pupiloptixlab_tpu.scene.curves import tessellate
+
+        q = tessellate(self.CVS, "bspline2", 2)
+        # span endpoints of a uniform quadratic b-spline are the cv
+        # midpoints
+        np.testing.assert_allclose(
+            q[0], 0.5 * (self.CVS[0] + self.CVS[1]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            q[2], 0.5 * (self.CVS[1] + self.CVS[2]), atol=1e-6
+        )
+
+    @pytest.mark.parametrize("basis", ["bspline2", "bspline3", "catmullrom"])
+    def test_intersection_converges_to_dense_tessellation(
+        self, basis, tmp_path
+    ):
+        """Render-facing gate: hit distances of the production subdiv=8
+        tessellation match a 64x dense rounded-cone tessellation of the
+        SAME spline to within the max radius step per segment."""
+        from pupiloptixlab_tpu.accel.intersect import intersect_closest
+        from pupiloptixlab_tpu.flatten import flatten_scene
+        from pupiloptixlab_tpu.render.vec import Vec3
+        from pupiloptixlab_tpu.scene import load_scene
+        from pupiloptixlab_tpu.scene.curves import tessellate
+
+        stype = {"bspline2": "bsplinecurve", "bspline3": "bsplinecurve",
+                 "catmullrom": "catmullromcurve"}[basis]
+        deg = '<integer name="degree" value="2"/>' if basis == "bspline2" else ""
+        pts = "; ".join(",".join(f"{v}" for v in row) for row in self.CVS)
+        xml = f"""<scene version="3.0.0">
+          <integrator type="path"><integer name="max_depth" value="2"/></integrator>
+          <sensor type="perspective"><float name="fov" value="40"/>
+            <transform name="to_world">
+              <lookat origin="0, 0, 4" target="0, 0, 0" up="0, 1, 0"/>
+            </transform>
+            <film type="hdrfilm"><integer name="width" value="16"/>
+              <integer name="height" value="16"/></film>
+          </sensor>
+          <shape type="{stype}">{deg}
+            <string name="points" value="{pts}"/>
+            <bsdf type="diffuse"><rgb name="reflectance" value="0.5, 0.5, 0.5"/></bsdf>
+          </shape>
+        </scene>"""
+        p = tmp_path / "c.xml"
+        p.write_text(xml)
+        scene = load_scene(p)
+        assert scene.shape_instances[0].shape.curve_basis == basis
+        data, config = flatten_scene(scene)
+
+        # dense reference: hand-build a linear curve from a 64-subdiv
+        # tessellation of the same spline
+        dense = tessellate(self.CVS, basis, 64)
+        pts_d = "; ".join(
+            ",".join(f"{v:.9g}" for v in row) for row in dense
+        )
+        xml_d = xml.replace(
+            f'<shape type="{stype}">{deg}', '<shape type="linearcurve">'
+        ).replace(pts, pts_d)
+        pd = tmp_path / "d.xml"
+        pd.write_text(xml_d)
+        scene_d = load_scene(pd)
+        data_d, config_d = flatten_scene(scene_d)
+
+        # a fan of rays from above, crossing the strand
+        n = 64
+        xs = jnp.linspace(-1.0, 1.0, n)
+        ro = Vec3(xs, jnp.full(n, 0.05), jnp.full(n, 3.0))
+        rd = Vec3(jnp.zeros(n), jnp.zeros(n), jnp.full(n, -1.0))
+        tmn = jnp.full(n, 1e-3)
+        tmx = jnp.full(n, 1e16)
+        h8 = intersect_closest(ro, rd, tmn, tmx, data, config)
+        hd = intersect_closest(ro, rd, tmn, tmx, data_d, config_d)
+        m8 = np.asarray(h8.hit_mask)
+        md = np.asarray(hd.hit_mask)
+        # tessellation can flip grazing hits; interior hits must agree
+        both = m8 & md
+        assert both.sum() >= max(m8.sum(), md.sum()) - 6
+        assert both.any()
+        err = np.abs(np.asarray(h8.t)[both] - np.asarray(hd.t)[both])
+        assert err.max() < 0.02, err.max()
 
 
 def test_curve_anyhit_occludes(curve_scene):
