@@ -111,6 +111,109 @@ def _bench_denoise(width=1920, height=1080):
     return max(timed(6) - timed(1), 0.0) / 5 * 1e3
 
 
+def _bench_spectral(width=768, height=512, iters=4):
+    """Hero-wavelength spectral transport cost on the dispersion demo
+    scene, vs the same scene forced to RGB (the lift's per-factor cost;
+    render/spectral.py). Returns (spectral_ms, rgb_ms)."""
+    import dataclasses
+
+    from pupiloptixlab_tpu.flatten import camera_block_from_scene, flatten_scene
+    from pupiloptixlab_tpu.render.integrator import render_frame
+    from pupiloptixlab_tpu.scene import load_scene
+
+    scene = load_scene("data/dispersion.xml")
+    scene.sensor.film.w, scene.sensor.film.h = width, height
+    data, config = flatten_scene(scene)
+    camera = camera_block_from_scene(scene)
+    n = config.width * config.height
+    out = []
+    for cfg in (config, dataclasses.replace(config, spectral=False)):
+        accum = jnp.zeros((n, 3), jnp.float32)
+        accum, bufs = render_frame(
+            data, camera, jnp.uint32(0), jnp.int32(0), accum, cfg
+        )
+        jax.block_until_ready(bufs["frame"])
+        t0 = time.perf_counter()
+        for i in range(iters):
+            accum, bufs = render_frame(
+                data, camera, jnp.uint32(i + 1), jnp.int32(i + 1), accum, cfg
+            )
+        jax.block_until_ready(bufs["frame"])
+        out.append((time.perf_counter() - t0) / iters * 1e3)
+    return out[0], out[1]
+
+
+def _bench_restir(width=1920, height=1080, iters=4, gi=False):
+    """ReSTIR DI (or GI) frame time on the reference's many-light scene."""
+    from pupiloptixlab_tpu.flatten import camera_block_from_scene, flatten_scene
+    from pupiloptixlab_tpu.render.restir import restir_frame
+    from pupiloptixlab_tpu.scene import load_scene
+
+    scene = load_scene("/root/reference/data/static/restir_test.xml")
+    scene.sensor.film.w, scene.sensor.film.h = width, height
+    data, config = flatten_scene(scene)
+    camera = camera_block_from_scene(scene)
+    n = config.width * config.height
+    if gi:
+        from pupiloptixlab_tpu.render.restir_gi import restir_gi_frame
+
+        def step(i, prev, accum):
+            return restir_gi_frame(
+                data, camera, jnp.uint32(i), prev, accum, jnp.int32(i),
+                config,
+            )
+    else:
+        def step(i, prev, accum):
+            return restir_frame(
+                data, camera, jnp.uint32(i), prev, accum, jnp.int32(i),
+                config,
+            )
+
+    prev = jnp.zeros((n, 19), jnp.float32)  # packed reservoir rows
+    accum = jnp.zeros((n, 3), jnp.float32)
+    accum, prev, frame = step(0, prev, accum)
+    jax.block_until_ready(frame)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        accum, prev, frame = step(i + 1, prev, accum)
+    jax.block_until_ready(frame)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def _bench_interactive(width=1920, height=1080, frames=20):
+    """Sustained interactive rate on cornell 1080p THROUGH the display
+    path: each frame = render + device->host fetch + ACES/gamma tonemap
+    (the DisplayClient pump, display/client.py:76-96; BASELINE config 5).
+    Returns fps."""
+    import numpy as np
+
+    from pupiloptixlab_tpu.display.tonemap import aces_gamma_to_display
+    from pupiloptixlab_tpu.flatten import camera_block_from_scene, flatten_scene
+    from pupiloptixlab_tpu.render.integrator import render_frame
+    from pupiloptixlab_tpu.scene import load_scene
+
+    scene = load_scene("/root/reference/data/static/cornellbox.xml")
+    scene.sensor.film.w, scene.sensor.film.h = width, height
+    data, config = flatten_scene(scene)
+    camera = camera_block_from_scene(scene)
+    n = config.width * config.height
+    accum = jnp.zeros((n, 3), jnp.float32)
+    tone = jax.jit(aces_gamma_to_display)
+
+    def one(i, accum):
+        accum, bufs = render_frame(
+            data, camera, jnp.uint32(i), jnp.int32(i), accum, config
+        )
+        img = np.asarray(tone(bufs["frame"]))  # device -> host
+        return accum, img
+
+    accum, _ = one(0, accum)  # compile
+    t0 = time.perf_counter()
+    for i in range(frames):
+        accum, img = one(i + 1, accum)
+    return frames / (time.perf_counter() - t0)
+
+
 def main() -> None:
     cornell_mrays, cornell_ms, config = _bench_scene(
         "/root/reference/data/static/cornellbox.xml"
@@ -126,6 +229,27 @@ def main() -> None:
     except Exception as exc:  # generator/asset failure must not kill bench
         big = {"big_env_error": str(exc)[:120]}
     denoise_ms = _bench_denoise()
+    # engine-cost fields (VERDICT r3 #9): regressions in the spectral /
+    # ReSTIR engines become driver-visible round over round
+    extra = {}
+    try:
+        sp_ms, rgb_ms = _bench_spectral()
+        extra["spectral_ms"] = round(sp_ms, 2)
+        extra["spectral_rgb_ms"] = round(rgb_ms, 2)
+    except Exception as exc:
+        extra["spectral_error"] = str(exc)[:120]
+    try:
+        extra["restir_ms"] = round(_bench_restir(), 2)
+    except Exception as exc:
+        extra["restir_error"] = str(exc)[:120]
+    try:
+        extra["restir_gi_ms"] = round(_bench_restir(gi=True), 2)
+    except Exception as exc:
+        extra["restir_gi_error"] = str(exc)[:120]
+    try:
+        extra["interactive_fps"] = round(_bench_interactive(), 2)
+    except Exception as exc:
+        extra["interactive_error"] = str(exc)[:120]
 
     print(
         json.dumps(
@@ -140,6 +264,7 @@ def main() -> None:
                 "mesh_env_tris": mesh_config.tri_count,
                 "mesh_env_bvh_nodes": mesh_config.bvh_nodes,
                 **big,
+                **extra,
                 "denoise_ms": round(denoise_ms, 2),
                 "device": str(jax.devices()[0].platform),
                 "max_depth": config.max_depth,

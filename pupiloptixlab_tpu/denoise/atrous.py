@@ -65,34 +65,15 @@ def _luminance(c):
     jax.jit,
     static_argnames=(
         "iterations", "use_albedo", "use_normal",
-        "sigma_color", "sigma_albedo", "sigma_normal",
+        "sigma_color", "sigma_albedo", "sigma_normal", "sigma_variance",
+        "n_aovs",
     ),
 )
-def atrous_denoise(
-    color: jnp.ndarray,   # (h, w, 3) linear radiance
-    albedo: jnp.ndarray,  # (h, w, 3)
-    normal: jnp.ndarray,  # (h, w, 3)
-    iterations: int = 5,
-    use_albedo: bool = True,
-    use_normal: bool = True,
-    sigma_color: float = 0.35,
-    sigma_albedo: float = 0.15,
-    sigma_normal: float = 0.25,
+def _atrous_denoise_jnp(
+    color, albedo, normal, variance, aovs,
+    iterations, use_albedo, use_normal,
+    sigma_color, sigma_albedo, sigma_normal, sigma_variance, n_aovs,
 ):
-    if jax.default_backend() == "tpu":
-        # VMEM-windowed kernel: ~3x HBM per iteration instead of ~25x
-        # (interpret-mode parity pinned in tests/test_denoise.py)
-        from pupiloptixlab_tpu.denoise.pallas_atrous import (
-            atrous_denoise_pallas,
-        )
-
-        return atrous_denoise_pallas(
-            color, albedo, normal,
-            iterations=iterations,
-            use_albedo=use_albedo, use_normal=use_normal,
-            sigma_color=sigma_color, sigma_albedo=sigma_albedo,
-            sigma_normal=sigma_normal,
-        )
     # All arithmetic runs on (h, w) CHANNEL PLANES: a (h, w, 3) layout
     # pads the minor dim 3 to the 128-lane TPU tile, multiplying HBM
     # traffic ~42x (the render/vec.py Vec3 rule applied to images;
@@ -104,6 +85,9 @@ def atrous_denoise(
     cr, cg, cb = planes(color)
     ar, ag, ab_ = planes(albedo)
     nr, ng, nb = planes(normal)
+    aov_planes = [p for a in aovs for p in planes(a)]
+    use_var = variance is not None
+    var = variance if use_var else None
     inv_2sc = 1.0 / (2.0 * sigma_color**2)
     inv_2sa = 1.0 / (2.0 * sigma_albedo**2)
     n_pow = 1.0 / max(sigma_normal, 1e-3)
@@ -123,16 +107,39 @@ def atrous_denoise(
         # pad each input plane ONCE per iteration; all 25 taps are then
         # static slices of the shared pad (fuse-friendly, no per-tap
         # copies)
+        base = [cr, cg, cb, ar, ag, ab_, nr, ng, nb]
         pads = [
             jnp.pad(p, ((halo, halo), (halo, halo)), mode="edge")
-            for p in (cr, cg, cb, ar, ag, ab_, nr, ng, nb)
+            for p in base + aov_planes + ([var] if use_var else [])
         ]
-        pcr, pcg, pcb, par, pag, pab, pnr, png_, pnb = pads
+        pcr, pcg, pcb, par, pag, pab, pnr, png_, pnb = pads[:9]
+        paov = pads[9 : 9 + len(aov_planes)]
         acc_r = jnp.zeros_like(cr)
         acc_g = jnp.zeros_like(cr)
         acc_b = jnp.zeros_like(cr)
+        acc_aov = [jnp.zeros_like(cr) for _ in aov_planes]
         wsum = jnp.zeros_like(cr)
         lum_c = 0.2126 * cr + 0.7152 * cg + 0.0722 * cb
+        if use_var:
+            # SVGF (Schied et al. 2017): the luminance edge-stop scales
+            # by the local noise level so low-variance (converged) edges
+            # are preserved while high-variance regions blur freely. The
+            # variance estimate itself is prefiltered 3x3 for stability
+            # and carried through iterations with w^2 weights below.
+            pvar = pads[-1]
+            # 3x3 binomial prefilter [1 2 1]/4 x [1 2 1]/4
+            gvar = jnp.zeros_like(cr)
+            for gy, ky in ((-1, 0.25), (0, 0.5), (1, 0.25)):
+                for gx, kx in ((-1, 0.25), (0, 0.5), (1, 0.25)):
+                    gvar = gvar + ky * kx * jax.lax.slice(
+                        pvar, (halo + gy, halo + gx),
+                        (halo + gy + h, halo + gx + w_),
+                    )
+            inv_sl = 1.0 / (
+                sigma_variance * jnp.sqrt(jnp.maximum(gvar, 0.0)) + 1e-6
+            )
+            acc_var = jnp.zeros_like(cr)
+            w2sum = jnp.zeros_like(cr)
         for iy in range(-2, 3):
             for ix in range(-2, 3):
                 k = float(_B3[iy + 2] * _B3[ix + 2])
@@ -144,7 +151,10 @@ def atrous_denoise(
 
                 scr, scg, scb = sh(pcr), sh(pcg), sh(pcb)
                 dl = 0.2126 * scr + 0.7152 * scg + 0.0722 * scb - lum_c
-                w = k * jnp.exp(-(dl * dl) * inv_2sc)
+                if use_var:
+                    w = k * jnp.exp(-jnp.abs(dl) * inv_sl)
+                else:
+                    w = k * jnp.exp(-(dl * dl) * inv_2sc)
                 if use_albedo:
                     da = (
                         (sh(par) - ar) ** 2
@@ -161,10 +171,78 @@ def atrous_denoise(
                 acc_r = acc_r + scr * w
                 acc_g = acc_g + scg * w
                 acc_b = acc_b + scb * w
+                # AOV layers take the SAME edge-stopping weights as the
+                # beauty (the APPLY_TO_AOV / AOV-model semantics,
+                # reference optix/denoiser.cpp:62-75)
+                for j, pa in enumerate(paov):
+                    acc_aov[j] = acc_aov[j] + sh(pa) * w
                 wsum = wsum + w
+                if use_var:
+                    acc_var = acc_var + sh(pvar) * (w * w)
+                    w2sum = w2sum + w * w
         inv_w = 1.0 / jnp.maximum(wsum, 1e-8)
         cr, cg, cb = acc_r * inv_w, acc_g * inv_w, acc_b * inv_w
-    return jnp.stack([cr, cg, cb], axis=-1)
+        aov_planes = [a * inv_w for a in acc_aov]
+        if use_var:
+            # Var[sum w x / sum w] = sum w^2 var / (sum w)^2
+            var = acc_var * inv_w * inv_w
+    out = jnp.stack([cr, cg, cb], axis=-1)
+    aovs_out = tuple(
+        jnp.stack(aov_planes[3 * i : 3 * i + 3], axis=-1)
+        for i in range(n_aovs)
+    )
+    return out, aovs_out
+
+
+def atrous_denoise(
+    color: jnp.ndarray,   # (h, w, 3) linear radiance
+    albedo: jnp.ndarray,  # (h, w, 3)
+    normal: jnp.ndarray,  # (h, w, 3)
+    iterations: int = 5,
+    use_albedo: bool = True,
+    use_normal: bool = True,
+    sigma_color: float = 0.35,
+    sigma_albedo: float = 0.15,
+    sigma_normal: float = 0.25,
+    variance: jnp.ndarray | None = None,  # (h, w) luminance variance
+    aovs: tuple = (),                     # extra (h, w, 3) layers
+    sigma_variance: float = 4.0,
+):
+    """Edge-avoiding a-trous filter.
+
+    ``variance``: per-pixel luminance variance of ``color`` switches the
+    luminance edge-stop to the SVGF form exp(-|dl| / (sigma_v *
+    sqrt(gauss3x3(var)))) — noise-adaptive, measurably lower MSE than
+    the fixed sigma_color stop (gated in tests/test_denoise.py); the
+    variance field is filtered alongside with w^2 weights.
+
+    ``aovs``: extra (h, w, 3) layers filtered with the SAME weights as
+    the beauty (the APPLY_TO_AOV semantics). When given, returns
+    (color', tuple(aovs')) instead of color' alone.
+    """
+    plain = variance is None and not aovs
+    if jax.default_backend() == "tpu" and plain:
+        # VMEM-windowed kernel: ~3x HBM per iteration instead of ~25x
+        # (interpret-mode parity pinned in tests/test_denoise.py).
+        # Variance/AOV modes take the jnp path (still plane-based).
+        from pupiloptixlab_tpu.denoise.pallas_atrous import (
+            atrous_denoise_pallas,
+        )
+
+        return atrous_denoise_pallas(
+            color, albedo, normal,
+            iterations=iterations,
+            use_albedo=use_albedo, use_normal=use_normal,
+            sigma_color=sigma_color, sigma_albedo=sigma_albedo,
+            sigma_normal=sigma_normal,
+        )
+    out, aovs_out = _atrous_denoise_jnp(
+        color, albedo, normal, variance, tuple(aovs),
+        iterations, use_albedo, use_normal,
+        sigma_color, sigma_albedo, sigma_normal, sigma_variance,
+        len(aovs),
+    )
+    return (out, aovs_out) if aovs else out
 
 
 @jax.jit
@@ -278,23 +356,36 @@ def denoise(
     mode: DenoiserMode = DenoiserMode.USE_ALBEDO | DenoiserMode.USE_NORMAL,
     iterations: int = 5,
     motion=None,
+    variance=None,
+    aovs: dict | None = None,
 ):
     """One-shot functional interface; inputs are (h, w, 3) (+ optional
-    (h, w, 2) motion vectors for temporal reprojection)."""
+    (h, w, 2) motion vectors for temporal reprojection, an (h, w)
+    luminance-variance plane for the SVGF edge-stop, and — with
+    APPLY_TO_AOV in the mode — a dict of named (h, w, 3) AOV layers
+    filtered with the beauty's weights). With AOVs the return is
+    (color', {name: aov'}); otherwise just color'."""
     use_albedo = bool(mode & DenoiserMode.USE_ALBEDO) and albedo is not None
     use_normal = bool(mode & DenoiserMode.USE_NORMAL) and normal is not None
     if albedo is None:
         albedo = jnp.zeros_like(color)
     if normal is None:
         normal = jnp.zeros_like(color)
-    out = atrous_denoise(
+    do_aov = bool(mode & DenoiserMode.APPLY_TO_AOV) and aovs
+    names = tuple(aovs.keys()) if do_aov else ()
+    res = atrous_denoise(
         color, albedo, normal,
         iterations=iterations, use_albedo=use_albedo, use_normal=use_normal,
+        variance=variance,
+        aovs=tuple(aovs[k] for k in names) if do_aov else (),
     )
+    out, aov_list = res if do_aov else (res, ())
     if mode & DenoiserMode.TEMPORAL and previous is not None:
         out = temporal_blend(out, previous, motion=motion)
     if mode & DenoiserMode.UPSCALE_2X:
         out = upscale_2x(out)
+    if do_aov:
+        return out, dict(zip(names, aov_list))
     return out
 
 
@@ -313,23 +404,38 @@ class Denoiser:
         self.width, self.height = width, height
         self._previous = None
 
-    def execute(self, layers: dict) -> jnp.ndarray:
+    def execute(self, layers: dict):
         """layers: {'input': (h,w,3) [, 'albedo', 'normal', 'prev',
-        'motion']} — the optix::Denoiser::Execute layer set
-        (denoiser.cpp:171-267; 'motion' is the temporal flow buffer,
-        see camera_motion_vectors for the camera-only case)."""
+        'motion', 'variance', 'aovs': {name: (h,w,3)}]} — the
+        optix::Denoiser::Execute layer set (denoiser.cpp:171-267;
+        'motion' is the temporal flow buffer, see camera_motion_vectors
+        for the camera-only case; 'aovs' are the extra layers the AOV
+        model kind denoises alongside the beauty, denoiser.cpp:62-75).
+        Returns the denoised beauty, or (beauty, {name: aov'}) when the
+        mode has APPLY_TO_AOV and 'aovs' layers were given."""
         color = layers["input"]
         albedo = layers.get("albedo")
         normal = layers.get("normal")
         previous = layers.get("prev", self._previous)
         motion = layers.get("motion")
+        variance = layers.get("variance")
+        aovs = layers.get("aovs")
+        do_aov = bool(self.mode & DenoiserMode.APPLY_TO_AOV) and aovs
         if self.mode & DenoiserMode.TILED and color.shape[0] > self.tile_size:
             out = self._execute_tiled(color, albedo, normal, previous)
+            aov_out = None
+        elif do_aov:
+            out, aov_out = denoise(
+                color, albedo, normal, previous, self.mode, motion=motion,
+                variance=variance, aovs=aovs,
+            )
         else:
-            out = denoise(color, albedo, normal, previous, self.mode, motion=motion)
+            out = denoise(color, albedo, normal, previous, self.mode,
+                          motion=motion, variance=variance)
+            aov_out = None
         if self.mode & DenoiserMode.TEMPORAL:
             self._previous = out
-        return out
+        return (out, aov_out) if do_aov else out
 
     def _execute_tiled(self, color, albedo, normal, previous):
         """Overlapped tiles (denoiser.cpp:232-246 analog)."""

@@ -25,6 +25,7 @@ the rotating shard; equality of the two is pinned by
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -33,6 +34,211 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 MAX_DISTANCE = 1e16
 _DET_EPS = 1e-12
+
+
+@dataclass(frozen=True)
+class RingBvh:
+    """Per-shard 8-wide BVHs for ring-rotated traversal (stacked over a
+    leading shard dim, device-put with that dim sharded over the mesh).
+
+    Every shard has IDENTICAL array shapes (rows padded to the max,
+    node tables padded to the max node count — padding nodes are never
+    reachable from the root), so the whole tuple rotates through ONE
+    ppermute per round."""
+
+    rows: jnp.ndarray     # (D, S, 12) shard triangle rows (BVH order)
+    child: jnp.ndarray    # (D, M*8) i32
+    axis: jnp.ndarray     # (D, M) i32
+    boxes: jnp.ndarray    # (D, M*8, 8) f32
+    remap: jnp.ndarray    # (D*S,) i32 local (shard, row) -> GLOBAL row
+                          # (replicated: 4 B/tri vs 48 B/tri for rows)
+    shard_rows: int
+    tcl: int
+
+
+def build_ring_bvh(tris_packed, mesh: Mesh, tcl: int | None = None,
+                   min_tcl: int = 16) -> RingBvh:
+    """Partition the GLOBAL BVH-ordered triangle table into D contiguous
+    row ranges (contiguous ranges of a BVH-ordered table are spatially
+    compact) and build one 8-wide BVH per shard (accel/bvh.py — the
+    same builder the single-chip path uses, so traversal inherits its
+    ~log leaf-union behavior instead of the chunk sweep's O(T/D) pair
+    tests per round; VERDICT r3 item 3)."""
+    import numpy as np
+
+    from pupiloptixlab_tpu.accel.bvh import build_bvh, pick_leaf_size
+
+    rows = np.asarray(tris_packed, np.float32)
+    t, cols = rows.shape
+    d = mesh.devices.size
+    if tcl is None:
+        tcl = pick_leaf_size(max(-(-t // d), 1), min_tcl=min_tcl)
+    shard_rows = -(-t // d)
+    shard_rows = ((shard_rows + tcl - 1) // tcl) * tcl
+    shard_rows = max(shard_rows, 2 * tcl)  # build_bvh needs T > tcl
+    pad = d * shard_rows - t
+    if pad:
+        rows = np.concatenate([rows, np.zeros((pad, cols), np.float32)], 0)
+
+    shard_rows_l, childs, axes, boxes_l, remap = [], [], [], [], []
+    for s in range(d):
+        rs = rows[s * shard_rows : (s + 1) * shard_rows]
+        valid = int(np.clip(t - s * shard_rows, 0, shard_rows))
+        p0 = rs[:, 0:3]
+        p1 = p0 + rs[:, 3:6]
+        p2 = p0 + rs[:, 6:9]
+        if valid == 0:
+            # fully dead shard (tiny scene on a big mesh): a one-node
+            # tree whose children are all empty leaves
+            from pupiloptixlab_tpu.accel.bvh import BvhArrays
+
+            bv = BvhArrays(
+                order=np.arange(shard_rows),
+                child=np.full(8, -1, np.int32),
+                axis=np.zeros(1, np.int32),
+                boxes=np.tile(
+                    np.array([[1e30, 1e30, 1e30, -1e30, -1e30, -1e30,
+                               0, 0]], np.float32), (8, 1)),
+                tcl=tcl, n_nodes=1,
+            )
+        else:
+            bv = build_bvh(p0, p1, p2, valid, tcl)
+        shard_rows_l.append(rs[bv.order])
+        childs.append(bv.child)
+        axes.append(bv.axis)
+        boxes_l.append(bv.boxes)
+        remap.append(s * shard_rows + bv.order.astype(np.int64))
+
+    m_max = max(c.shape[0] // 8 for c in childs)
+
+    def pad_nodes(c, a, b):
+        m = c.shape[0] // 8
+        if m == m_max:
+            return c, a, b
+        return (
+            np.concatenate([c, np.full((m_max - m) * 8, -1, np.int32)]),
+            np.concatenate([a, np.zeros(m_max - m, np.int32)]),
+            np.concatenate(
+                [b, np.zeros(((m_max - m) * 8, 8), np.float32)], 0
+            ),
+        )
+
+    padded = [pad_nodes(c, a, b) for c, a, b in zip(childs, axes, boxes_l)]
+    spec = P(mesh.axis_names[0])
+
+    def put(x, sharded=True):
+        return jax.device_put(
+            x, NamedSharding(mesh, spec if sharded else P())
+        )
+
+    return RingBvh(
+        rows=put(np.stack(shard_rows_l)),
+        child=put(np.stack([p[0] for p in padded])),
+        axis=put(np.stack([p[1] for p in padded])),
+        boxes=put(np.stack([p[2] for p in padded])),
+        remap=put(np.concatenate(remap).astype(np.int32), sharded=False),
+        shard_rows=shard_rows,
+        tcl=tcl,
+    )
+
+
+def ring_closest_bvh(
+    mesh: Mesh,
+    ro_flat: jnp.ndarray,    # (3, N) ray origin component rows
+    rd_flat: jnp.ndarray,    # (3, N)
+    tmin: jnp.ndarray,       # (N,)
+    tmax: jnp.ndarray,       # (N,)
+    ring: RingBvh,
+    rb: int = 8,
+    interpret: bool = False,
+):
+    """Closest hit with per-shard BVH TRAVERSAL under rotation: D rounds,
+    each walking the currently-held shard's own 8-wide tree
+    (accel/pallas_bvh.py) over the chip's resident rays, then rotating
+    the (rows, child, axis, boxes) tuple one ICI hop. Per-round work is
+    ~log(T/D) leaf visits per ray tile instead of the chunk sweep's
+    O(T/D) pair tests — the huge-scene regime this mode exists for.
+    Returns (t, idx) pixel-sharded, idx in GLOBAL rows (one replicated
+    remap take at the end; -1 = miss)."""
+    from jax import shard_map
+
+    from pupiloptixlab_tpu.accel.pallas_bvh import bvh_closest
+
+    axis_name = mesh.axis_names[0]
+    d = mesh.devices.size
+    s_rows = ring.shard_rows
+    tcl = ring.tcl
+
+    def per_chip(ro, rd, tmn, tmx, rows, child, ax, boxes):
+        my = jax.lax.axis_index(axis_name)
+        n = tmn.shape[0]
+        rows0, child0 = rows[0], child[0]
+        ax0, boxes0 = ax[0], boxes[0]
+
+        # dead-pad local rays to the (rb x 128) tile quantum; padding
+        # lanes carry an empty interval so the root slab rejects them
+        pad_n = (-n) % (rb * 128)
+
+        def padv(a, v=0.0):
+            return jnp.concatenate(
+                [a, jnp.full((pad_n,), v, a.dtype)]
+            ) if pad_n else a
+
+        rop = [padv(ro[i]) for i in range(3)]
+        rdp = [padv(rd[i], 1.0) for i in range(3)]
+        tmnp = padv(tmn, 1.0)
+        tmxp = padv(tmx, 0.0)
+
+        def round_body(k, carry):
+            bt, bs, bl, rows_c, child_c, ax_c, boxes_c = carry
+            tp, ip = bvh_closest(
+                *rop, *rdp, tmnp, tmxp,
+                rows_c, child_c, ax_c, boxes_c,
+                rb=rb, tcl=tcl, interpret=interpret,
+            )
+            t, i = tp[:n], ip[:n]
+            better = (i >= 0) & (t < bt)
+            bt = jnp.where(better, t, bt)
+            # the shard held at round k started life on chip (my+k)%d
+            bs = jnp.where(better, (my + k) % d, bs)
+            bl = jnp.where(better, i, bl)
+            perm = [(i_, (i_ - 1) % d) for i_ in range(d)]
+            rows_c, child_c, ax_c, boxes_c = jax.lax.ppermute(
+                (rows_c, child_c, ax_c, boxes_c), axis_name, perm
+            )
+            return bt, bs, bl, rows_c, child_c, ax_c, boxes_c
+
+        init = (
+            jnp.full(n, MAX_DISTANCE, jnp.float32),
+            jnp.zeros(n, jnp.int32),
+            jnp.full(n, -1, jnp.int32),
+            rows0, child0, ax0, boxes0,
+        )
+        bt, bs, bl, *_ = jax.lax.fori_loop(0, d, round_body, init)
+        return bt, bs, bl
+
+    vec = P(None, axis_name)
+    spec = P(axis_name)
+    fn = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(vec, vec, spec, spec,
+                  spec, spec, spec, spec),
+        out_specs=(spec, spec, spec),
+        check_vma=False,
+    )
+    bt, bs, bl = jax.jit(fn)(
+        ro_flat, rd_flat, tmin, tmax,
+        ring.rows, ring.child, ring.axis, ring.boxes,
+    )
+    # resolve (winning shard, local row) -> global row through the
+    # replicated 4-byte remap (one native take per sweep)
+    idx = jnp.where(
+        bl >= 0,
+        jnp.take(ring.remap, bs * s_rows + jnp.maximum(bl, 0), axis=0),
+        -1,
+    )
+    return bt, idx
 
 
 def shard_tris(tris_packed: jnp.ndarray, mesh: Mesh):

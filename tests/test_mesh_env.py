@@ -33,6 +33,7 @@ def test_obj_loader_counts(mesh_scene):
     assert np.all((norms > 0.99) & (norms < 1.01))
 
 
+@pytest.mark.heavy
 def test_mesh_env_render_and_denoise(mesh_scene):
     from pupiloptixlab_tpu.denoise import Denoiser, DenoiserMode
     from pupiloptixlab_tpu.render.integrator import render_frame

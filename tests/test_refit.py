@@ -94,6 +94,7 @@ def test_visibility_refit_matches_host(cornell_world):
     _tree_allclose(data2.tris, host2.tris)
 
 
+@pytest.mark.heavy
 def test_refit_render_matches_host_render_with_bvh(tmp_path):
     """Mesh scene (BVH path): refit must render the moved scene right.
     The BVH keeps its topology (refit semantics) so arrays are NOT

@@ -67,6 +67,7 @@ def _downsample(img, f=8):
     ).mean(axis=(1, 3))
 
 
+@pytest.mark.heavy
 def test_restir_di_matches_pt_direct(restir_scene):
     data, config, camera = restir_scene
     n = config.width * config.height
@@ -99,6 +100,7 @@ def test_restir_di_matches_pt_direct(restir_scene):
     assert np.median(rel) < 0.25, np.median(rel)
 
 
+@pytest.mark.heavy
 def test_restir_di_matches_pt_direct_with_env():
     """Energy parity on a scene with BOTH area lights and an environment
     light — the case where round 2's estimator was 1.61x over-bright
@@ -166,6 +168,7 @@ def test_restir_variance_beats_single_nee(restir_scene):
     )
 
 
+@pytest.mark.heavy
 def test_restir_gi_matches_pt_indirect(restir_scene):
     """ReSTIR-GI (emission + 1-NEE direct + reservoir one-bounce
     indirect) converges to brute PT at depth 3 on the all-diffuse
@@ -196,6 +199,7 @@ def test_restir_gi_matches_pt_indirect(restir_scene):
     assert np.median(rel) < 0.25, np.median(rel)
 
 
+@pytest.mark.heavy
 def test_restir_gi_motion_warp_reuses_history():
     """With a moving camera, motion-warped temporal reuse must keep
     more reservoir history alive than identity reuse (which fails the
@@ -246,6 +250,7 @@ def test_restir_gi_motion_warp_reuses_history():
     assert m_warp > 1.2 * m_ident, (m_warp, m_ident)
 
 
+@pytest.mark.heavy
 def test_restir_gi_mirror_sees_emitter_and_indirect():
     """Delta continuations can't ride reservoirs; their one-bounce
     contribution (emission at y + NEE at y, BSDF-weighted) must flow
@@ -324,6 +329,7 @@ def test_restir_gi_mirror_sees_emitter_and_indirect():
     assert np.median(rel) < 0.25, np.median(rel)
 
 
+@pytest.mark.heavy
 def test_restir_gi_variance_beats_one_pt_sample(restir_scene):
     """The GI reservoir's reuse (temporal M growth + spatial taps) must
     make a single frame's indirect estimate clearly less noisy than one
