@@ -65,10 +65,12 @@ class Hit:
                           # Instanced scenes (config.instanced): the
                           # UNIQUE object-space tri row.
     kind: jnp.ndarray     # (N,) i32: 0 tri, 1 sphere, -1 miss
-    u: jnp.ndarray        # (N,) barycentric u (weight of p1)
-    v: jnp.ndarray        # (N,) barycentric v (weight of p2)
     inst: jnp.ndarray     # (N,) i32 instance id (instanced scenes only;
                           # zeros otherwise)
+    # Barycentrics are NOT carried: get_local_geometry recomputes them
+    # with one Moller-Trumbore on the p0/e1/e2 mirror columns of the
+    # SAME attrs gather it already does (flatten/types.py TRI_P0) —
+    # measured cheaper than a second 9-col gather per closest sweep.
 
     @property
     def hit_mask(self) -> jnp.ndarray:
@@ -101,34 +103,6 @@ def _mt_planes(ro: Vec3, rd: Vec3, p0: Vec3, e1: Vec3, e2: Vec3):
     v = rd.dot(qvec) * inv
     t = e2.dot(qvec) * inv
     return det, t, u, v
-
-
-def _recompute_barycentrics(ro: Vec3, rd: Vec3, idx, scene: SceneData,
-                            inst=None):
-    """One Moller-Trumbore re-test of the winning triangle per ray —
-    cheaper than carrying u/v through the sweep. ``inst`` (instanced
-    scenes): per-lane instance ids; rays are transformed into object
-    space first (barycentrics are affine-invariant)."""
-    from pupiloptixlab_tpu.accel.gather import gather_cols
-
-    cols = gather_cols(scene.tris.packed[:, :9], jnp.maximum(idx, 0))
-    p0 = Vec3(cols[0], cols[1], cols[2])
-    e1 = Vec3(cols[3], cols[4], cols[5])
-    e2 = Vec3(cols[6], cols[7], cols[8])
-    if inst is not None:
-        w = gather_cols(scene.tris.inst_w2o, inst)  # (12, N)
-        ro = Vec3(
-            w[0] * ro.x + w[1] * ro.y + w[2] * ro.z + w[3],
-            w[4] * ro.x + w[5] * ro.y + w[6] * ro.z + w[7],
-            w[8] * ro.x + w[9] * ro.y + w[10] * ro.z + w[11],
-        )
-        rd = Vec3(
-            w[0] * rd.x + w[1] * rd.y + w[2] * rd.z,
-            w[4] * rd.x + w[5] * rd.y + w[6] * rd.z,
-            w[8] * rd.x + w[9] * rd.y + w[10] * rd.z,
-        )
-    _, _, u, v = _mt_planes(ro, rd, p0, e1, e2)
-    return u, v
 
 
 def _ray_sort_key(ro: Vec3, rd: Vec3) -> jnp.ndarray:
@@ -364,14 +338,11 @@ def _sweep_tris_pallas(
         inst = jnp.take(
             scene.tris.leaf_inst, jnp.maximum(leaf, 0), axis=0
         ).astype(jnp.int32)
-        u, v = _recompute_barycentrics(ro, rd, idx, scene, inst=inst)
         hit = idx >= 0
         return (
             jnp.where(hit, t, MAX_DISTANCE),
             jnp.where(hit, idx, 0),
             jnp.where(hit, 0, -1),
-            jnp.where(hit, u, 0.0),
-            jnp.where(hit, v, 0.0),
             jnp.where(hit, inst, 0),
         )
 
@@ -404,15 +375,12 @@ def _sweep_tris_pallas(
         ro, rd, tmin, tmax, coherent, n_chunks, run, sort_keys=sort_keys,
         const_tmin=const_tmin, const_tmax=const_tmax, rb=rb,
     )
-    u, v = _recompute_barycentrics(ro, rd, idx, scene)
     hit = idx >= 0
     n = ro.x.shape[0]
     return (
         jnp.where(hit, t, MAX_DISTANCE),
         jnp.where(hit, idx, 0),
         jnp.where(hit, 0, -1),
-        jnp.where(hit, u, 0.0),
-        jnp.where(hit, v, 0.0),
         jnp.zeros(n, jnp.int32),
     )
 
@@ -436,7 +404,7 @@ def _sweep_tris_xla(ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData):
     tri_chunks = packed.reshape(-1, chunk, packed.shape[1])
 
     def body(carry, args):
-        bt, bp, bk, bu, bv = carry
+        bt, bp, bk = carry
         rows, base = args  # (chunk, 12)
         p0 = Vec3(rows[:, 0][None], rows[:, 1][None], rows[:, 2][None])
         e1 = Vec3(rows[:, 3][None], rows[:, 4][None], rows[:, 5][None])
@@ -460,16 +428,12 @@ def _sweep_tris_xla(ro: Vec3, rd: Vec3, tmin, tmax, scene: SceneData):
         bt = jnp.where(better, tj, bt)
         bp = jnp.where(better, base + j.astype(jnp.int32), bp)
         bk = jnp.where(better, 0, bk)
-        bu = jnp.where(better, u[rows_idx, j], bu)
-        bv = jnp.where(better, v[rows_idx, j], bv)
-        return (bt, bp, bk, bu, bv), None
+        return (bt, bp, bk), None
 
     init = (
         jnp.full(n, MAX_DISTANCE, jnp.float32),
         jnp.zeros(n, jnp.int32),
         jnp.full(n, -1, jnp.int32),
-        jnp.zeros(n, jnp.float32),
-        jnp.zeros(n, jnp.float32),
     )
     bases = (jnp.arange(tri_chunks.shape[0]) * chunk).astype(jnp.int32)
     carry, _ = jax.lax.scan(body, init, (tri_chunks, bases))
@@ -488,7 +452,7 @@ def _sweep_tris_xla_instanced(ro: Vec3, rd: Vec3, tmin, tmax,
     packed = tris.packed
 
     def body(carry, leaf):
-        bt, bp, bk, bu, bv, bi = carry
+        bt, bp, bk, bi = carry
         start, inst = leaf
         rows = jax.lax.dynamic_slice(
             packed, (start, jnp.int32(0)), (tcl, packed.shape[1])
@@ -522,17 +486,13 @@ def _sweep_tris_xla_instanced(ro: Vec3, rd: Vec3, tmin, tmax,
         bt = jnp.where(better, tj, bt)
         bp = jnp.where(better, start + j.astype(jnp.int32), bp)
         bk = jnp.where(better, 0, bk)
-        bu = jnp.where(better, u[rows_idx, j], bu)
-        bv = jnp.where(better, v[rows_idx, j], bv)
         bi = jnp.where(better, inst, bi)
-        return (bt, bp, bk, bu, bv, bi), None
+        return (bt, bp, bk, bi), None
 
     init = (
         jnp.full(n, MAX_DISTANCE, jnp.float32),
         jnp.zeros(n, jnp.int32),
         jnp.full(n, -1, jnp.int32),
-        jnp.zeros(n, jnp.float32),
-        jnp.zeros(n, jnp.float32),
         jnp.zeros(n, jnp.int32),
     )
     carry, _ = jax.lax.scan(
@@ -677,8 +637,6 @@ def intersect_closest(
         jnp.full(n, MAX_DISTANCE, jnp.float32),
         jnp.zeros(n, jnp.int32),
         jnp.full(n, -1, jnp.int32),
-        jnp.zeros(n, jnp.float32),
-        jnp.zeros(n, jnp.float32),
         jnp.zeros(n, jnp.int32),
     )
     if config.tri_count > 0:
@@ -695,7 +653,7 @@ def intersect_closest(
             best = _sweep_tris_xla(ro, rd, tmin, tmax, scene) + (
                 jnp.zeros(n, jnp.int32),
             )
-    best_t, best_prim, best_kind, best_u, best_v, best_inst = best
+    best_t, best_prim, best_kind, best_inst = best
 
     if config.sphere_count > 0:
         t_s, hit_s = _sphere_tests(ro, rd, scene, tmin, tmax)  # (S, N)
@@ -713,8 +671,7 @@ def intersect_closest(
         best_t = jnp.where(better, tj, best_t)
         best_prim = jnp.where(better, j.astype(jnp.int32), best_prim)
         best_kind = jnp.where(better, 2, best_kind)
-    return Hit(t=best_t, prim=best_prim, kind=best_kind, u=best_u,
-               v=best_v, inst=best_inst)
+    return Hit(t=best_t, prim=best_prim, kind=best_kind, inst=best_inst)
 
 
 def intersect_any(

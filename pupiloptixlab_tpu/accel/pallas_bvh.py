@@ -202,6 +202,45 @@ def _dual_pop(nstack_ref, box_ref, ax_ref, child_ref,
     return nsp2, lsp2
 
 
+def _mt_cols_table(tri: jnp.ndarray, center) -> jnp.ndarray:
+    """(T, 12) packed rows -> (10, 4T) linear-form table for the MXU MT.
+
+    Moller-Trumbore is bilinear in (triangle constants) x (ray
+    quantities): with the per-ray feature f = [d, c=(ro-ctr) x d,
+    ro-ctr, 1] (10 floats) and N = e1 x e2,
+
+        det      = f . [-N, 0, 0, 0]
+        u * det  = f . [p0c x e2,  e2, 0, 0]
+        v * det  = f . [-(p0c x e1), -e1, 0, 0]
+        t * det  = f . [0, 0, N, -(p0c . N)]
+
+    so ONE (10, 128) x (10, N) contraction per 32-tri leaf produces all
+    four quantities for every (tri, ray) pair on the MXU instead of
+    ~50 VPU ops per pair. Recentering by the scene centroid keeps the
+    f32 conditioning at classic-MT level (validated hit-plausible max
+    err BELOW classic f32 MT). Lanes are grouped per leaf:
+    [det(tcl) | u(tcl) | v(tcl) | t(tcl)] with tcl = 32 -> 128-lane
+    slices, exactly one aligned lane-slice per leaf."""
+    t = tri.shape[0]
+    p0 = tri[:, 0:3] - center[None, :]
+    e1 = tri[:, 3:6]
+    e2 = tri[:, 6:9]
+    n = jnp.cross(e1, e2)
+    zero3 = jnp.zeros_like(p0)
+    zero1 = jnp.zeros((t, 1), tri.dtype)
+    g_det = jnp.concatenate([-n, zero3, zero3, zero1], 1)          # (T, 10)
+    g_u = jnp.concatenate([jnp.cross(p0, e2), e2, zero3, zero1], 1)
+    g_v = jnp.concatenate([-jnp.cross(p0, e1), -e1, zero3, zero1], 1)
+    g_t = jnp.concatenate(
+        [zero3, zero3, n, -jnp.sum(p0 * n, 1, keepdims=True)], 1
+    )
+    # (T, 4, 10) -> leaf-grouped (T/32, 4, 32, 10): per leaf the 128
+    # lanes are [det x32 | u x32 | v x32 | t x32]
+    g = jnp.stack([g_det, g_u, g_v, g_t], axis=1)
+    g = g.reshape(t // 32, 32, 4, 10).transpose(0, 2, 1, 3)
+    return g.reshape(4 * t, 10).T  # (10, 4T)
+
+
 def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
                          count_iters: bool = False, instanced: bool = False,
                          pop2: bool = False):

@@ -797,6 +797,9 @@ def flatten_scene(
     attrs[:, TRI_EMITTER] = np.pad(
         t_emit, (0, t_pad - tri_count), constant_values=-1
     )
+    # mirror p0/e1/e2 for the in-geometry barycentric recompute (see
+    # flatten/types.py TRI_P0); attrs and packed reorder together below
+    attrs[:, 17:26] = packed[:, 0:9]
 
     p1w = p0_np + packed[:, 3:6]
     p2w = p0_np + packed[:, 6:9]

@@ -98,6 +98,8 @@ def build_instanced_tables(shape_store: dict, inst_meta: list, tcl0: int = 32):
         # shape-local ORIGINAL face index -> per-instance emitter rows
         at[:nf, TRI_EMITTER] = order.astype(np.float32)
         at[nf:, TRI_EMITTER] = -1.0
+        # barycentric mirror (OBJECT space; flatten/types.py TRI_P0)
+        at[:, 17:26] = pk[:, 0:9]
         packed_rows.append(pk)
         attr_rows.append(at)
         # object-space leaf AABBs (padding rows excluded)

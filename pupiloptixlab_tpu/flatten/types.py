@@ -34,11 +34,15 @@ def _register(cls):
 
 
 # --- packed-row column layouts (for one-hot matmul gathers) ---------------
-# TriSoup.attrs (T, 24): per-hit attributes fetched in one gather.
+# TriSoup.attrs (T, 26): per-hit attributes fetched in one gather.
+# Cols 17:26 mirror packed[:, 0:9] (p0, e1, e2) so barycentrics are
+# recomputed INSIDE get_local_geometry from the same gather instead of
+# a second 9-col gather per closest sweep (~6-8 ms each at 1080p).
 TRI_N0, TRI_N1, TRI_N2 = slice(0, 3), slice(3, 6), slice(6, 9)
 TRI_UV0, TRI_UV1, TRI_UV2 = slice(9, 11), slice(11, 13), slice(13, 15)
 TRI_MAT, TRI_EMITTER = 15, 16
-TRI_ATTR_COLS = 24
+TRI_P0, TRI_E1, TRI_E2 = slice(17, 20), slice(20, 23), slice(23, 26)
+TRI_ATTR_COLS = 26
 
 # MaterialTable.packed (M, 16)
 MAT_TYPE, MAT_TWOSIDED, MAT_ETA, MAT_INT_FDR, MAT_SSW, MAT_NONLINEAR = range(6)

@@ -79,14 +79,42 @@ def get_local_geometry(
 
     position = ro + rd * hit.t
 
-    # triangles: one packed gather for normals/uv/ids
+    # triangles: one packed gather for normals/uv/ids + the p0/e1/e2
+    # mirror columns (flatten/types.py TRI_P0)
     a = gather_cols(scene.tris.attrs, prim)  # (C, N)
-    w0 = 1.0 - hit.u - hit.v
-    w1 = hit.u
-    w2 = hit.v
 
     def vec(s: slice) -> Vec3:
         return Vec3(a[s.start], a[s.start + 1], a[s.start + 2])
+
+    # Barycentrics by one Moller-Trumbore re-test of the winning
+    # triangle — folded into THIS gather instead of a second 9-col
+    # gather inside every closest sweep (~6-8 ms each at 1080p).
+    # Instanced scenes store OBJECT-space rows: transform the ray first
+    # (barycentrics are affine-invariant).
+    from pupiloptixlab_tpu.accel.intersect import _mt_planes
+    from pupiloptixlab_tpu.flatten.types import TRI_E1, TRI_E2, TRI_P0
+
+    ro_b, rd_b = ro, rd
+    if instanced:
+        w = gather_cols(scene.tris.inst_w2o, hit.inst)  # (12, N)
+        ro_b = Vec3(
+            w[0] * ro.x + w[1] * ro.y + w[2] * ro.z + w[3],
+            w[4] * ro.x + w[5] * ro.y + w[6] * ro.z + w[7],
+            w[8] * ro.x + w[9] * ro.y + w[10] * ro.z + w[11],
+        )
+        rd_b = Vec3(
+            w[0] * rd.x + w[1] * rd.y + w[2] * rd.z,
+            w[4] * rd.x + w[5] * rd.y + w[6] * rd.z,
+            w[8] * rd.x + w[9] * rd.y + w[10] * rd.z,
+        )
+    _, _, bu, bv = _mt_planes(ro_b, rd_b, vec(TRI_P0), vec(TRI_E1),
+                              vec(TRI_E2))
+    is_tri = hit.kind == 0
+    bu = jnp.where(is_tri, bu, 0.0)
+    bv = jnp.where(is_tri, bv, 0.0)
+    w0 = 1.0 - bu - bv
+    w1 = bu
+    w2 = bv
 
     def uv2(s: slice) -> Vec2:
         return Vec2(a[s.start], a[s.start + 1])

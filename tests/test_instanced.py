@@ -173,7 +173,7 @@ def test_instanced_pallas_kernel_matches_xla(instanced_pair):
     tmin = jnp.full(n, 1e-3)
     tmax = jnp.full(n, MAX_DISTANCE, jnp.float32)
 
-    t_ref, p_ref, k_ref, _, _, i_ref = _sweep_tris_xla_instanced(
+    t_ref, p_ref, k_ref, i_ref = _sweep_tris_xla_instanced(
         ro, rd, tmin, tmax, data_i, cfg_i
     )
 

@@ -188,10 +188,10 @@ def main():
         def primary(seed):
             hit = intersect_closest(ro, rd, tmin, tmax, data, config,
                                     coherent=False)
-            return hit.t, hit.prim, hit.kind, hit.u, hit.v
+            return hit.t, hit.prim, hit.kind
 
-        t_, prim_, kind_, u_, v_ = primary(0)
-        hit = Hit(t=t_, prim=prim_, kind=kind_, u=u_, v=v_,
+        t_, prim_, kind_ = primary(0)
+        hit = Hit(t=t_, prim=prim_, kind=kind_,
                   inst=jnp.zeros_like(prim_))
         print(f"primary sweep: {_time(primary):.1f} ms", flush=True)
 
