@@ -40,6 +40,9 @@ import os as _os
 _RB_ENV = _os.environ.get("PUPIL_RB")
 RB_RESIDENT = int(_RB_ENV) if _RB_ENV else 16
 RB_STREAMED = int(_RB_ENV) if _RB_ENV else 8
+# A/B knob: leaf MT on the MXU (requires PUPIL_TCL=32 so each leaf is
+# one 128-lane slice of the linear-form table; pallas_bvh.py)
+MXU_MT = bool(_os.environ.get("PUPIL_MXU_MT"))
 
 
 def _rb_for(scene: "SceneData") -> int:
@@ -359,6 +362,7 @@ def _sweep_tris_pallas(
                 rb=rb,
                 tcl=config.bvh_tcl,
                 interpret=_interp(),
+                mxu=MXU_MT and config.bvh_tcl == 32,
             )
     else:
         from pupiloptixlab_tpu.accel.pallas_intersect import sweep_triangles

@@ -484,6 +484,154 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
     return kernel
 
 
+def _make_closest_kernel_mxu(tcl: int):
+    """Resident closest-hit traversal with the leaf MT on the MXU.
+
+    Identical two-stack structure to the classic resident kernel; the
+    per-leaf Moller-Trumbore is replaced by ONE (10, 128) x (10, N)
+    dot_general at Precision.HIGHEST against the linear-form table
+    (_mt_cols_table), producing det / u*det / v*det / t*det for all
+    (tri, ray) pairs of the leaf. Requires tcl == 32 (one 128-lane
+    table slice per leaf).
+
+    Pair results live in LANE layout (rows = tris, lanes = rays), so
+    the running closest hit is kept in (1, N) scratch; the (rb, 128)
+    view the slab test needs is refreshed by one relayout per NODE POP
+    (stale between pops is safe: tbest only prunes)."""
+
+    def kernel(center_ref, child_ref, ax_ref, box_ref, mt_ref,
+               rox, roy, roz, rdx, rdy, rdz, irx, iry, irz, tmn, tmx,
+               tbest, ibest,
+               nstack_ref, lstack_ref, f_ref, tb_l, ib_l):
+        rb = rox.shape[0]
+        n = rb * LANES
+
+        ox, oy, oz = rox[:], roy[:], roz[:]
+        dx, dy, dz = rdx[:], rdy[:], rdz[:]
+        ix, iy, iz = irx[:], iry[:], irz[:]
+        tmn_v, tmx_v = tmn[:], tmx[:]
+
+        # per-ray feature rows [d | (ro-ctr) x d | ro-ctr | 1] in lane
+        # layout (one (rb,128) -> (1, N) relayout per plane, per tile)
+        cx0, cy0, cz0 = center_ref[0], center_ref[1], center_ref[2]
+        rcx, rcy, rcz = ox - cx0, oy - cy0, oz - cz0
+        ccx = rcy * dz - rcz * dy
+        ccy = rcz * dx - rcx * dz
+        ccz = rcx * dy - rcy * dx
+
+        def lane(p):
+            return p.reshape(1, n)
+
+        f_ref[0:1, :] = lane(dx)
+        f_ref[1:2, :] = lane(dy)
+        f_ref[2:3, :] = lane(dz)
+        f_ref[3:4, :] = lane(ccx)
+        f_ref[4:5, :] = lane(ccy)
+        f_ref[5:6, :] = lane(ccz)
+        f_ref[6:7, :] = lane(rcx)
+        f_ref[7:8, :] = lane(rcy)
+        f_ref[8:9, :] = lane(rcz)
+        f_ref[9:10, :] = jnp.ones((1, n), jnp.float32)
+        tmn_l = lane(tmn_v)
+        tmx_l = lane(tmx_v)
+
+        tb_l[:] = jnp.full_like(tb_l[:], MAX_DISTANCE)
+        ib_l[:] = jnp.full_like(ib_l[:], -1)
+
+        sx = (jnp.sum(dx) >= 0.0).astype(jnp.int32)
+        sy = (jnp.sum(dy) >= 0.0).astype(jnp.int32)
+        sz = (jnp.sum(dz) >= 0.0).astype(jnp.int32)
+
+        nstack_ref[0] = 0
+        f_all = f_ref[:]
+
+        def mt_update(start):
+            lane0 = pl.multiple_of(start * 4, 128)
+            g = mt_ref[:, pl.ds(lane0, 128)]  # (10, 128)
+            out = jax.lax.dot_general(
+                g, f_all, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (128, N): rows [det | u*det | v*det | t*det] x tcl
+            det = out[0:tcl, :]
+            up = out[tcl : 2 * tcl, :]
+            vp = out[2 * tcl : 3 * tcl, :]
+            tp = out[3 * tcl : 4 * tcl, :]
+            det_safe = jnp.where(jnp.abs(det) < _DET_EPS, _DET_EPS, det)
+            r = pl.reciprocal(det_safe, approx=True)
+            inv = r * (2.0 - det_safe * r)
+            t = tp * inv
+            ok = (
+                (jnp.abs(det) >= _DET_EPS)
+                & (up * det >= 0.0)
+                & (vp * det >= 0.0)
+                & ((det - up - vp) * det >= 0.0)
+                & (t > tmn_l)
+                & (t < tmx_l)
+            )
+            t = jnp.where(ok, t, MAX_DISTANCE)
+            tmin_c = jnp.min(t, axis=0, keepdims=True)       # (1, N)
+            jmin = jnp.argmin(t, axis=0, keepdims=True)
+            better = tmin_c < tb_l[:]
+            tb_l[:] = jnp.where(better, tmin_c, tb_l[:])
+            ib_l[:] = jnp.where(better, start + jmin, ib_l[:])
+
+        def pop_and_push(nsp, lsp, tbest_rb):
+            have_node = nsp > 0
+            node = jnp.where(have_node, nstack_ref[jnp.maximum(nsp - 1, 0)], 0)
+            node = jnp.maximum(node, 0)
+            nsp = nsp - have_node.astype(jnp.int32)
+            blk = box_ref[pl.ds(pl.multiple_of(node * 8, 8), 8), :]
+            tn, tf = _slab8(
+                blk, ox, oy, oz, ix, iy, iz, tmn_v,
+                jnp.minimum(tbest_rb, tmx_v),
+            )
+            hit2 = jnp.any(tn <= tf, axis=2)
+            want = jnp.any(hit2, axis=1, keepdims=True)
+            weights = 1 << jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+            bits = jnp.sum(want.astype(jnp.int32) * weights)
+            bits = jnp.where(have_node, bits, 0)
+            axis = ax_ref[node]
+            fwd = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+            nsp2, lsp2 = nsp, lsp
+            for k in range(8):
+                kk = jnp.where(fwd == 1, 7 - k, k)
+                take = (bits >> kk) & 1
+                cid = child_ref[node * 8 + kk]
+                is_leaf_c = (cid < 0).astype(jnp.int32)
+                nstack_ref[nsp2] = cid
+                nsp2 = nsp2 + take * (1 - is_leaf_c)
+                lstack_ref[lsp2] = -cid - 1
+                lsp2 = lsp2 + take * is_leaf_c
+            return nsp2, lsp2
+
+        def drain_cond(s):
+            return s > 0
+
+        def drain_body(s):
+            for j in range(DRAIN_N):
+                mt_update(lstack_ref[jnp.maximum(s - 1 - j, 0)])
+            return jnp.maximum(s - DRAIN_N, 0)
+
+        def cond(c):
+            nsp, lsp = c[0], c[1]
+            return (nsp > 0) | (lsp > 0)
+
+        def body(c):
+            nsp, lsp = c[0], c[1]
+            jax.lax.while_loop(drain_cond, drain_body, lsp)
+            # one relayout per pop: the slab clamp tolerates staleness
+            tbest_rb = tb_l[:].reshape(rb, LANES)
+            nsp2, lsp2 = pop_and_push(nsp, jnp.int32(0), tbest_rb)
+            return (nsp2, lsp2)
+
+        jax.lax.while_loop(cond, body, (1, 0))
+        tbest[:] = tb_l[:].reshape(rb, LANES)
+        ibest[:] = ib_l[:].reshape(rb, LANES)
+
+    return kernel
+
+
 def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
                         instanced: bool = False, pop2: bool = False):
     def kernel(*refs):
@@ -736,6 +884,51 @@ def _call(kernel, tri, boxes, n, rb, outs, interpret, flops, leaf_count,
     )
 
 
+def _call_mxu(kernel, mt, boxes, n, rb, interpret, flops, leaf_count):
+    rows = n // LANES
+    scratch = [
+        pltpu.SMEM((STACK_SIZE,), jnp.int32),
+        pltpu.SMEM((max(leaf_count + 8, 64),), jnp.int32),
+        pltpu.VMEM((10, rb * LANES), jnp.float32),   # ray features F
+        pltpu.VMEM((1, rb * LANES), jnp.float32),    # tbest (lane layout)
+        pltpu.VMEM((1, rb * LANES), jnp.int32),      # ibest (lane layout)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # center (f32), child ids, axes
+        grid=(rows // rb,),
+        in_specs=[
+            pl.BlockSpec(
+                boxes.shape, lambda r, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                mt.shape, lambda r, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        + _ray_specs(rb, 11),
+        out_specs=tuple(
+            pl.BlockSpec((rb, LANES), lambda r, *_: (r, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(2)
+        ),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+        compiler_params=ray_grid_params(),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=n * 52 + mt.size * 4 + boxes.size * 4,
+            transcendentals=0,
+        ),
+    )
+
+
 def _planes(n, rb, rox, roy, roz, rdx, rdy, rdz, tmin, tmax):
     rows = n // LANES
 
@@ -770,7 +963,7 @@ def _streaming(tri, stream):
     jax.jit,
     static_argnames=(
         "rb", "tcl", "interpret", "stream", "stream_depth", "count_iters",
-        "instanced", "pop2",
+        "instanced", "pop2", "mxu",
     ),
 )
 def bvh_closest(
@@ -790,15 +983,34 @@ def bvh_closest(
     leaf_inst: jnp.ndarray | None = None,   # (L,) i32 (instanced)
     inst_w2o: jnp.ndarray | None = None,    # (I, 12) f32 (instanced)
     pop2: bool = True,
+    mxu: bool = False,
 ):
     """Closest-hit traversal over ray planes; returns (t, idx) — or
     (t, idx, leaf) in instanced mode, with idx = UNIQUE tri row and leaf
     the winning world-leaf table index (leaf_inst[leaf] = instance).
     ``count_iters`` (debug, non-stream): idx instead carries per-tile
-    iterations*65536 + leaf visits."""
+    iterations*65536 + leaf visits. ``mxu`` (resident, tcl=32 only):
+    run the leaf MT as an MXU contraction (_make_closest_kernel_mxu)."""
     n = rox.shape[0]
     assert n % (rb * LANES) == 0, n
     stream = _streaming(tri, stream)
+    if mxu and not stream and not instanced and not count_iters and tcl == 32:
+        # leaf MT on the MXU (see _make_closest_kernel_mxu); the table
+        # is the linear-form (10, 4T) instead of the (T, 12) rows —
+        # HALF the physical VMEM (12-col rows pad their minor dim to
+        # 128 lanes)
+        center = jnp.mean(tri[:, 0:3], axis=0)
+        mt = _mt_cols_table(tri, center)
+        call = _call_mxu(
+            _make_closest_kernel_mxu(tcl),
+            mt, bvh_boxes, n, rb, interpret,
+            flops=int(2 * 10 * 128 * n * 0.1 * (tri.shape[0] // tcl)),
+            leaf_count=tri.shape[0] // tcl,
+        )
+        planes = _planes(n, rb, rox, roy, roz, rdx, rdy, rdz, tmin, tmax)
+        cpad = jnp.concatenate([center, jnp.zeros(1, jnp.float32)])
+        tbest, ibest = call(cpad, bvh_child, bvh_axis, bvh_boxes, mt, *planes)
+        return tbest.reshape(n), ibest.reshape(n)
     if stream:
         tri = jnp.pad(tri, ((0, 0), (0, 128 - tri.shape[1])))
     outs = (

@@ -140,6 +140,36 @@ def test_bvh_closest_matches_brute_force(t_tris, pop2):
     np.testing.assert_array_equal(occ, hit)
 
 
+def test_bvh_closest_mxu_matches_classic():
+    """The MXU-MT variant (leaf Moller-Trumbore as one HIGHEST-precision
+    dot_general against the linear-form table) must agree with the
+    classic per-leaf kernel. Off by default (measured slower on TPU:
+    492 vs 407 ms mesh_env at tcl=32); kept as the PUPIL_MXU_MT A/B
+    knob."""
+    r = np.random.RandomState(77)
+    tcl = 32
+    p0, p1, p2, t_pad = _random_soup(r, 2100, tcl)
+    bvh = build_bvh(p0, p1, p2, 2100, tcl)
+    o = bvh.order
+    p0o, p1o, p2o = p0[o], p1[o], p2[o]
+    packed = np.concatenate(
+        [p0o, p1o - p0o, p2o - p0o, np.zeros((t_pad, 3), np.float32)], 1
+    )
+    n = 1024
+    ro, rd, tmin, tmax = _rays(r, n)
+    args = [jnp.asarray(a) for a in (ro[:, 0], ro[:, 1], ro[:, 2],
+                                     rd[:, 0], rd[:, 1], rd[:, 2], tmin, tmax)]
+    bargs = (jnp.asarray(packed), jnp.asarray(bvh.child),
+             jnp.asarray(bvh.axis), jnp.asarray(bvh.boxes))
+    t_c, i_c = bvh_closest(*args, *bargs, rb=4, tcl=tcl, interpret=True)
+    t_m, i_m = bvh_closest(*args, *bargs, rb=4, tcl=tcl, interpret=True,
+                           mxu=True)
+    np.testing.assert_array_equal(np.asarray(i_m), np.asarray(i_c))
+    hit = np.asarray(i_c) >= 0
+    np.testing.assert_allclose(np.asarray(t_m)[hit], np.asarray(t_c)[hit],
+                               rtol=3e-5, atol=1e-5)
+
+
 def test_anyhit_respects_tmax():
     """Occlusion must test only (tmin, tmax) — a hit beyond the light
     distance is NOT occlusion (render/emitter.h:91-100 semantics)."""
