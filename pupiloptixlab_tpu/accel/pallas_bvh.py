@@ -396,28 +396,53 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
                 return live
 
             def body(c):
+                # NESTED drain (mirrors the resident kernel): the inner
+                # while consumes one in-flight leaf per iteration and
+                # restarts its ring slot with the next stacked leaf, so
+                # the slab8 + vector->scalar sync of pop_and_push runs
+                # once per NODE, not once per LEAF (~3.5 leaves/node on
+                # real trees; the flat loop paid an idle pop's slab test
+                # on every drain iteration). In-flight fetches persist
+                # ACROSS pops: a fetch issued before a pop lands while
+                # the pop's wide test runs. When the node stack is empty
+                # the inner loop also drains the remaining live ring
+                # entries (dead restarts), so the outer epilogue only
+                # ever retires dead fetches.
                 nsp, lsp, phase = c[0], c[1], c[2]
                 sq = c[3:]
-                nsp2, lsp2 = pop_and_push(nsp, lsp)
 
-                have_next = lsp2 > 0
-                nstart_raw = lstack_ref[jnp.maximum(lsp2 - 1, 0)]
-                nstart = jnp.where(have_next, nstart_raw, -1)
-                lsp2 = lsp2 - have_next.astype(jnp.int32)
+                def drain_cond(ic):
+                    ring_live = ic[2] >= 0
+                    for s in ic[3:]:
+                        ring_live = ring_live | (s >= 0)
+                    return (ic[0] > 0) | ((nsp == 0) & ring_live)
 
-                s0 = sq[0]
-                for j in range(nbuf):
-                    @pl.when(phase == j)
-                    def _(j=j):
-                        leaf_copy(start_of(s0), j).wait()
-                        if instanced:
-                            mt_update_inst(s0, dma[j][:])
-                        else:
-                            mt_update(dma[j][:], clamp_leaf(s0))
-                        leaf_copy(start_of(nstart), j).start()
+                def drain_body(ic):
+                    lspd, ph = ic[0], ic[1]
+                    dq = ic[2:]
+                    have_next = lspd > 0
+                    nstart_raw = lstack_ref[jnp.maximum(lspd - 1, 0)]
+                    nstart = jnp.where(have_next, nstart_raw, -1)
+                    lspd2 = lspd - have_next.astype(jnp.int32)
+                    s0 = dq[0]
+                    for j in range(nbuf):
+                        @pl.when(ph == j)
+                        def _(j=j):
+                            leaf_copy(start_of(s0), j).wait()
+                            if instanced:
+                                mt_update_inst(s0, dma[j][:])
+                            else:
+                                mt_update(dma[j][:], clamp_leaf(s0))
+                            leaf_copy(start_of(nstart), j).start()
+                    ph2 = jnp.where(ph + 1 >= nbuf, 0, ph + 1)
+                    return (lspd2, ph2) + dq[1:] + (nstart,)
 
-                phase2 = jnp.where(phase + 1 >= nbuf, 0, phase + 1)
-                return (nsp2, lsp2, phase2) + sq[1:] + (nstart,)
+                ic = jax.lax.while_loop(
+                    drain_cond, drain_body, (lsp, phase) + sq
+                )
+                lsp2, phase2, sq2 = ic[0], ic[1], ic[2:]
+                nsp2, lsp3 = pop_and_push(nsp, lsp2)
+                return (nsp2, lsp3, phase2) + sq2
 
             for j in range(nbuf):  # prime the ring (dead fetches)
                 leaf_copy(start_of(jnp.int32(0)), j).start()
@@ -739,28 +764,44 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
                 return live
 
             def body(c):
+                # nested drain, mirroring the closest kernel: slab8 +
+                # sync once per NODE, in-flight fetches persist across
+                # pops, ring drained in-loop once the node stack empties
                 nsp, lsp, phase = c[0], c[1], c[2]
                 sq = c[3:]
-                nsp2, lsp2 = pop_and_push(nsp, lsp)
 
-                have_next = lsp2 > 0
-                nstart_raw = lstack_ref[jnp.maximum(lsp2 - 1, 0)]
-                nstart = jnp.where(have_next, nstart_raw, -1)
-                lsp2 = lsp2 - have_next.astype(jnp.int32)
+                def drain_cond(ic):
+                    ring_live = ic[2] >= 0
+                    for s in ic[3:]:
+                        ring_live = ring_live | (s >= 0)
+                    return (ic[0] > 0) | ((nsp == 0) & ring_live)
 
-                s0 = sq[0]
-                for j in range(nbuf):
-                    @pl.when(phase == j)
-                    def _(j=j):
-                        leaf_copy(start_of(s0), j).wait()
-                        if instanced:
-                            occ_update_inst(s0, dma[j][:])
-                        else:
-                            occ_update(dma[j][:])
-                        leaf_copy(start_of(nstart), j).start()
+                def drain_body(ic):
+                    lspd, ph = ic[0], ic[1]
+                    dq = ic[2:]
+                    have_next = lspd > 0
+                    nstart_raw = lstack_ref[jnp.maximum(lspd - 1, 0)]
+                    nstart = jnp.where(have_next, nstart_raw, -1)
+                    lspd2 = lspd - have_next.astype(jnp.int32)
+                    s0 = dq[0]
+                    for j in range(nbuf):
+                        @pl.when(ph == j)
+                        def _(j=j):
+                            leaf_copy(start_of(s0), j).wait()
+                            if instanced:
+                                occ_update_inst(s0, dma[j][:])
+                            else:
+                                occ_update(dma[j][:])
+                            leaf_copy(start_of(nstart), j).start()
+                    ph2 = jnp.where(ph + 1 >= nbuf, 0, ph + 1)
+                    return (lspd2, ph2) + dq[1:] + (nstart,)
 
-                phase2 = jnp.where(phase + 1 >= nbuf, 0, phase + 1)
-                return (nsp2, lsp2, phase2) + sq[1:] + (nstart,)
+                ic = jax.lax.while_loop(
+                    drain_cond, drain_body, (lsp, phase) + sq
+                )
+                lsp2, phase2, sq2 = ic[0], ic[1], ic[2:]
+                nsp2, lsp3 = pop_and_push(nsp, lsp2)
+                return (nsp2, lsp3, phase2) + sq2
 
             for j in range(nbuf):
                 leaf_copy(start_of(jnp.int32(0)), j).start()
