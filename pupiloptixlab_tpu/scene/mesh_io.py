@@ -11,7 +11,15 @@ with no third-party dependencies:
 * glTF 2.0: .gltf (JSON + external/embedded buffers) and .glb
   containers; POSITION/NORMAL/TEXCOORD_0 + indices accessors, all
   triangle primitives of every mesh merged into one soup with node
-  world transforms applied (exceeds the reference's single-mesh limit).
+  world transforms applied (exceeds the reference's single-mesh limit);
+* STL: binary (84-byte header + 50-byte facet records) and ascii,
+  disambiguated by the record-count size check (binary files commonly
+  start with "solid" too); facet normals kept per-vertex;
+* COLLADA (.dae): library_geometries <triangles>/<polylist> with
+  VERTEX/NORMAL/TEXCOORD inputs at per-input offsets, polylist
+  fan-triangulation, node world transforms from library_visual_scenes
+  (<matrix>/<translate>/<rotate>/<scale>), and asset <up_axis>
+  conversion to Y-up.
 """
 
 from __future__ import annotations
@@ -279,4 +287,255 @@ def load_gltf(path: str | Path):
         np.concatenate(all_n) if has_n else None,
         np.concatenate(all_uv) if has_uv else None,
         np.concatenate(all_idx),
+    )
+
+def load_stl(path: str | Path):
+    """Returns (positions (v,3) f32, normals (v,3) f32, None, indices).
+
+    Vertices are NOT deduplicated (STL is a facet soup); the facet
+    normal is replicated to its 3 vertices. Binary vs ascii is decided
+    by the 84 + 50*count size identity, not the "solid" prefix (many
+    binary exporters write it anyway)."""
+    path = Path(path)
+    raw = path.read_bytes()
+    is_binary = False
+    if len(raw) >= 84:
+        (count,) = struct.unpack_from("<I", raw, 80)
+        if len(raw) == 84 + 50 * count:
+            is_binary = True
+    if is_binary:
+        rec = np.frombuffer(
+            raw[84:84 + 50 * count],
+            dtype=np.dtype([("n", "<f4", 3), ("v", "<f4", (3, 3)),
+                            ("attr", "<u2")]),
+        )
+        pos = rec["v"].reshape(-1, 3).astype(np.float32)
+        nrm = np.repeat(rec["n"], 3, axis=0).astype(np.float32)
+    else:
+        verts, norms = [], []
+        cur_n = (0.0, 0.0, 0.0)
+        for line in raw.decode("ascii", "replace").splitlines():
+            tok = line.split()
+            if not tok:
+                continue
+            if tok[0] == "facet" and len(tok) >= 5:
+                cur_n = (float(tok[2]), float(tok[3]), float(tok[4]))
+            elif tok[0] == "vertex":
+                verts.append((float(tok[1]), float(tok[2]), float(tok[3])))
+                norms.append(cur_n)
+        if not verts or len(verts) % 3:
+            raise ValueError(f"{path}: malformed ascii STL")
+        pos = np.asarray(verts, np.float32)
+        nrm = np.asarray(norms, np.float32)
+    # zero facet normals (allowed by spec) -> geometric normals
+    bad = np.linalg.norm(nrm, axis=1) < 1e-12
+    if bad.any():
+        tri = pos.reshape(-1, 3, 3)
+        gn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        gn /= np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
+        nrm = np.where(bad[:, None], np.repeat(gn, 3, axis=0), nrm)
+    idx = np.arange(pos.shape[0], dtype=np.uint32).reshape(-1, 3)
+    return pos, nrm, None, idx
+
+
+def _dae_local(name: str) -> str:
+    """Strip the XML namespace from a tag."""
+    return name.rsplit("}", 1)[-1]
+
+
+def _dae_node_matrix(node) -> np.ndarray:
+    m = np.eye(4)
+    for ch in node:
+        tag = _dae_local(ch.tag)
+        if tag == "matrix":
+            vals = np.asarray([float(x) for x in ch.text.split()], np.float64)
+            m = m @ vals.reshape(4, 4)
+        elif tag == "translate":
+            v = [float(x) for x in ch.text.split()]
+            t = np.eye(4)
+            t[:3, 3] = v
+            m = m @ t
+        elif tag == "rotate":
+            x, y, z, deg = [float(v) for v in ch.text.split()]
+            a = np.deg2rad(deg)
+            axis = np.asarray([x, y, z], np.float64)
+            axis /= max(np.linalg.norm(axis), 1e-20)
+            c, s = np.cos(a), np.sin(a)
+            K = np.array([
+                [0, -axis[2], axis[1]],
+                [axis[2], 0, -axis[0]],
+                [-axis[1], axis[0], 0],
+            ])
+            r = np.eye(4)
+            r[:3, :3] = np.eye(3) * c + s * K + (1 - c) * np.outer(axis, axis)
+            m = m @ r
+        elif tag == "scale":
+            v = [float(x) for x in ch.text.split()]
+            sm = np.eye(4)
+            sm[0, 0], sm[1, 1], sm[2, 2] = v
+            m = m @ sm
+    return m
+
+def load_dae(path: str | Path):
+    """Minimal COLLADA reader. Returns (positions, normals|None,
+    texcoords|None, indices), all geometry instances merged in node
+    world space and converted to Y-up.
+
+    Covers the common exporter subset (reference parity: assimp's DAE
+    importer, resource/shape.cpp:219-278): <triangles> and <polylist>
+    primitives, VERTEX/NORMAL/TEXCOORD inputs with per-input offsets,
+    <instance_geometry> under arbitrarily nested visual-scene nodes."""
+    import xml.etree.ElementTree as ET
+
+    path = Path(path)
+    root = ET.parse(path).getroot()
+
+    up = "Y_UP"
+    for el in root.iter():
+        if _dae_local(el.tag) == "up_axis" and el.text:
+            up = el.text.strip()
+    if up == "Z_UP":  # (x,y,z) -> (x,z,-y)
+        up_m = np.array([[1, 0, 0, 0], [0, 0, 1, 0], [0, -1, 0, 0],
+                         [0, 0, 0, 1]], np.float64)
+    elif up == "X_UP":  # (x,y,z) -> (-y,x,z)
+        up_m = np.array([[0, -1, 0, 0], [1, 0, 0, 0], [0, 0, 1, 0],
+                         [0, 0, 0, 1]], np.float64)
+    else:
+        up_m = np.eye(4)
+
+    # geometry id -> list of (pos (k,3), nrm|None (k,3), uv|None (k,2))
+    # expanded triangle soups (indices resolved per-primitive)
+    geoms = {}
+    for geo in root.iter():
+        if _dae_local(geo.tag) != "geometry":
+            continue
+        gid = geo.get("id")
+        prims = []
+        for mesh in geo:
+            if _dae_local(mesh.tag) != "mesh":
+                continue
+            sources = {}  # id -> (flat float array, accessor stride)
+            vertices_map = {}
+            for el in mesh:
+                tag = _dae_local(el.tag)
+                if tag == "source":
+                    arr, stride = None, 3
+                    for sub in el.iter():
+                        stag = _dae_local(sub.tag)
+                        if stag == "float_array" and sub.text:
+                            arr = np.asarray(
+                                [float(x) for x in sub.text.split()],
+                                np.float64,
+                            )
+                        elif stag == "accessor":
+                            stride = int(sub.get("stride", "3"))
+                    if arr is not None:
+                        sources[el.get("id")] = (arr, stride)
+                elif tag == "vertices":
+                    for inp in el:
+                        if (_dae_local(inp.tag) == "input"
+                                and inp.get("semantic") == "POSITION"):
+                            vertices_map[el.get("id")] = \
+                                inp.get("source").lstrip("#")
+            for el in mesh:
+                tag = _dae_local(el.tag)
+                if tag not in ("triangles", "polylist"):
+                    continue
+                inputs = []  # (semantic, source id, offset)
+                vcount = None
+                pdata = None
+                for ch in el:
+                    ctag = _dae_local(ch.tag)
+                    if ctag == "input":
+                        src = ch.get("source").lstrip("#")
+                        src = vertices_map.get(src, src)
+                        inputs.append((ch.get("semantic"), src,
+                                       int(ch.get("offset", "0"))))
+                    elif ctag == "vcount" and ch.text:
+                        vcount = [int(x) for x in ch.text.split()]
+                    elif ctag == "p" and ch.text:
+                        pdata = np.asarray(
+                            [int(x) for x in ch.text.split()], np.int64
+                        )
+                if pdata is None or not inputs:
+                    continue
+                stride = max(off for _, _, off in inputs) + 1
+                pdata = pdata.reshape(-1, stride)
+                if tag == "polylist" and vcount is not None:
+                    # fan-triangulate: corner row index list per face
+                    rows = []
+                    base = 0
+                    for k in vcount:
+                        for t in range(1, k - 1):
+                            rows += [base, base + t, base + t + 1]
+                        base += k
+                    pdata = pdata[rows]
+                pos = nrm = uv = None
+                for sem, src, off in inputs:
+                    ent = sources.get(src)
+                    if ent is None:
+                        continue
+                    arr, stride = ent
+                    rows2d = arr.reshape(-1, stride)
+                    if sem == "VERTEX":
+                        pos = rows2d[:, :3][pdata[:, off]]
+                    elif sem == "NORMAL":
+                        nrm = rows2d[:, :3][pdata[:, off]]
+                    elif sem == "TEXCOORD" and uv is None:
+                        uv = rows2d[:, :2][pdata[:, off]]
+                if pos is not None:
+                    prims.append((pos, nrm, uv))
+        if prims:
+            geoms[gid] = prims
+
+    # visual-scene instances; a file without scenes uses identity
+    instances = []  # (geometry id, world 4x4)
+
+    def walk(node, parent_m):
+        m = parent_m @ _dae_node_matrix(node)
+        for ch in node:
+            tag = _dae_local(ch.tag)
+            if tag == "instance_geometry":
+                instances.append((ch.get("url").lstrip("#"), m))
+            elif tag == "node":
+                walk(ch, m)
+
+    for vs in root.iter():
+        if _dae_local(vs.tag) == "visual_scene":
+            for node in vs:
+                if _dae_local(node.tag) == "node":
+                    walk(node, np.eye(4))
+    if not instances:
+        instances = [(gid, np.eye(4)) for gid in geoms]
+
+    all_pos, all_n, all_uv = [], [], []
+    has_n = has_uv = True
+    for gid, m in instances:
+        m = up_m @ m
+        inv_t = np.linalg.inv(m[:3, :3]).T
+        for pos, nrm, uv in geoms.get(gid, []):
+            k = pos.shape[0]
+            all_pos.append((pos @ m[:3, :3].T + m[:3, 3]).astype(np.float32))
+            if nrm is not None:
+                w = nrm @ inv_t.T
+                w /= np.maximum(np.linalg.norm(w, axis=1, keepdims=True),
+                                1e-20)
+                all_n.append(w.astype(np.float32))
+            else:
+                has_n = False
+                all_n.append(np.zeros((k, 3), np.float32))
+            if uv is not None:
+                all_uv.append(uv.astype(np.float32))
+            else:
+                has_uv = False
+                all_uv.append(np.zeros((k, 2), np.float32))
+    if not all_pos:
+        raise ValueError(f"{path}: no triangle geometry")
+    pos = np.concatenate(all_pos)
+    idx = np.arange(pos.shape[0], dtype=np.uint32).reshape(-1, 3)
+    return (
+        pos,
+        np.concatenate(all_n) if has_n else None,
+        np.concatenate(all_uv) if has_uv else None,
+        idx,
     )

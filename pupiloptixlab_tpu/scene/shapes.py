@@ -362,6 +362,16 @@ class ShapeManager:
 
                 pos, nrm, uv, idx = load_gltf(key)
                 mesh = Mesh(pos, nrm, uv, idx)
+            elif ext == ".stl":
+                from pupiloptixlab_tpu.scene.mesh_io import load_stl
+
+                pos, nrm, uv, idx = load_stl(key)
+                mesh = Mesh(pos, nrm, uv, idx)
+            elif ext == ".dae":
+                from pupiloptixlab_tpu.scene.mesh_io import load_dae
+
+                pos, nrm, uv, idx = load_dae(key)
+                mesh = Mesh(pos, nrm, uv, idx)
             else:
                 mesh = load_obj(key)
             s = Shape(ShapeType.OBJ, mesh)

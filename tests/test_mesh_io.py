@@ -183,3 +183,100 @@ def test_ply_shape_renders_through_xml(tmp_path):
     cam = camera_block_from_scene(scene)
     img = np.asarray(render(data, cam, config, spp=4))
     assert np.isfinite(img).all() and img.mean() > 0.1
+
+
+def test_binary_stl(tmp_path):
+    from pupiloptixlab_tpu.scene.mesh_io import load_stl
+
+    tris = QUAD_POS[QUAD_IDX]  # (2, 3, 3)
+    rec = b""
+    for t in range(2):
+        rec += struct.pack("<3f", 0, 0, 1)
+        for v in range(3):
+            rec += struct.pack("<3f", *tris[t, v])
+        rec += struct.pack("<H", 0)
+    # header deliberately starts with "solid": the size check must win
+    data = b"solid binary-ambiguous".ljust(80, b"\0")
+    data += struct.pack("<I", 2) + rec
+    p = tmp_path / "quad.stl"
+    p.write_bytes(data)
+    pos, nrm, uv, idx = load_stl(p)
+    assert pos.shape == (6, 3) and idx.shape == (2, 3)
+    np.testing.assert_allclose(pos, tris.reshape(-1, 3))
+    np.testing.assert_allclose(nrm, np.tile([[0, 0, 1]], (6, 1)))
+
+
+def test_ascii_stl_zero_normals(tmp_path):
+    from pupiloptixlab_tpu.scene.mesh_io import load_stl
+
+    tris = QUAD_POS[QUAD_IDX]
+    lines = ["solid quad"]
+    for t in range(2):
+        lines += ["facet normal 0 0 0", "outer loop"]
+        lines += [f"vertex {v[0]:g} {v[1]:g} {v[2]:g}" for v in tris[t]]
+        lines += ["endloop", "endfacet"]
+    lines.append("endsolid quad")
+    p = tmp_path / "quad_ascii.stl"
+    p.write_text("\n".join(lines))
+    pos, nrm, uv, idx = load_stl(p)
+    np.testing.assert_allclose(pos, tris.reshape(-1, 3))
+    # zero facet normals fall back to geometric normals
+    np.testing.assert_allclose(nrm, np.tile([[0, 0, 1]], (6, 1)), atol=1e-6)
+
+
+def test_collada_polylist_z_up(tmp_path):
+    from pupiloptixlab_tpu.scene.mesh_io import load_dae
+
+    # unit quad in the XY plane of a Z-up file, translated by +1 in Z
+    # by its node: after Y-up conversion it lies in the XZ plane at y=1
+    dae = """<?xml version="1.0"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+  <asset><up_axis>Z_UP</up_axis></asset>
+  <library_geometries>
+    <geometry id="quad"><mesh>
+      <source id="pos">
+        <float_array id="pa" count="12">0 0 0 1 0 0 1 1 0 0 1 0</float_array>
+        <technique_common><accessor source="#pa" count="4" stride="3">
+          <param name="X" type="float"/><param name="Y" type="float"/>
+          <param name="Z" type="float"/></accessor></technique_common>
+      </source>
+      <source id="nrm">
+        <float_array id="na" count="3">0 0 1</float_array>
+        <technique_common><accessor source="#na" count="1" stride="3"/>
+        </technique_common>
+      </source>
+      <source id="uv">
+        <float_array id="ua" count="8">0 0 1 0 1 1 0 1</float_array>
+        <technique_common><accessor source="#ua" count="4" stride="2"/>
+        </technique_common>
+      </source>
+      <vertices id="vv"><input semantic="POSITION" source="#pos"/></vertices>
+      <polylist count="1">
+        <input semantic="VERTEX" source="#vv" offset="0"/>
+        <input semantic="NORMAL" source="#nrm" offset="1"/>
+        <input semantic="TEXCOORD" source="#uv" offset="2"/>
+        <vcount>4</vcount>
+        <p>0 0 0  1 0 1  2 0 2  3 0 3</p>
+      </polylist>
+    </mesh></geometry>
+  </library_geometries>
+  <library_visual_scenes>
+    <visual_scene id="scene">
+      <node><translate>0 0 1</translate>
+        <instance_geometry url="#quad"/></node>
+    </visual_scene>
+  </library_visual_scenes>
+</COLLADA>"""
+    p = tmp_path / "quad.dae"
+    p.write_text(dae)
+    pos, nrm, uv, idx = load_dae(p)
+    assert idx.shape == (2, 3)  # fan-triangulated quad
+    # Z_UP (x,y,z)+(0,0,1) -> Y-up (x, z+1, -y)
+    expect = np.array(
+        [[0, 1, 0], [1, 1, 0], [1, 1, -1], [0, 1, 0], [1, 1, -1], [0, 1, -1]],
+        np.float32,
+    )
+    np.testing.assert_allclose(pos, expect, atol=1e-6)
+    np.testing.assert_allclose(nrm, np.tile([[0, 1, 0]], (6, 1)), atol=1e-6)
+    np.testing.assert_allclose(uv[0], [0, 0], atol=1e-6)
+    np.testing.assert_allclose(uv[2], [1, 1], atol=1e-6)
