@@ -31,7 +31,13 @@ Endpoints:
   POST /api/pass       {"name", "enabled"? , "set"?: {attr: value}}
   POST /api/camera     {"fov"?, "sensitivity"?}
   POST /api/object     {"name", "visible"?, "translate"?, "rotate"?,
-                        "scale"?, "matrix"?}   (gizmo analog)
+                        "scale"?, "matrix"?}   (numeric edits)
+  POST /api/pick       {"x", "y"} normalized canvas coords -> nearest
+                       visible object under the cursor (viewport select)
+  POST /api/objdrag    {"name", "dx", "dy", "mode": "translate"|
+                        "rotate"|"scale"} in-canvas direct manipulation
+                       (the ImGuizmo::Manipulate analog,
+                       gui.cpp:689-702: ctrl/shift/alt + drag)
   POST /api/screenshot {"path"?} -> saves EXR (default images/)
   POST /api/scene      {"path"} -> async scene load (gui.cpp:852-869)
 """
@@ -115,6 +121,90 @@ class WebDisplay(DisplayClient):
             },
         }
 
+    # -- viewport manipulation (the ImGuizmo analog) --------------------------
+    def pick_object(self, nx: float, ny: float):
+        """Nearest visible object whose world AABB the pick ray hits.
+
+        The ray replicates the device raygen (render/camera.py:
+        sample_to_camera -> perspective divide -> camera_to_world), so a
+        pick lands on the same object the pixel shows; AABB granularity
+        matches the reference's scene-panel selection (gui.cpp:689-702
+        selects whole RenderObjects, not primitives)."""
+        world = self.system.world
+        cam = world.camera
+        if cam is None or world.scene is None:
+            return None, 0.0
+        p = cam.sample_to_camera @ np.array([nx, ny, 0.0, 1.0], np.float32)
+        d = p[:3] / p[3]
+        c = cam.to_world
+        dw = c[:3, :3] @ (d / np.linalg.norm(d))
+        dw /= np.linalg.norm(dw)
+        o = c[:3, 3]
+        inv = np.where(np.abs(dw) < 1e-12, 1e12, 1.0 / dw)
+        best, best_t = None, np.inf
+        for ro in world.render_objects:
+            shape = ro.instance.shape
+            if not ro.visible or shape is None or not shape.aabb.valid:
+                continue
+            box = shape.aabb.transform(ro.instance.transform.matrix)
+            t0 = (box.min - o) * inv
+            t1 = (box.max - o) * inv
+            tn = float(np.minimum(t0, t1).max())
+            tf = float(np.maximum(t0, t1).min())
+            if tn <= tf and tf > 0.0 and tn < best_t:
+                best, best_t = ro.name, max(tn, 0.0)
+        return best, best_t
+
+    def drag_object(self, name: str, ndx: float, ndy: float,
+                    mode: str = "translate") -> bool:
+        """Screen-space direct manipulation of one object. ndx/ndy are
+        mouse deltas in canvas-height fractions (y down).
+
+        translate: moves in the camera's right/up plane, scaled so the
+        object tracks the cursor (world units per canvas height at the
+        object's distance = 2 d tan(fov/2) — the ImGuizmo translate
+        behavior); rotate: yaw around world Y (ndx) and pitch around the
+        camera right axis (ndy), about the object center; scale: uniform
+        about the center, drag up to grow. All three route through
+        RenderObject.apply_transform -> RENDER_INSTANCE_TRANSFORM, the
+        same dirty chain as the reference (render_object.cpp:46-48)."""
+        world = self.system.world
+        ro = world.get_render_object(name)
+        cam = world.camera
+        if ro is None or cam is None:
+            return False
+        shape = ro.instance.shape
+        box = (
+            shape.aabb.transform(ro.instance.transform.matrix)
+            if shape is not None and shape.aabb.valid
+            else None
+        )
+        center = (
+            (box.min + box.max) * 0.5 if box is not None
+            else ro.instance.transform.matrix[:3, 3]
+        )
+        right, up, _fwd = cam.coordinate_system()
+        if mode == "translate":
+            dist = float(np.linalg.norm(center - cam.position))
+            k = 2.0 * dist * np.tan(np.deg2rad(cam.fov_y) * 0.5)
+            delta = right * (ndx * k) - up * (ndy * k)
+            ro.apply_transform(Transform().translate(*delta.tolist()))
+            return True
+        tc = Transform().translate(*center.tolist()).matrix
+        tc_inv = Transform().translate(*(-center).tolist()).matrix
+        if mode == "rotate":
+            r = Transform().rotate(0.0, 1.0, 0.0, ndx * 180.0).matrix
+            r = Transform().rotate(*right.tolist(), ndy * 180.0).matrix @ r
+            ro.apply_transform(Transform(tc @ r @ tc_inv))
+            return True
+        if mode == "scale":
+            s = float(np.clip(1.0 - ndy, 0.05, 20.0))
+            ro.apply_transform(
+                Transform(tc @ Transform().scale(s, s, s).matrix @ tc_inv)
+            )
+            return True
+        return False
+
     # -- actions (each routes through the reference's event/edit paths) ------
     def apply_action(self, route: str, body: dict) -> dict:
         sys_ = self.system
@@ -183,6 +273,15 @@ class WebDisplay(DisplayClient):
                 t = Transform().scale(*[float(v) for v in body["scale"]])
             if t is not None:
                 ro.apply_transform(t)
+        elif route == "pick":
+            name, t = self.pick_object(float(body["x"]), float(body["y"]))
+            return {"ok": True, "name": name, "t": round(float(t), 4)}
+        elif route == "objdrag":
+            ok = self.drag_object(
+                str(body["name"]), float(body["dx"]), float(body["dy"]),
+                str(body.get("mode", "translate")),
+            )
+            return {"ok": ok}
         elif route == "screenshot":
             path = body.get("path") or str(
                 Path("images") / f"screenshot_{int(time.time())}.exr"
@@ -333,18 +432,41 @@ _PAGE = """<!DOCTYPE html>
  <h3>Scene</h3>
  <div class="row"><input id="scenepath" type="text" placeholder="scene.xml" style="flex:1">
   <button onclick="api('scene',{path:document.getElementById('scenepath').value})">load</button></div>
+ <div id="selinfo" style="color:#7dc4ff;font-size:11px;margin:3px 0"></div>
  <div id="objects"></div>
 </div>
 <div id="canvaswrap"><img id="canvas" src="/stream" tabindex="0"></div>
 <script>
 const api=(route,body)=>fetch('/api/'+route,{method:'POST',body:JSON.stringify(body)});
 const canvas=document.getElementById('canvas');
-let dragging=false,px=0,py=0;
-canvas.onmousedown=e=>{dragging=true;px=e.clientX;py=e.clientY;canvas.focus();};
-window.onmouseup=()=>dragging=false;
-window.onmousemove=e=>{if(!dragging)return;api('input',{type:'drag',dx:e.clientX-px,dy:e.clientY-py});px=e.clientX;py=e.clientY;};
+// click = pick object under cursor; plain drag = camera orbit;
+// ctrl/shift/alt + drag = translate/rotate/scale the selected object
+// in-viewport (the ImGuizmo analog; the selected name is highlighted
+// in the Scene panel and shown in #selinfo).
+let dragging=false,px=0,py=0,moved=0,selected=null,dragMode=null;
+function modeOf(e){return e.ctrlKey?'translate':e.shiftKey?'rotate':e.altKey?'scale':null;}
+canvas.onmousedown=e=>{dragging=true;moved=0;px=e.clientX;py=e.clientY;
+ dragMode=selected?modeOf(e):null;canvas.focus();};
+window.onmouseup=async e=>{
+ if(dragging&&moved<3&&e.target===canvas){
+  const r=canvas.getBoundingClientRect();
+  const res=await(await api('pick',{x:(e.clientX-r.left)/r.width,
+                                    y:(e.clientY-r.top)/r.height})).json();
+  selected=res.name;
+  document.getElementById('selinfo').textContent=selected?('selected: '+selected+'  (ctrl-drag move, shift-drag rotate, alt-drag scale)'):'';
+ }
+ dragging=false;dragMode=null;};
+window.onmousemove=e=>{if(!dragging)return;
+ const dx=e.clientX-px,dy=e.clientY-py;moved+=Math.abs(dx)+Math.abs(dy);
+ px=e.clientX;py=e.clientY;
+ if(dragMode&&selected){
+  const r=canvas.getBoundingClientRect();
+  api('objdrag',{name:selected,dx:dx/r.height,dy:dy/r.height,mode:dragMode});
+ }else{
+  api('input',{type:'drag',dx:dx,dy:dy});
+ }};
 canvas.onwheel=e=>{e.preventDefault();api('input',{type:'wheel',delta:Math.sign(e.deltaY)});};
-window.onkeydown=e=>{if('wasdqe'.includes(e.key))api('input',{type:'key',key:e.key});};
+window.onkeydown=e=>{if('wasdqe'.includes(e.key)&&!e.ctrlKey&&!e.altKey)api('input',{type:'key',key:e.key});};
 function nudge(name,axis,amt){const t=[0,0,0];t[axis]=amt;api('object',{name:name,translate:t});}
 async function refresh(){
  try{
@@ -364,7 +486,7 @@ async function refresh(){
       onchange="api('pass',{name:'${p.name}',enabled:this.checked})"> ${p.name}</label>
     <span>${p.time_ms} ms</span></div>`).join('');
   document.getElementById('objects').innerHTML=s.objects.map(o=>
-   `<div class="obj"><div class="row"><b>${o.name}</b>
+   `<div class="obj"${o.name===selected?' style="border-color:#2f6fed"':''}><div class="row"><b>${o.name}</b>
      <label><input type="checkbox" ${o.visible?'checked':''}
       onchange="api('object',{name:'${o.name}',visible:this.checked})">visible</label></div>
     <div class="row nudge">${[0,1,2].map(a=>

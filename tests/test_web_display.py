@@ -149,3 +149,54 @@ def test_mjpeg_stream_yields_frames(web_system):
         data = r.read(20000)
     assert b"--frame" in data and b"image/jpeg" in data
     assert b"\xff\xd8" in data  # JPEG SOI marker
+
+
+def test_pick_and_viewport_drag(web_system):
+    """Viewport select + ctrl-drag manipulation (the ImGuizmo analog):
+    a pick at the canvas center hits a cornell object, objdrag
+    translates it along the camera plane, and the edit rides the same
+    dirty chain (accumulation reset)."""
+    assert _wait_for_frame(web_system)
+    r = _post(web_system, "pick", {"x": 0.5, "y": 0.5})
+    assert r["ok"] and r["name"] is not None and r["t"] > 0
+    # off-canvas corner ray escapes through the open cornell front? a
+    # top-left pick may still hit a wall; just check the route answers
+    assert _post(web_system, "pick", {"x": 0.01, "y": 0.01})["ok"]
+
+    world = web_system.world
+    before = np.asarray(
+        world.get_render_object("ShortBox").instance.transform.matrix
+    ).copy()
+    pt = web_system.passes[0]
+    time.sleep(0.3)
+    cnt_before = pt.sample_cnt
+    assert _post(
+        web_system, "objdrag",
+        {"name": "ShortBox", "dx": 0.05, "dy": 0.0, "mode": "translate"},
+    )["ok"]
+    after = np.asarray(
+        world.get_render_object("ShortBox").instance.transform.matrix
+    )
+    moved = np.linalg.norm(after[:3, 3] - before[:3, 3])
+    assert moved > 1e-4  # translated in the camera plane
+    time.sleep(0.3)
+    # edit reset the accumulation (same gate as the drag-input test)
+    assert pt.sample_cnt < cnt_before + 2
+
+    # rotate + scale about the object center keep the route green and
+    # change the linear part
+    assert _post(
+        web_system, "objdrag",
+        {"name": "ShortBox", "dx": 0.1, "dy": 0.05, "mode": "rotate"},
+    )["ok"]
+    assert _post(
+        web_system, "objdrag",
+        {"name": "ShortBox", "dx": 0.0, "dy": -0.1, "mode": "scale"},
+    )["ok"]
+    final = np.asarray(
+        world.get_render_object("ShortBox").instance.transform.matrix
+    )
+    assert not np.allclose(final[:3, :3], after[:3, :3])
+    assert _post(
+        web_system, "objdrag", {"name": "Nope", "dx": 0.1, "dy": 0.0}
+    )["ok"] is False
