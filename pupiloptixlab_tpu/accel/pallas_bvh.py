@@ -277,11 +277,20 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
 
         nstack_ref[0] = 0
 
-        def leaf_copy(start, j=0):
-            nbuf = len(dma) // 2
+        def leaf_copy(start, j):
+            # computed-slot ring: dma[0] is ONE (nbuf*tcl, 128) buffer,
+            # dma[1] a DMA semaphore ARRAY — slot j (a traced scalar)
+            # picks the sublane slice + semaphore, so the drain loop has
+            # no unrolled pl.when blocks (one wait + one start per
+            # iteration regardless of stream_depth)
             return pltpu.make_async_copy(
-                tri_ref.at[pl.ds(start, tcl), :], dma[j], dma[nbuf + j]
+                tri_ref.at[pl.ds(start, tcl), :],
+                dma[0].at[pl.ds(pl.multiple_of(j * tcl, tcl), tcl), :],
+                dma[1].at[j],
             )
+
+        def slot_rows(j):
+            return dma[0][pl.ds(pl.multiple_of(j * tcl, tcl), tcl), :]
 
         def clamp_leaf(s):
             return pl.multiple_of(jnp.clip(s, 0, t_rows - tcl), tcl)
@@ -425,15 +434,12 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
                     nstart = jnp.where(have_next, nstart_raw, -1)
                     lspd2 = lspd - have_next.astype(jnp.int32)
                     s0 = dq[0]
-                    for j in range(nbuf):
-                        @pl.when(ph == j)
-                        def _(j=j):
-                            leaf_copy(start_of(s0), j).wait()
-                            if instanced:
-                                mt_update_inst(s0, dma[j][:])
-                            else:
-                                mt_update(dma[j][:], clamp_leaf(s0))
-                            leaf_copy(start_of(nstart), j).start()
+                    leaf_copy(start_of(s0), ph).wait()
+                    if instanced:
+                        mt_update_inst(s0, slot_rows(ph))
+                    else:
+                        mt_update(slot_rows(ph), clamp_leaf(s0))
+                    leaf_copy(start_of(nstart), ph).start()
                     ph2 = jnp.where(ph + 1 >= nbuf, 0, ph + 1)
                     return (lspd2, ph2) + dq[1:] + (nstart,)
 
@@ -445,12 +451,12 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
                 return (nsp2, lsp3, phase2) + sq2
 
             for j in range(nbuf):  # prime the ring (dead fetches)
-                leaf_copy(start_of(jnp.int32(0)), j).start()
+                leaf_copy(start_of(jnp.int32(0)), jnp.int32(j)).start()
             jax.lax.while_loop(
                 cond, body, (1, 0, 0) + (-1,) * nbuf
             )
             for j in range(nbuf):  # retire the final in-flight fetches
-                leaf_copy(start_of(jnp.int32(0)), j).wait()
+                leaf_copy(start_of(jnp.int32(0)), jnp.int32(j)).wait()
         else:
             # VMEM-resident table: an INNER while drains every stacked
             # leaf (the loop condition guarantees one, so the MT needs
@@ -680,11 +686,16 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
 
         nstack_ref[0] = 0
 
-        def leaf_copy(start, j=0):
-            nbuf = len(dma) // 2
+        def leaf_copy(start, j):
+            # computed-slot ring (see the closest kernel)
             return pltpu.make_async_copy(
-                tri_ref.at[pl.ds(start, tcl), :], dma[j], dma[nbuf + j]
+                tri_ref.at[pl.ds(start, tcl), :],
+                dma[0].at[pl.ds(pl.multiple_of(j * tcl, tcl), tcl), :],
+                dma[1].at[j],
             )
+
+        def slot_rows(j):
+            return dma[0][pl.ds(pl.multiple_of(j * tcl, tcl), tcl), :]
 
         def clamp_leaf(s):
             return pl.multiple_of(jnp.clip(s, 0, t_rows - tcl), tcl)
@@ -784,15 +795,12 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
                     nstart = jnp.where(have_next, nstart_raw, -1)
                     lspd2 = lspd - have_next.astype(jnp.int32)
                     s0 = dq[0]
-                    for j in range(nbuf):
-                        @pl.when(ph == j)
-                        def _(j=j):
-                            leaf_copy(start_of(s0), j).wait()
-                            if instanced:
-                                occ_update_inst(s0, dma[j][:])
-                            else:
-                                occ_update(dma[j][:])
-                            leaf_copy(start_of(nstart), j).start()
+                    leaf_copy(start_of(s0), ph).wait()
+                    if instanced:
+                        occ_update_inst(s0, slot_rows(ph))
+                    else:
+                        occ_update(slot_rows(ph))
+                    leaf_copy(start_of(nstart), ph).start()
                     ph2 = jnp.where(ph + 1 >= nbuf, 0, ph + 1)
                     return (lspd2, ph2) + dq[1:] + (nstart,)
 
@@ -804,12 +812,12 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
                 return (nsp2, lsp3, phase2) + sq2
 
             for j in range(nbuf):
-                leaf_copy(start_of(jnp.int32(0)), j).start()
+                leaf_copy(start_of(jnp.int32(0)), jnp.int32(j)).start()
             jax.lax.while_loop(
                 cond, body, (1, 0, 0) + (-1,) * nbuf
             )
             for j in range(nbuf):
-                leaf_copy(start_of(jnp.int32(0)), j).wait()
+                leaf_copy(start_of(jnp.int32(0)), jnp.int32(j)).wait()
         else:
             # inner leaf-drain while: no pl.when, no per-leaf sync (see
             # the closest kernel); the fully-occluded early exit stays
@@ -882,8 +890,9 @@ def _call(kernel, tri, boxes, n, rb, outs, interpret, flops, leaf_count,
         # The HBM table minor dim is padded to 128 because Mosaic only
         # slices HBM memrefs on (1,128) tile boundaries.
         scratch += [
-            pltpu.VMEM((tcl, 128), jnp.float32) for _ in range(stream_depth)
-        ] + [pltpu.SemaphoreType.DMA for _ in range(stream_depth)]
+            pltpu.VMEM((stream_depth * tcl, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((stream_depth,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         # child ids + axes (+ instanced leaf payload tables + w2o mats)
         num_scalar_prefetch=5 if instanced else 2,

@@ -37,12 +37,14 @@ def main():
     from pupiloptixlab_tpu.scene import load_scene
 
     path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pupil_big_env/big_env.xml"
+    film_w = int(sys.argv[2]) if len(sys.argv) > 2 else 480
     scene = load_scene(path)
-    scene.sensor.film.w, scene.sensor.film.h = 480, 270  # 1/16 of 1080p
+    scene.sensor.film.w = film_w
+    scene.sensor.film.h = film_w * 9 // 16
     data, config = flatten_scene(scene)
     camera = camera_block_from_scene(scene)
     n = config.width * config.height
-    print(f"tris={config.tri_count} tcl={config.bvh_tcl} film={n}")
+    print(f"tris={config.tri_count} tcl={config.bvh_tcl} film={n}", flush=True)
 
     st = rngm.tea_init(jnp.arange(n, dtype=jnp.uint32), jnp.uint32(1))
     st, (jx, jy) = rngm.next_floats(st, 2)
@@ -50,6 +52,7 @@ def main():
     tmin = jnp.full(n, RAY_OFFSET, jnp.float32)
     tmax = jnp.full(n, MAX_DISTANCE, jnp.float32)
     hit = intersect_closest(ro, rd, tmin, tmax, data, config, coherent=False)
+    print("primary sweep done", flush=True)
     geo = get_local_geometry(data, hit, ro, rd, config.sphere_count)
     local = bsdf_mod.get_local_bsdf(
         data.materials, data.textures, geo.mat_id, geo.uv, config.mat_types,
@@ -68,8 +71,50 @@ def main():
         origin_prim=oprim, mask=hit.hit_mask,
     )
     bt = np.asarray(jnp.where(bhit.hit_mask, bhit.t, MAX_DISTANCE))
+    print("bounce sweep done", flush=True)
 
     (k1,) = _ray_sort_key_leaf(oprim, brd, config, hit.hit_mask)
+
+    # -- sort-key variants (offline search over origin/direction splits).
+    # The production key groups origins by leaf>>2 (tuned on 20k-tri
+    # mesh_env, ~1.3k leaves); at 405k tris (12.7k leaves) the coarse
+    # cell holds far more geometry, so finer origin bits may matter
+    # more than direction bits.
+    op = np.asarray(oprim)
+    tclc = max(config.bvh_tcl, 1)
+    n_leaves = max(config.tri_count // tclc, 1)
+    leaf_of = np.where(
+        (op >= 0) & (op < config.tri_count), op // tclc, n_leaves
+    ).astype(np.uint64)
+    dxa, dya, dza = (np.asarray(v) for v in (brd.x, brd.y, brd.z))
+
+    def dir_morton(bits):
+        q = lambda v: np.clip(
+            ((v + 1.0) * (1 << (bits - 1))).astype(np.uint64),
+            0, (1 << bits) - 1,
+        )
+        def expand(v):
+            out = np.zeros_like(v)
+            for b in range(bits):
+                out |= ((v >> b) & 1) << (3 * b)
+            return out
+        return (
+            (expand(q(dxa)) << 2) | (expand(q(dya)) << 1) | expand(q(dza))
+        )
+
+    maskb = np.asarray(hit.hit_mask)
+
+    def make_key(shift, dirbits):
+        grp = np.minimum(leaf_of >> shift, (1 << 20) - 1)
+        k = (grp << (3 * dirbits)) | dir_morton(dirbits)
+        return np.where(maskb, k, np.uint64(1) << 62)
+
+    variants = [("production", np.asarray(k1).astype(np.uint64))]
+    for shift, dirbits in ((2, 6), (1, 6), (0, 6), (0, 4), (0, 2), (3, 6)):
+        variants.append(
+            (f"leaf>>{shift}|dir{3*dirbits}b", make_key(shift, dirbits))
+        )
+
     order = np.argsort(np.asarray(k1), kind="stable")
     ox, oy, oz = (np.asarray(v)[order] for v in (bro.x, bro.y, bro.z))
     dx, dy, dz = (np.asarray(v)[order] for v in (brd.x, brd.y, brd.z))
@@ -134,8 +179,42 @@ def main():
             f"tris-tested/tile {tri_sum/k:8.0f}  "
             f"adjacency {adj_sum/k:5.2f}  "
             f"2-run DMAs/tile {run_sum/k:7.1f} "
-            f"({run_sum/max(u_sum,1):.2f}x of leaves)"
+            f"({run_sum/max(u_sum,1):.2f}x of leaves)",
+            flush=True,
         )
+
+    # -- key-variant unions at the production tcl ------------------------
+    tcl = tclc
+    L = T // tcl
+    llo = tlo.reshape(L, tcl, 3).min(axis=1)
+    lhi = thi.reshape(L, tcl, 3).max(axis=1)
+    bx, by, bz = (np.asarray(v) for v in (bro.x, bro.y, bro.z))
+    print(f"-- key variants at tcl={tcl} --", flush=True)
+    for name, key in variants:
+        o2 = np.argsort(key, kind="stable")
+        ox2, oy2, oz2 = bx[o2], by[o2], bz[o2]
+        dx2, dy2, dz2 = dxa[o2], dya[o2], dza[o2]
+        seg2 = bt[o2]
+        live2 = active[o2]
+        cand2 = [i for i in range(len(ox2) // TILE)
+                 if live2[i * TILE:(i + 1) * TILE].any()]
+        ids2 = np.random.RandomState(1).choice(
+            cand2, min(n_tiles, len(cand2)), replace=False
+        )
+        u_sum = 0.0
+        for ti in ids2:
+            s = ti * TILE
+            o = np.stack([ox2[s:s+TILE], oy2[s:s+TILE], oz2[s:s+TILE]], 1)
+            d = np.stack([dx2[s:s+TILE], dy2[s:s+TILE], dz2[s:s+TILE]], 1)
+            inv = np.where(np.abs(d) < 1e-12, 1e12, 1.0 / d)
+            t0 = (llo[None] - o[:, None]) * inv[:, None]
+            t1 = (lhi[None] - o[:, None]) * inv[:, None]
+            tn = np.minimum(t0, t1).max(axis=2)
+            tf = np.maximum(t0, t1).min(axis=2)
+            m = (tn <= tf) & (tf > 0) & (tn < (seg2[s:s+TILE] * 1.001)[:, None])
+            m[~live2[s:s+TILE]] = False
+            u_sum += m.any(axis=0).sum()
+        print(f"  {name:22s}: leaves/tile {u_sum/len(ids2):7.1f}", flush=True)
 
 
 if __name__ == "__main__":
