@@ -400,7 +400,7 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
 
             def cond(c):
                 live = (c[0] > 0) | (c[1] > 0)
-                for s in c[3:]:
+                for s in c[3:3 + nbuf]:
                     live = live | (s >= 0)
                 return live
 
@@ -418,17 +418,17 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
                 # entries (dead restarts), so the outer epilogue only
                 # ever retires dead fetches.
                 nsp, lsp, phase = c[0], c[1], c[2]
-                sq = c[3:]
+                sq = c[3:3 + nbuf]
 
                 def drain_cond(ic):
                     ring_live = ic[2] >= 0
-                    for s in ic[3:]:
+                    for s in ic[3:3 + nbuf]:
                         ring_live = ring_live | (s >= 0)
                     return (ic[0] > 0) | ((nsp == 0) & ring_live)
 
                 def drain_body(ic):
                     lspd, ph = ic[0], ic[1]
-                    dq = ic[2:]
+                    dq = ic[2:2 + nbuf]
                     have_next = lspd > 0
                     nstart_raw = lstack_ref[jnp.maximum(lspd - 1, 0)]
                     nstart = jnp.where(have_next, nstart_raw, -1)
@@ -441,20 +441,31 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
                         mt_update(slot_rows(ph), clamp_leaf(s0))
                     leaf_copy(start_of(nstart), ph).start()
                     ph2 = jnp.where(ph + 1 >= nbuf, 0, ph + 1)
-                    return (lspd2, ph2) + dq[1:] + (nstart,)
+                    tail = (ic[2 + nbuf] + 1,) if count_iters else ()
+                    return (lspd2, ph2) + dq[1:] + (nstart,) + tail
 
                 ic = jax.lax.while_loop(
-                    drain_cond, drain_body, (lsp, phase) + sq
+                    drain_cond, drain_body,
+                    (lsp, phase) + sq + ((c[3 + nbuf],) if count_iters else ()),
                 )
-                lsp2, phase2, sq2 = ic[0], ic[1], ic[2:]
+                lsp2, phase2, sq2 = ic[0], ic[1], ic[2:2 + nbuf]
                 nsp2, lsp3 = pop_and_push(nsp, lsp2)
-                return (nsp2, lsp3, phase2) + sq2
+                # counter order: (leaf drains, pops)
+                tail = (ic[2 + nbuf], c[3 + nbuf + 1] + 1) if count_iters else ()
+                return (nsp2, lsp3, phase2) + sq2 + tail
 
             for j in range(nbuf):  # prime the ring (dead fetches)
                 leaf_copy(start_of(jnp.int32(0)), jnp.int32(j)).start()
-            jax.lax.while_loop(
-                cond, body, (1, 0, 0) + (-1,) * nbuf
-            )
+            init = (1, 0, 0) + (-1,) * nbuf
+            if count_iters:
+                # counters: (leaf drains incl. dead-ring waits, pops);
+                # packed like the resident kernel: pops*65536 + leaves
+                fin = jax.lax.while_loop(cond, body, init + (0, 0))
+                ibest[:] = jnp.full_like(
+                    ibest[:], fin[3 + nbuf + 1] * 65536 + fin[3 + nbuf]
+                )
+            else:
+                jax.lax.while_loop(cond, body, init)
             for j in range(nbuf):  # retire the final in-flight fetches
                 leaf_copy(start_of(jnp.int32(0)), jnp.int32(j)).wait()
         else:
@@ -770,7 +781,7 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
 
             def cond(c):
                 live = (c[0] > 0) | (c[1] > 0)
-                for s in c[3:]:
+                for s in c[3:3 + nbuf]:
                     live = live | (s >= 0)
                 return live
 
@@ -1038,9 +1049,10 @@ def bvh_closest(
     """Closest-hit traversal over ray planes; returns (t, idx) — or
     (t, idx, leaf) in instanced mode, with idx = UNIQUE tri row and leaf
     the winning world-leaf table index (leaf_inst[leaf] = instance).
-    ``count_iters`` (debug, non-stream): idx instead carries per-tile
-    iterations*65536 + leaf visits. ``mxu`` (resident, tcl=32 only):
-    run the leaf MT as an MXU contraction (_make_closest_kernel_mxu)."""
+    ``count_iters`` (debug): idx instead carries per-tile pops*65536 +
+    leaf visits (streamed mode counts drain iterations, i.e. leaf DMAs
+    incl. dead-ring waits). ``mxu`` (resident, tcl=32 only): run the
+    leaf MT as an MXU contraction (_make_closest_kernel_mxu)."""
     n = rox.shape[0]
     assert n % (rb * LANES) == 0, n
     stream = _streaming(tri, stream)

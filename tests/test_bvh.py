@@ -230,19 +230,26 @@ def test_flatten_builds_bvh_for_mesh_scene():
     assert (root_hi >= pts.max(0) - 1e-4).all()
 
 
+@pytest.mark.heavy
 def test_bvh_streaming_matches_resident():
     """Forced HBM-streaming traversal (leaf DMA) must agree with the
-    VMEM-resident kernel exactly (interpret mode emulates the DMA)."""
+    VMEM-resident kernel exactly (interpret mode emulates the DMA).
+
+    Heavy tier: interpret mode dispatches each traversal op eagerly per
+    while-loop iteration — minutes on the 1-core host even at this size."""
+    # interpret mode executes the traversal op-by-op per while iteration,
+    # so the sizes here are the smallest that still exercise a multi-level
+    # tree + the DMA ring (runtime, not coverage, is the constraint)
     r = np.random.RandomState(11)
     tcl = 16
-    p0, p1, p2, t_pad = _random_soup(r, 3000, tcl)
-    bvh = build_bvh(p0, p1, p2, 3000, tcl)
+    p0, p1, p2, t_pad = _random_soup(r, 512, tcl)
+    bvh = build_bvh(p0, p1, p2, 512, tcl)
     o = bvh.order
     p0o, p1o, p2o = p0[o], p1[o], p2[o]
     tri = jnp.asarray(np.concatenate(
         [p0o, p1o - p0o, p2o - p0o, np.zeros((t_pad, 3), np.float32)], 1
     ))
-    n = 2048
+    n = 1024
     ro, rd, tmin, tmax = _rays(r, n)
     args = (
         *[jnp.asarray(a) for a in (ro[:, 0], ro[:, 1], ro[:, 2],
@@ -257,3 +264,39 @@ def test_bvh_streaming_matches_resident():
     occ_a = bvh_anyhit(*args, tcl=tcl, interpret=True, stream=False)
     occ_b = bvh_anyhit(*args, tcl=tcl, interpret=True, stream=True)
     np.testing.assert_array_equal(np.asarray(occ_a), np.asarray(occ_b))
+
+
+@pytest.mark.heavy
+def test_bvh_streaming_count_iters():
+    """Streamed count_iters: t matches, idx carries pops*65536+drains
+    per tile, with drains >= the tile's true leaf visits.
+
+    Heavy tier: see test_bvh_streaming_matches_resident."""
+    r = np.random.RandomState(13)
+    tcl = 16
+    p0, p1, p2, t_pad = _random_soup(r, 512, tcl)
+    bvh = build_bvh(p0, p1, p2, 512, tcl)
+    o = bvh.order
+    tri = jnp.asarray(np.concatenate(
+        [p0[o], p1[o] - p0[o], p2[o] - p0[o],
+         np.zeros((t_pad, 3), np.float32)], 1
+    ))
+    n = 1024
+    ro, rd, tmin, tmax = _rays(r, n)
+    args = (
+        *[jnp.asarray(a) for a in (ro[:, 0], ro[:, 1], ro[:, 2],
+                                   rd[:, 0], rd[:, 1], rd[:, 2], tmin, tmax)],
+        tri,
+        jnp.asarray(bvh.child), jnp.asarray(bvh.axis), jnp.asarray(bvh.boxes),
+    )
+    t_a, _ = bvh_closest(*args, tcl=tcl, interpret=True, stream=True)
+    t_c, code = bvh_closest(
+        *args, tcl=tcl, interpret=True, stream=True, count_iters=True
+    )
+    np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_c))
+    code = int(np.asarray(code).reshape(-1)[0])
+    pops, drains = code // 65536, code % 65536
+    assert pops > 0 and drains > 0
+    # a tile can't drain fewer leaves than the tree holds on its path;
+    # sanity: drains bounded by total leaves + ring size
+    assert drains <= 512 // tcl + 16
