@@ -87,6 +87,10 @@ def _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v):
     def col(i):
         return rows[:, i][:, None, None]
 
+    return _moller_trumbore_cols(col, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v)
+
+
+def _moller_trumbore_cols(col, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v):
     p0x, p0y, p0z = col(0), col(1), col(2)
     e1x, e1y, e1z = col(3), col(4), col(5)
     e2x, e2y, e2z = col(6), col(7), col(8)
@@ -117,6 +121,43 @@ def _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v):
         & (t < tmx_v)
     )
     return jnp.where(hit, t, MAX_DISTANCE)
+
+
+def _mt_packed(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v):
+    """MT over a PACKED streamed leaf slice (see _pack_stream): rows is
+    (rpl, 128) with 4 triangles per row at lane stride 32, so a tcl-tri
+    leaf is rpl = tcl/4 sublanes — a 4x smaller HBM fetch than the
+    (tcl, 128) row-per-triangle layout (narrow-minor HBM slices don't
+    compile; 128-lane minor is mandatory, so density must come from
+    packing MORE triangles per row, not fewer lanes). Unpacking is the
+    same static single-lane slice + broadcast _slab8 uses — no
+    transpose, no gather. Returns t of shape (4*rpl, rb, 128) in
+    j-order: pair j <-> leaf-local triangle 4*(j % rpl) + j // rpl."""
+    parts = []
+    for k in range(4):
+        def col(i, _k=k):
+            return rows[:, 32 * _k + i][:, None, None]
+
+        parts.append(
+            _moller_trumbore_cols(col, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v)
+        )
+    return jnp.concatenate(parts, axis=0)
+
+
+def _packed_local(jmin, rpl: int):
+    """Decode the j-order argmin of _mt_packed to the leaf-local
+    triangle index (rpl is a power of two)."""
+    lb = rpl.bit_length() - 1
+    return 4 * (jmin & (rpl - 1)) + (jmin >> lb)
+
+
+def _pack_stream(tri: jnp.ndarray) -> jnp.ndarray:
+    """(T, 12) packed rows -> (T/4, 128) streamed table: triangle
+    4g+k of the tree order lives at row g, lanes [32k, 32k+12)."""
+    t, c = tri.shape
+    g = tri.reshape(t // 4, 4, c)
+    g = jnp.pad(g, ((0, 0), (0, 0), (0, 32 - c)))
+    return g.reshape(t // 4, 128)
 
 
 def _slab8(blk, ox, oy, oz, ix, iy, iz, tmn_v, tfar_clamp):
@@ -243,7 +284,9 @@ def _mt_cols_table(tri: jnp.ndarray, center) -> jnp.ndarray:
 
 def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
                          count_iters: bool = False, instanced: bool = False,
-                         pop2: bool = False):
+                         pop2: bool = False, packed: bool = False):
+    rpl = tcl // 4  # packed streamed rows per leaf
+
     def kernel(*refs):
         if instanced:
             # extra scalar-prefetch tables: world-leaf payloads + 3x4
@@ -263,7 +306,9 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
              tbest, ibest, nstack_ref, lstack_ref, *dma) = refs
         tbest[:] = jnp.full_like(tbest[:], MAX_DISTANCE)
         ibest[:] = jnp.full_like(ibest[:], -1)
-        t_rows = tri_ref.shape[0]
+        # triangle COUNT of the table (packed streamed tables carry 4
+        # triangles per physical row)
+        t_rows = tri_ref.shape[0] * (4 if packed else 1)
 
         ox, oy, oz = rox[:], roy[:], roz[:]
         dx, dy, dz = rdx[:], rdy[:], rdz[:]
@@ -278,30 +323,44 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
         nstack_ref[0] = 0
 
         def leaf_copy(start, j):
-            # computed-slot ring: dma[0] is ONE (nbuf*tcl, 128) buffer,
+            # computed-slot ring: dma[0] is ONE (nbuf*rows, 128) buffer,
             # dma[1] a DMA semaphore ARRAY — slot j (a traced scalar)
             # picks the sublane slice + semaphore, so the drain loop has
             # no unrolled pl.when blocks (one wait + one start per
-            # iteration regardless of stream_depth)
-            return pltpu.make_async_copy(
-                tri_ref.at[pl.ds(start, tcl), :],
-                dma[0].at[pl.ds(pl.multiple_of(j * tcl, tcl), tcl), :],
-                dma[1].at[j],
-            )
+            # iteration regardless of stream_depth).  start is a
+            # TRIANGLE index (tcl-multiple); packed tables fetch the
+            # rpl-row slice that holds the leaf (4x fewer bytes).
+            if packed:
+                src = tri_ref.at[
+                    pl.ds(pl.multiple_of(start // 4, rpl), rpl), :
+                ]
+                dst = dma[0].at[pl.ds(pl.multiple_of(j * rpl, rpl), rpl), :]
+            else:
+                src = tri_ref.at[pl.ds(start, tcl), :]
+                dst = dma[0].at[pl.ds(pl.multiple_of(j * tcl, tcl), tcl), :]
+            return pltpu.make_async_copy(src, dst, dma[1].at[j])
 
         def slot_rows(j):
-            return dma[0][pl.ds(pl.multiple_of(j * tcl, tcl), tcl), :]
+            r = rpl if packed else tcl
+            return dma[0][pl.ds(pl.multiple_of(j * r, r), r), :]
 
         def clamp_leaf(s):
             return pl.multiple_of(jnp.clip(s, 0, t_rows - tcl), tcl)
 
-        def mt_update(rows, start):
-            t = _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v)
+        def _best_update(t, start):
             tmin_c = jnp.min(t, axis=0)
             jmin = jnp.argmin(t, axis=0)
+            if packed:
+                jmin = _packed_local(jmin, rpl)
             better = tmin_c < tbest[:]
             tbest[:] = jnp.where(better, tmin_c, tbest[:])
             ibest[:] = jnp.where(better, start + jmin, ibest[:])
+            return better
+
+        def mt_update(rows, start):
+            mt = _mt_packed if packed else _moller_trumbore
+            t = mt(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v)
+            _best_update(t, start)
 
         def mt_update_inst(li, rows=None):
             li = jnp.clip(li, 0, n_leaf_tab - 1)
@@ -317,17 +376,15 @@ def _make_closest_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
             dxo = w(0) * dx + w(1) * dy + w(2) * dz
             dyo = w(4) * dx + w(5) * dy + w(6) * dz
             dzo = w(8) * dx + w(9) * dy + w(10) * dz
-            if rows is None:  # VMEM-resident table
+            if rows is None:  # VMEM-resident table (never packed)
                 rows = tri_ref[pl.ds(start, tcl), :]
-            t = _moller_trumbore(
-                rows,
-                oxo, oyo, ozo, dxo, dyo, dzo, tmn_v, tmx_v,
-            )
-            tmin_c = jnp.min(t, axis=0)
-            jmin = jnp.argmin(t, axis=0)
-            better = tmin_c < tbest[:]
-            tbest[:] = jnp.where(better, tmin_c, tbest[:])
-            ibest[:] = jnp.where(better, start + jmin, ibest[:])
+                t = _moller_trumbore(
+                    rows, oxo, oyo, ozo, dxo, dyo, dzo, tmn_v, tmx_v,
+                )
+            else:
+                mt = _mt_packed if packed else _moller_trumbore
+                t = mt(rows, oxo, oyo, ozo, dxo, dyo, dzo, tmn_v, tmx_v)
+            better = _best_update(t, start)
             lbest[:] = jnp.where(better, li, lbest[:])
 
         def pop_and_push(nsp, lsp):
@@ -675,7 +732,10 @@ def _make_closest_kernel_mxu(tcl: int):
 
 
 def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
-                        instanced: bool = False, pop2: bool = False):
+                        instanced: bool = False, pop2: bool = False,
+                        packed: bool = False):
+    rpl = tcl // 4
+
     def kernel(*refs):
         if instanced:
             (child_ref, ax_ref, ls_ref, li_ref, w2o_ref,
@@ -688,7 +748,7 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
              rox, roy, roz, rdx, rdy, rdz, irx, iry, irz, tmn, tmx,
              occ, nstack_ref, lstack_ref, *dma) = refs
         occ[:] = jnp.zeros_like(occ[:])
-        t_rows = tri_ref.shape[0]
+        t_rows = tri_ref.shape[0] * (4 if packed else 1)
 
         ox, oy, oz = rox[:], roy[:], roz[:]
         dx, dy, dz = rdx[:], rdy[:], rdz[:]
@@ -698,21 +758,28 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
         nstack_ref[0] = 0
 
         def leaf_copy(start, j):
-            # computed-slot ring (see the closest kernel)
-            return pltpu.make_async_copy(
-                tri_ref.at[pl.ds(start, tcl), :],
-                dma[0].at[pl.ds(pl.multiple_of(j * tcl, tcl), tcl), :],
-                dma[1].at[j],
-            )
+            # computed-slot ring (see the closest kernel); packed tables
+            # fetch the rpl-row slice holding the leaf (4x fewer bytes)
+            if packed:
+                src = tri_ref.at[
+                    pl.ds(pl.multiple_of(start // 4, rpl), rpl), :
+                ]
+                dst = dma[0].at[pl.ds(pl.multiple_of(j * rpl, rpl), rpl), :]
+            else:
+                src = tri_ref.at[pl.ds(start, tcl), :]
+                dst = dma[0].at[pl.ds(pl.multiple_of(j * tcl, tcl), tcl), :]
+            return pltpu.make_async_copy(src, dst, dma[1].at[j])
 
         def slot_rows(j):
-            return dma[0][pl.ds(pl.multiple_of(j * tcl, tcl), tcl), :]
+            r = rpl if packed else tcl
+            return dma[0][pl.ds(pl.multiple_of(j * r, r), r), :]
 
         def clamp_leaf(s):
             return pl.multiple_of(jnp.clip(s, 0, t_rows - tcl), tcl)
 
         def occ_update(rows):
-            t = _moller_trumbore(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v)
+            mt = _mt_packed if packed else _moller_trumbore
+            t = mt(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v)
             hit_here = jnp.min(t, axis=0) < MAX_DISTANCE
             occ[:] = jnp.where(hit_here, 1, occ[:])
 
@@ -730,12 +797,14 @@ def _make_anyhit_kernel(tcl: int, stream: bool = False, stream_depth: int = 2,
             dxo = w(0) * dx + w(1) * dy + w(2) * dz
             dyo = w(4) * dx + w(5) * dy + w(6) * dz
             dzo = w(8) * dx + w(9) * dy + w(10) * dz
-            if rows is None:  # VMEM-resident table
+            if rows is None:  # VMEM-resident table (never packed)
                 rows = tri_ref[pl.ds(start, tcl), :]
-            t = _moller_trumbore(
-                rows,
-                oxo, oyo, ozo, dxo, dyo, dzo, tmn_v, tmx_v,
-            )
+                t = _moller_trumbore(
+                    rows, oxo, oyo, ozo, dxo, dyo, dzo, tmn_v, tmx_v,
+                )
+            else:
+                mt = _mt_packed if packed else _moller_trumbore
+                t = mt(rows, oxo, oyo, ozo, dxo, dyo, dzo, tmn_v, tmx_v)
             hit_here = jnp.min(t, axis=0) < MAX_DISTANCE
             occ[:] = jnp.where(hit_here, 1, occ[:])
 
@@ -885,7 +954,8 @@ def _ray_specs(rb: int, count: int):
 
 
 def _call(kernel, tri, boxes, n, rb, outs, interpret, flops, leaf_count,
-          tcl=16, stream=False, stream_depth=2, instanced=False):
+          tcl=16, stream=False, stream_depth=2, instanced=False,
+          packed=False):
     rows = n // LANES
     scratch = [
         pltpu.SMEM((STACK_SIZE,), jnp.int32),
@@ -898,10 +968,12 @@ def _call(kernel, tri, boxes, n, rb, outs, interpret, flops, leaf_count,
         # streaming mode (tables too big for VMEM): leaf slices are
         # DMA'd from HBM into a ring of stream_depth scratch buffers,
         # overlapped with slab tests + the MTs of older leaves.
-        # The HBM table minor dim is padded to 128 because Mosaic only
-        # slices HBM memrefs on (1,128) tile boundaries.
+        # Mosaic only slices HBM memrefs on (1,128) tile boundaries, so
+        # density comes from _pack_stream (4 tris/row, tcl/4 rows per
+        # leaf); non-packable tcl falls back to the 128-padded rows.
+        slot = tcl // 4 if packed else tcl
         scratch += [
-            pltpu.VMEM((stream_depth * tcl, 128), jnp.float32),
+            pltpu.VMEM((stream_depth * slot, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((stream_depth,)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1073,8 +1145,13 @@ def bvh_closest(
         cpad = jnp.concatenate([center, jnp.zeros(1, jnp.float32)])
         tbest, ibest = call(cpad, bvh_child, bvh_axis, bvh_boxes, mt, *planes)
         return tbest.reshape(n), ibest.reshape(n)
+    packed = (stream and tcl % 32 == 0 and tcl & (tcl - 1) == 0
+              and tri.shape[0] % tcl == 0)
+    n_tris = tri.shape[0]
     if stream:
-        tri = jnp.pad(tri, ((0, 0), (0, 128 - tri.shape[1])))
+        tri = _pack_stream(tri) if packed else jnp.pad(
+            tri, ((0, 0), (0, 128 - tri.shape[1]))
+        )
     outs = (
         (jnp.float32, jnp.int32, jnp.int32)
         if instanced
@@ -1082,15 +1159,16 @@ def bvh_closest(
     )
     call = _call(
         _make_closest_kernel(tcl, stream, stream_depth, count_iters,
-                             instanced, pop2=pop2 and not stream),
+                             instanced, pop2=pop2 and not stream,
+                             packed=packed),
         tri, bvh_boxes, n, rb,
         outs, interpret,
-        flops=int(55 * n * max(tri.shape[0] * 0.05, tcl)),
+        flops=int(55 * n * max(n_tris * 0.05, tcl)),
         leaf_count=(
-            leaf_start.shape[0] if instanced else tri.shape[0] // tcl
+            leaf_start.shape[0] if instanced else n_tris // tcl
         ),
         tcl=tcl, stream=stream, stream_depth=stream_depth,
-        instanced=instanced,
+        instanced=instanced, packed=packed,
     )
     planes = _planes(n, rb, rox, roy, roz, rdx, rdy, rdz, tmin, tmax)
     if instanced:
@@ -1131,19 +1209,24 @@ def bvh_anyhit(
     n = rox.shape[0]
     assert n % (rb * LANES) == 0, n
     stream = _streaming(tri, stream)
+    packed = (stream and tcl % 32 == 0 and tcl & (tcl - 1) == 0
+              and tri.shape[0] % tcl == 0)
+    n_tris = tri.shape[0]
     if stream:
-        tri = jnp.pad(tri, ((0, 0), (0, 128 - tri.shape[1])))
+        tri = _pack_stream(tri) if packed else jnp.pad(
+            tri, ((0, 0), (0, 128 - tri.shape[1]))
+        )
     call = _call(
         _make_anyhit_kernel(tcl, stream, stream_depth, instanced,
-                            pop2=pop2 and not stream),
+                            pop2=pop2 and not stream, packed=packed),
         tri, bvh_boxes, n, rb,
         (jnp.int32,), interpret,
-        flops=int(55 * n * max(tri.shape[0] * 0.025, tcl)),
+        flops=int(55 * n * max(n_tris * 0.025, tcl)),
         leaf_count=(
-            leaf_start.shape[0] if instanced else tri.shape[0] // tcl
+            leaf_start.shape[0] if instanced else n_tris // tcl
         ),
         tcl=tcl, stream=stream, stream_depth=stream_depth,
-        instanced=instanced,
+        instanced=instanced, packed=packed,
     )
     if instanced:
         occ = call(

@@ -267,6 +267,37 @@ def test_bvh_streaming_matches_resident():
 
 
 @pytest.mark.heavy
+def test_bvh_streaming_packed_matches_resident():
+    """Power-of-two tcl streams via the PACKED table (_pack_stream:
+    4 tris per 128-lane row, tcl/4-row leaf DMAs) — must agree with the
+    resident kernel exactly, including the argmin index decode."""
+    r = np.random.RandomState(7)
+    tcl = 32
+    p0, p1, p2, t_pad = _random_soup(r, 500, tcl)
+    bvh = build_bvh(p0, p1, p2, 500, tcl)
+    o = bvh.order
+    p0o, p1o, p2o = p0[o], p1[o], p2[o]
+    tri = jnp.asarray(np.concatenate(
+        [p0o, p1o - p0o, p2o - p0o, np.zeros((t_pad, 3), np.float32)], 1
+    ))
+    n = 1024
+    ro, rd, tmin, tmax = _rays(r, n)
+    args = (
+        *[jnp.asarray(a) for a in (ro[:, 0], ro[:, 1], ro[:, 2],
+                                   rd[:, 0], rd[:, 1], rd[:, 2], tmin, tmax)],
+        tri,
+        jnp.asarray(bvh.child), jnp.asarray(bvh.axis), jnp.asarray(bvh.boxes),
+    )
+    t_a, i_a = bvh_closest(*args, tcl=tcl, interpret=True, stream=False)
+    t_b, i_b = bvh_closest(*args, tcl=tcl, interpret=True, stream=True)
+    np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+    np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
+    occ_a = bvh_anyhit(*args, tcl=tcl, interpret=True, stream=False)
+    occ_b = bvh_anyhit(*args, tcl=tcl, interpret=True, stream=True)
+    np.testing.assert_array_equal(np.asarray(occ_a), np.asarray(occ_b))
+
+
+@pytest.mark.heavy
 def test_bvh_streaming_count_iters():
     """Streamed count_iters: t matches, idx carries pops*65536+drains
     per tile, with drains >= the tile's true leaf visits.
