@@ -182,12 +182,15 @@ def _bench_restir(width=1920, height=1080, iters=4, gi=False):
 
 def _bench_interactive(width=1920, height=1080, frames=20):
     """Sustained interactive rate on cornell 1080p THROUGH the display
-    path: each frame = render + device->host fetch + ACES/gamma tonemap
-    (the DisplayClient pump, display/client.py:76-96; BASELINE config 5).
-    Returns fps."""
+    path: each frame = render + on-device ACES/gamma/uint8 quantize +
+    device->host fetch (the DisplayClient pump, display/client.py:76-96;
+    BASELINE config 5). The fetch of frame i overlaps frame i+1's
+    render (async dispatch), so the rate is max(render, fetch) — on
+    this rig the 21-26 MB/s axon tunnel makes the 6 MB uint8 fetch the
+    ceiling (see INTERACTIVE.md). Returns fps."""
     import numpy as np
 
-    from pupiloptixlab_tpu.display.tonemap import aces_gamma_to_display
+    from pupiloptixlab_tpu.display.tonemap import to_display_u8
     from pupiloptixlab_tpu.flatten import camera_block_from_scene, flatten_scene
     from pupiloptixlab_tpu.render.integrator import render_frame
     from pupiloptixlab_tpu.scene import load_scene
@@ -198,19 +201,23 @@ def _bench_interactive(width=1920, height=1080, frames=20):
     camera = camera_block_from_scene(scene)
     n = config.width * config.height
     accum = jnp.zeros((n, 3), jnp.float32)
-    tone = jax.jit(aces_gamma_to_display)
 
     def one(i, accum):
         accum, bufs = render_frame(
             data, camera, jnp.uint32(i), jnp.int32(i), accum, config
         )
-        img = np.asarray(tone(bufs["frame"]))  # device -> host
-        return accum, img
+        return accum, to_display_u8(bufs["frame"])
 
-    accum, _ = one(0, accum)  # compile
+    accum, u8 = one(0, accum)  # compile
+    np.asarray(u8)
     t0 = time.perf_counter()
+    pending = None
     for i in range(frames):
-        accum, img = one(i + 1, accum)
+        accum, u8 = one(i + 1, accum)  # dispatch frame i+1 ...
+        if pending is not None:
+            np.asarray(pending)  # ... while frame i crosses the link
+        pending = u8
+    np.asarray(pending)
     return frames / (time.perf_counter() - t0)
 
 

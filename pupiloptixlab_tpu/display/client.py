@@ -25,7 +25,7 @@ from pathlib import Path
 
 import numpy as np
 
-from pupiloptixlab_tpu.display.tonemap import aces_gamma_to_display, expand_to_rgba
+from pupiloptixlab_tpu.display.tonemap import expand_to_rgba, to_display_u8
 from pupiloptixlab_tpu.system.buffers import DEFAULT_FINAL_RESULT_BUFFER_NAME
 from pupiloptixlab_tpu.utils.event import (
     CAMERA_MOVE,
@@ -80,10 +80,10 @@ class DisplayClient:
         if buf is None or buf.array is None:
             return
         rgba = expand_to_rgba(buf.array, buf.desc.width, buf.desc.height)
-        shown = aces_gamma_to_display(
+        shown = to_display_u8(
             rgba[..., :3], self.tone_mapping, self.gamma
         )
-        img = np.asarray(shown)  # device -> host
+        img = np.asarray(shown)  # device -> host (uint8: 4x fewer bytes)
         with self._flip_lock:
             back = 1 - self._ready_index
             self._images[back] = img[::-1]  # film row 0 = bottom

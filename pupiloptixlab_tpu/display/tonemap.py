@@ -29,6 +29,20 @@ def aces_gamma_to_display(
     return jnp.clip(out, 0.0, 1.0)
 
 
+@partial(jax.jit, static_argnames=("tone_mapping", "gamma"))
+def to_display_u8(
+    rgb: jnp.ndarray, tone_mapping: bool = True, gamma: bool = True
+) -> jnp.ndarray:
+    """(..., 3) linear radiance -> display uint8, quantized ON DEVICE.
+
+    The display pump fetches this instead of the float image: the
+    device->host link moves 4x fewer bytes per frame (measured 21-26
+    MB/s through the axon tunnel, where a 1080p f32 frame alone costs
+    ~950 ms — the whole interactive budget)."""
+    out = aces_gamma_to_display(rgb, tone_mapping, gamma)
+    return (out * 255.0 + 0.5).astype(jnp.uint8)
+
+
 def expand_to_rgba(arr: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
     """float1/2/3/4 buffer -> (h, w, 4) like buffer_to_canvas.cu:6-34."""
     n = width * height

@@ -60,10 +60,16 @@ from pupiloptixlab_tpu.utils.math import Transform
 log = get_logger(__name__)
 
 
+def _to_u8(img: np.ndarray) -> np.ndarray:
+    if img.dtype == np.uint8:  # already display-encoded on device
+        return img
+    return (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+
 def _encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     from PIL import Image
 
-    u8 = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    u8 = _to_u8(img)
     buf = io.BytesIO()
     Image.fromarray(u8).save(buf, "JPEG", quality=quality)
     return buf.getvalue()
@@ -72,7 +78,7 @@ def _encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
 def _encode_png(img: np.ndarray) -> bytes:
     from PIL import Image
 
-    u8 = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    u8 = _to_u8(img)
     buf = io.BytesIO()
     Image.fromarray(u8).save(buf, "PNG")
     return buf.getvalue()

@@ -307,6 +307,15 @@ def save_image(path: str | Path, img: np.ndarray) -> None:
     """Save float32 (h, w, 3|4); format from extension (EXR/HDR/PNG...)."""
     p = Path(path)
     suffix = p.suffix.lower()
+    if img.dtype == np.uint8:
+        # display-encoded bytes from the u8 fetch path: LDR formats save
+        # directly; HDR formats get the [0,1] float image back
+        if suffix not in (".exr", ".hdr"):
+            from PIL import Image
+
+            Image.fromarray(img[..., :3]).save(p)
+            return
+        img = img.astype(np.float32) / 255.0
     if suffix == ".exr":
         write_exr(p, img)
         return
