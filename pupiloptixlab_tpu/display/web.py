@@ -146,7 +146,8 @@ class WebDisplay(DisplayClient):
         dw = c[:3, :3] @ (d / np.linalg.norm(d))
         dw /= np.linalg.norm(dw)
         o = c[:3, 3]
-        inv = np.where(np.abs(dw) < 1e-12, 1e12, 1.0 / dw)
+        with np.errstate(divide="ignore"):
+            inv = np.where(np.abs(dw) < 1e-12, 1e12, 1.0 / dw)
         best, best_t = None, np.inf
         for ro in world.render_objects:
             shape = ro.instance.shape

@@ -309,13 +309,16 @@ def save_image(path: str | Path, img: np.ndarray) -> None:
     suffix = p.suffix.lower()
     if img.dtype == np.uint8:
         # display-encoded bytes from the u8 fetch path: LDR formats save
-        # directly; HDR formats get the [0,1] float image back
+        # directly; HDR formats get gamma inverted back to linear-ish
+        # values (the baked ACES tonemap is not invertible, so the
+        # result is display-referred linear, not scene radiance)
+        ch = img if img.ndim == 2 else img[..., :3]
         if suffix not in (".exr", ".hdr"):
             from PIL import Image
 
-            Image.fromarray(img[..., :3]).save(p)
+            Image.fromarray(ch).save(p)
             return
-        img = img.astype(np.float32) / 255.0
+        img = (img.astype(np.float32) / 255.0) ** LDR_GAMMA
     if suffix == ".exr":
         write_exr(p, img)
         return

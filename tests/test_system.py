@@ -54,7 +54,9 @@ def test_display_client_flip_and_screenshot(small_system, tmp_path):
     s.run(max_frames=1)
     img = s.display.latest_image()
     assert img is not None and img.shape == (16, 16, 3)
-    assert np.all(img >= 0) and np.all(img <= 1)
+    # display path quantizes on-device (client.py:83-86): uint8 [0, 255]
+    assert img.dtype == np.uint8
+    assert img.max() > 0
     out = tmp_path / "shot.exr"
     s.display.save_screenshot(out)
     assert out.exists()
