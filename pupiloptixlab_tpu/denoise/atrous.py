@@ -341,9 +341,134 @@ def temporal_blend(
     return prev_clamped * (1.0 - alpha) + current * alpha
 
 
-@jax.jit
-def upscale_2x(img):
-    """Bilinear 2x upscale (the UseUpscale2X mode analog)."""
+@partial(
+    jax.jit,
+    static_argnames=("sigma_albedo", "sigma_normal", "sigma_spatial"),
+)
+def _upscale_2x_guided(
+    img, albedo_hi, normal_hi, sigma_albedo, sigma_normal, sigma_spatial
+):
+    """Joint-bilateral 2x upsample (Kopf et al. 2007) guided by
+    FULL-resolution albedo/normal layers.
+
+    The TPU-honest stand-in for the reference's trained UPSCALE2X
+    denoiser model (optix/denoiser.cpp:62-75): the low-res radiance is
+    resampled through a 3x3 low-res tap window whose weights combine a
+    Gaussian spatial kernel with guide similarity at the TARGET (hi-res)
+    pixel — so radiance edges land where the full-res G-buffer puts
+    them, not where bilinear smearing does. Guides at full res are cheap
+    here (one primary-ray sweep), unlike the path-traced beauty.
+
+    Layout: every accumulation runs on (h, w) channel planes (the
+    render/vec.py image rule); the 4 output phases assemble by
+    stack+reshape — a static relayout, no scatter/gather.
+    """
+    h, w = img.shape[:2]
+
+    def planes(a):
+        return [a[..., c] for c in range(3)]
+
+    lr, lg, lb = planes(img)
+    # low-res guides: 2x2 box reduction of the hi-res layers (normals
+    # renormalized after averaging)
+    def down(p):
+        return 0.25 * (
+            p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+        )
+
+    alo = [down(p) for p in planes(albedo_hi)]
+    nlo = [down(p) for p in planes(normal_hi)]
+    nrm = jnp.sqrt(nlo[0] ** 2 + nlo[1] ** 2 + nlo[2] ** 2)
+    inv_n = 1.0 / jnp.maximum(nrm, 1e-6)
+    nlo = [p * inv_n for p in nlo]
+
+    # edge-pad once; all taps are static slices of the shared pad
+    pads = [
+        jnp.pad(p, ((1, 1), (1, 1)), mode="edge")
+        for p in (lr, lg, lb, *alo, *nlo)
+    ]
+
+    inv_2sa = 1.0 / (2.0 * sigma_albedo**2)
+    inv_2ss = 1.0 / (2.0 * sigma_spatial**2)
+    n_pow = max(int(round(1.0 / max(sigma_normal, 1e-3))), 1)
+
+    phase_out = [[None] * 4 for _ in range(2)]  # [py][px] -> 3 planes
+    for py in (0, 1):
+        for px in (0, 1):
+            # hi-res guide planes seen by this phase (strided views)
+            ahi = [p[py::2, px::2] for p in planes(albedo_hi)]
+            nhi = [p[py::2, px::2] for p in planes(normal_hi)]
+            acc = [jnp.zeros((h, w), img.dtype) for _ in range(3)]
+            wsum = jnp.zeros((h, w), img.dtype)
+            # hi pixel center in low-res coords: y + (2*py - 1)/4
+            oy = (2 * py - 1) / 4.0
+            ox = (2 * px - 1) / 4.0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    def tap(i):
+                        return jax.lax.slice(
+                            pads[i], (1 + dy, 1 + dx), (1 + dy + h, 1 + dx + w)
+                        )
+
+                    d2 = (oy - dy) ** 2 + (ox - dx) ** 2
+                    w_ = jnp.exp(jnp.asarray(-d2 * inv_2ss, img.dtype))
+                    da = (
+                        (tap(3) - ahi[0]) ** 2
+                        + (tap(4) - ahi[1]) ** 2
+                        + (tap(5) - ahi[2]) ** 2
+                    )
+                    w_ = w_ * jnp.exp(-da * inv_2sa)
+                    ndot = jnp.clip(
+                        tap(6) * nhi[0] + tap(7) * nhi[1] + tap(8) * nhi[2],
+                        0.0, 1.0,
+                    )
+                    npw = ndot
+                    for _ in range(n_pow - 1):
+                        npw = npw * ndot
+                    w_ = w_ * npw
+                    for c in range(3):
+                        acc[c] = acc[c] + tap(c) * w_
+                    wsum = wsum + w_
+            inv_w = 1.0 / jnp.maximum(wsum, 1e-8)
+            phase_out[py][px] = [a * inv_w for a in acc]
+
+    outs = []
+    for c in range(3):
+        # (h, 2, w, 2) -> (2h, 2w): pure reshape/stack relayout
+        quad = jnp.stack(
+            [
+                jnp.stack(
+                    [phase_out[0][0][c], phase_out[0][1][c]], axis=-1
+                ),
+                jnp.stack(
+                    [phase_out[1][0][c], phase_out[1][1][c]], axis=-1
+                ),
+            ],
+            axis=1,
+        )  # (h, 2, w, 2)
+        outs.append(quad.reshape(2 * h, 2 * w))
+    return jnp.stack(outs, axis=-1)
+
+
+def upscale_2x(
+    img,
+    albedo_hi=None,
+    normal_hi=None,
+    sigma_albedo: float = 0.1,
+    sigma_normal: float = 0.25,
+    sigma_spatial: float = 0.6,
+):
+    """2x upscale (the UseUpscale2X mode analog, denoiser.cpp:62-75).
+
+    With FULL-resolution ``albedo_hi``/``normal_hi`` guide layers this
+    is a joint-bilateral upsample (edge placement comes from the hi-res
+    G-buffer — gated against bilinear in tests/test_denoise.py);
+    without guides it falls back to plain bilinear."""
+    if albedo_hi is not None and normal_hi is not None:
+        return _upscale_2x_guided(
+            img, albedo_hi, normal_hi,
+            sigma_albedo, sigma_normal, sigma_spatial,
+        )
     h, w, c = img.shape
     return jax.image.resize(img, (h * 2, w * 2, c), method="bilinear")
 
@@ -358,13 +483,19 @@ def denoise(
     motion=None,
     variance=None,
     aovs: dict | None = None,
+    albedo_hi=None,
+    normal_hi=None,
 ):
     """One-shot functional interface; inputs are (h, w, 3) (+ optional
     (h, w, 2) motion vectors for temporal reprojection, an (h, w)
     luminance-variance plane for the SVGF edge-stop, and — with
     APPLY_TO_AOV in the mode — a dict of named (h, w, 3) AOV layers
     filtered with the beauty's weights). With AOVs the return is
-    (color', {name: aov'}); otherwise just color'."""
+    (color', {name: aov'}); otherwise just color'.
+
+    ``albedo_hi``/``normal_hi``: (2h, 2w, 3) full-resolution guide
+    layers for UPSCALE_2X — switches the upscale from bilinear to the
+    joint-bilateral guided form (see upscale_2x)."""
     use_albedo = bool(mode & DenoiserMode.USE_ALBEDO) and albedo is not None
     use_normal = bool(mode & DenoiserMode.USE_NORMAL) and normal is not None
     if albedo is None:
@@ -383,7 +514,7 @@ def denoise(
     if mode & DenoiserMode.TEMPORAL and previous is not None:
         out = temporal_blend(out, previous, motion=motion)
     if mode & DenoiserMode.UPSCALE_2X:
-        out = upscale_2x(out)
+        out = upscale_2x(out, albedo_hi=albedo_hi, normal_hi=normal_hi)
     if do_aov:
         return out, dict(zip(names, aov_list))
     return out
@@ -420,6 +551,8 @@ class Denoiser:
         motion = layers.get("motion")
         variance = layers.get("variance")
         aovs = layers.get("aovs")
+        albedo_hi = layers.get("albedo_hi")
+        normal_hi = layers.get("normal_hi")
         do_aov = bool(self.mode & DenoiserMode.APPLY_TO_AOV) and aovs
         if self.mode & DenoiserMode.TILED and color.shape[0] > self.tile_size:
             out = self._execute_tiled(color, albedo, normal, previous)
@@ -428,13 +561,23 @@ class Denoiser:
             out, aov_out = denoise(
                 color, albedo, normal, previous, self.mode, motion=motion,
                 variance=variance, aovs=aovs,
+                albedo_hi=albedo_hi, normal_hi=normal_hi,
             )
         else:
             out = denoise(color, albedo, normal, previous, self.mode,
-                          motion=motion, variance=variance)
+                          motion=motion, variance=variance,
+                          albedo_hi=albedo_hi, normal_hi=normal_hi)
             aov_out = None
         if self.mode & DenoiserMode.TEMPORAL:
-            self._previous = out
+            if self.mode & DenoiserMode.UPSCALE_2X:
+                # temporal history lives at the RENDER (low) resolution;
+                # the upscaled output is 2x — box-reduce it back
+                self._previous = 0.25 * (
+                    out[0::2, 0::2] + out[0::2, 1::2]
+                    + out[1::2, 0::2] + out[1::2, 1::2]
+                )
+            else:
+                self._previous = out
         return (out, aov_out) if do_aov else out
 
     def _execute_tiled(self, color, albedo, normal, previous):

@@ -61,6 +61,74 @@ def test_upscale_2x_shape():
     assert up.shape == (96, 96, 3)
 
 
+def _upscale_scene(h=64, w=64, seed=3):
+    """Hi-res scene whose radiance edge is NOT aligned to the low-res
+    grid (a diagonal material boundary), plus the full-res G-buffer.
+    Returns (clean_hi, albedo_hi, normal_hi, low) with low = 2x2
+    box-downsampled clean (the half-res render a UPSCALE_2X pipeline
+    would produce)."""
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    left = (xs + 0.37 * ys) < (0.71 * w)
+    clean = np.where(
+        left[..., None], [0.9, 0.25, 0.1], [0.05, 0.4, 0.85]
+    ).astype(np.float32)
+    albedo = clean.copy()
+    normal = np.where(
+        left[..., None], [0.0, 0.0, 1.0],
+        [0.0, 0.70710678, 0.70710678],
+    ).astype(np.float32)
+    low = 0.25 * (
+        clean[0::2, 0::2] + clean[0::2, 1::2]
+        + clean[1::2, 0::2] + clean[1::2, 1::2]
+    )
+    return (
+        jnp.asarray(clean), jnp.asarray(albedo),
+        jnp.asarray(normal), jnp.asarray(low),
+    )
+
+
+def test_guided_upscale_beats_bilinear():
+    # the UPSCALE_2X quality gate (reference: a TRAINED 2x model,
+    # optix/denoiser.cpp:62-75): with full-res albedo/normal guides the
+    # joint-bilateral upsample must place the edge where the G-buffer
+    # has it, beating plain bilinear MSE by a wide margin
+    clean, albedo, normal, low = _upscale_scene()
+    up_bil = upscale_2x(low)
+    up_gui = upscale_2x(low, albedo_hi=albedo, normal_hi=normal)
+    assert up_gui.shape == clean.shape
+    mse_bil = float(jnp.mean((up_bil - clean) ** 2))
+    mse_gui = float(jnp.mean((up_gui - clean) ** 2))
+    assert mse_gui < 0.5 * mse_bil, (mse_gui, mse_bil)
+    # flat regions stay exact (guides constant there -> plain resample
+    # of a constant): max error away from the boundary is tiny
+    err = np.abs(np.asarray(up_gui - clean)).max(axis=-1)
+    ys, xs = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    dist = np.abs((xs + 0.37 * ys) - 0.71 * 64)
+    assert err[dist > 6].max() < 1e-3
+
+
+def test_denoiser_upscale_2x_guided_layers():
+    clean, albedo, normal, low = _upscale_scene()
+
+    def down(img):
+        return 0.25 * (
+            img[0::2, 0::2] + img[0::2, 1::2]
+            + img[1::2, 0::2] + img[1::2, 1::2]
+        )
+
+    layers = {"input": low, "albedo": down(albedo), "normal": down(normal)}
+    den = Denoiser(
+        DenoiserMode.UPSCALE_2X
+        | DenoiserMode.USE_ALBEDO
+        | DenoiserMode.USE_NORMAL
+    )
+    den.setup(32, 32)
+    out = den.execute(dict(layers, albedo_hi=albedo, normal_hi=normal))
+    assert out.shape == clean.shape
+    mse_bil = float(jnp.mean((den.execute(layers) - clean) ** 2))
+    assert float(jnp.mean((out - clean) ** 2)) < 0.5 * mse_bil
+
+
 @pytest.mark.heavy
 def test_denoiser_class_modes_and_tiling():
     noisy, clean, albedo, normal = _noisy_scene(h=80, w=64, seed=3)
