@@ -132,7 +132,16 @@ def _mt_packed(rows, ox, oy, oz, dx, dy, dz, tmn_v, tmx_v):
     packing MORE triangles per row, not fewer lanes). Unpacking is the
     same static single-lane slice + broadcast _slab8 uses — no
     transpose, no gather. Returns t of shape (4*rpl, rb, 128) in
-    j-order: pair j <-> leaf-local triangle 4*(j % rpl) + j // rpl."""
+    j-order: pair j <-> leaf-local triangle 4*(j % rpl) + j // rpl.
+
+    Tie-break caveat: argmin over j picks the smallest J, and j-order
+    interleaves local indices, so when two triangles of one leaf hit at
+    EXACTLY the same t (coincident/duplicated geometry) the winning
+    index can differ from the resident kernel's smallest-local-index
+    choice. t and hit/miss are unaffected; only which of two coincident
+    triangles reports. Accepted deviation (a composite (t, local) key
+    would cost extra VPU work per leaf for a degenerate-geometry-only
+    case)."""
     parts = []
     for k in range(4):
         def col(i, _k=k):

@@ -270,7 +270,10 @@ def test_bvh_streaming_matches_resident():
 def test_bvh_streaming_packed_matches_resident():
     """Power-of-two tcl streams via the PACKED table (_pack_stream:
     4 tris per 128-lane row, tcl/4-row leaf DMAs) — must agree with the
-    resident kernel exactly, including the argmin index decode."""
+    resident kernel exactly, including the argmin index decode (for
+    DISTINCT hit distances; on exact ties the packed j-order may pick a
+    different coincident triangle — documented in _mt_packed, and random
+    soup produces no exact ties)."""
     r = np.random.RandomState(7)
     tcl = 32
     p0, p1, p2, t_pad = _random_soup(r, 500, tcl)

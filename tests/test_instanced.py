@@ -201,7 +201,16 @@ def test_instanced_pallas_kernel_matches_xla(instanced_pair):
     assert (np.asarray(occ)[both]).all()  # closest-hit lanes are occluded
 
     # instanced STREAMING (unique table in HBM, leaf slices DMA'd):
-    # identical (t, prim, leaf) vs the resident instanced kernel
+    # identical (t, prim, leaf) vs the resident instanced kernel.
+    # Pin that this exercises the PACKED DMA path (the bvh_closest
+    # packed gate: streamed + power-of-two tcl % 32 == 0 + tcl-divisible
+    # table) — instanced tables are built at tcl0 >= 32, so this is the
+    # instanced+packed coverage ADVICE r4 asked for.
+    assert (
+        cfg_i.bvh_tcl % 32 == 0
+        and cfg_i.bvh_tcl & (cfg_i.bvh_tcl - 1) == 0
+        and data_i.tris.packed.shape[0] % cfg_i.bvh_tcl == 0
+    ), (cfg_i.bvh_tcl, data_i.tris.packed.shape)
     t_s, p_s, l_s = bvh_closest(*args, **kw, stream=True)
     np.testing.assert_array_equal(np.asarray(p_s), np.asarray(p_k))
     np.testing.assert_array_equal(np.asarray(l_s), np.asarray(l_k))

@@ -90,10 +90,11 @@ def main():
         }), flush=True)
 
     # primary sweep (coherent: unsorted block order in production, but
-    # here sorted=off to match; count on the same ray set)
-    (t_p, code_p), ms_p = timeit(lambda: sweep(ro, rd, None, True))
+    # here sorted=off to match). Timings print BEFORE any count_iters
+    # kernel runs: the count variant has faulted on hardware before, and
+    # the non-count numbers must survive that.
     (t_p2, _), ms_p2 = timeit(lambda: sweep(ro, rd, None, False))
-    stats(code_p, "primary", ms_p2)
+    print(json.dumps({"sweep": "primary", "ms": round(ms_p2, 1)}), flush=True)
 
     # bounce-1 rays via the real integrator machinery
     hit = intersect_closest(ro, rd, tmin, tmax, data, config, coherent=False)
@@ -110,10 +111,15 @@ def main():
     oprim = jnp.where(hit.kind == 0, hit.prim, -1)
     keys = _ray_sort_key_leaf(oprim, brd, config, hit.hit_mask)
 
-    (t_b, code_b), _ = timeit(
-        lambda: sweep(bro, brd, keys, True, hit.hit_mask), iters=1)
     (t_b2, _), ms_b2 = timeit(lambda: sweep(bro, brd, keys, False,
                                             hit.hit_mask))
+    print(json.dumps({"sweep": "bounce1", "ms": round(ms_b2, 1)}), flush=True)
+
+    # count_iters passes LAST (see above)
+    (t_p, code_p), _ = timeit(lambda: sweep(ro, rd, None, True), iters=1)
+    stats(code_p, "primary", ms_p2)
+    (t_b, code_b), _ = timeit(
+        lambda: sweep(bro, brd, keys, True, hit.hit_mask), iters=1)
     stats(code_b, "bounce1", ms_b2)
 
 
