@@ -66,6 +66,10 @@ DEFAULT_STREAM_DEPTH = int(_os.environ.get("PUPIL_STREAM_DEPTH", "2"))
 # knob; 2 measured best-known, 4 halves syncs again at the cost of
 # wasted slab tests on shallow stacks).
 POP_N = int(_os.environ.get("PUPIL_POP_N", "2"))
+# Debug knob: force the UNPACKED streamed layout even when tcl is
+# packed-eligible (isolates packed-kernel issues on hardware; the
+# count_iters+packed combination has faulted on a real chip).
+NO_PACK = int(_os.environ.get("PUPIL_NO_PACK", "0"))
 # Leaves tested per inner drain-loop iteration in the resident kernels.
 # >1 halves (etc.) the Mosaic while-loop overhead per leaf at the cost
 # of one duplicate/garbage leaf MT when the stack depth isn't a
@@ -1155,7 +1159,7 @@ def bvh_closest(
         tbest, ibest = call(cpad, bvh_child, bvh_axis, bvh_boxes, mt, *planes)
         return tbest.reshape(n), ibest.reshape(n)
     packed = (stream and tcl % 32 == 0 and tcl & (tcl - 1) == 0
-              and tri.shape[0] % tcl == 0)
+              and tri.shape[0] % tcl == 0 and not NO_PACK)
     n_tris = tri.shape[0]
     if stream:
         tri = _pack_stream(tri) if packed else jnp.pad(
@@ -1219,7 +1223,7 @@ def bvh_anyhit(
     assert n % (rb * LANES) == 0, n
     stream = _streaming(tri, stream)
     packed = (stream and tcl % 32 == 0 and tcl & (tcl - 1) == 0
-              and tri.shape[0] % tcl == 0)
+              and tri.shape[0] % tcl == 0 and not NO_PACK)
     n_tris = tri.shape[0]
     if stream:
         tri = _pack_stream(tri) if packed else jnp.pad(

@@ -11,9 +11,7 @@ the identity warp), inspector knobs for M / spatial taps / radius.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
-import jax
 import jax.numpy as jnp
 
 from pupiloptixlab_tpu.render.restir import N_PACK, restir_frame
@@ -25,21 +23,15 @@ from pupiloptixlab_tpu.utils.event import (
     SCENE_LOAD,
 )
 
-_jit_frame = partial(
-    jax.jit,
-    static_argnames=("config", "m_candidates", "spatial_taps", "spatial_radius"),
-    donate_argnames=("prev_packed", "accum"),
-)(restir_frame)
+# restir_frame / restir_gi_frame are jitted (with donation) at their
+# definitions in render/restir{,_gi}.py; the pass calls them directly.
+_jit_frame = restir_frame
 
 
 def _jit_gi_frame():
     from pupiloptixlab_tpu.render.restir_gi import restir_gi_frame
 
-    return partial(
-        jax.jit,
-        static_argnames=("config", "spatial_taps", "spatial_radius"),
-        donate_argnames=("prev_packed", "accum"),
-    )(restir_gi_frame)
+    return restir_gi_frame
 
 
 class ReSTIRPass(Pass):

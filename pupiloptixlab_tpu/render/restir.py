@@ -32,6 +32,7 @@ position-parameterized samples).
 from __future__ import annotations
 
 from dataclasses import dataclass, fields
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -274,6 +275,13 @@ def _unpack(rows: jnp.ndarray):
     return r, pos, nrm
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "config", "m_candidates", "spatial_taps", "spatial_radius", "m_cap",
+    ),
+    donate_argnames=("prev_packed", "accum"),
+)
 def restir_frame(
     scene: SceneData,
     camera,

@@ -26,6 +26,9 @@ table as DI so every reuse tap is one gather.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from pupiloptixlab_tpu.flatten.types import RenderConfig, SceneData
@@ -262,6 +265,11 @@ def reproject_pixels(motion, width, height):
     return (yi * width + xi).reshape(-1), valid.reshape(-1)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("config", "spatial_taps", "spatial_radius", "m_cap"),
+    donate_argnames=("prev_packed", "accum"),
+)
 def restir_gi_frame(
     scene: SceneData,
     camera,

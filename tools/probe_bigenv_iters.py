@@ -64,14 +64,22 @@ def main():
             sort_keys=keys, rb=rb,
         )
 
-    def timeit(fn, iters=3):
+    def timeit(fn, iters=6):
+        """Delta-method frame timing: block_until_ready lies through the
+        axon tunnel, so force a REAL host sync (np scalar) and measure
+        (time of N iters+sync) - (time of 1 iter+sync) over N-1 — the
+        ~31 ms dispatch+transfer overhead cancels."""
         out = fn()
-        jax.block_until_ready(out[0])
+        _ = float(jnp.sum(out[0]))
         t0 = time.perf_counter()
-        for _ in range(iters):
+        out = fn()
+        _ = float(jnp.sum(out[0]))
+        t1 = time.perf_counter()
+        for _i in range(iters):
             out = fn()
-        jax.block_until_ready(out[0])
-        return out, (time.perf_counter() - t0) / iters * 1e3
+        _ = float(jnp.sum(out[0]))
+        t2 = time.perf_counter()
+        return out, ((t2 - t1) - (t1 - t0)) / (iters - 1) * 1e3
 
     def stats(code, label, ms):
         c = np.asarray(code).reshape(-1, rb * 128)[:, 0]
