@@ -180,7 +180,76 @@ def _bench_restir(width=1920, height=1080, iters=4, gi=False):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def _bench_interactive(width=1920, height=1080, frames=20):
+def _bench_restir_quality(width=960, height=540, restir_frames=4,
+                          truth_frames=192):
+    """Equal-time quality: ReSTIR-DI vs plain PT on the many-light scene
+    (the comparison ReSTIR exists to win; reference scene
+    /root/reference/data/static/restir_test.xml). Both estimators target
+    DIRECT lighting (PT at max_depth=2 = emission + NEE/MIS direct, the
+    integral ReSTIR-DI computes); truth is a long PT accumulation.
+    ReSTIR runs `restir_frames` frames from scratch; PT gets the same
+    wall-clock budget (round(restir_frames * restir_ms / pt_ms) frames).
+    Returns (mse_ratio, restir_ms, pt_ms): mse_ratio = PT_relMSE /
+    ReSTIR_relMSE at equal time — >1 means ReSTIR is ahead."""
+    import dataclasses
+
+    import numpy as np
+
+    from pupiloptixlab_tpu.flatten import camera_block_from_scene, flatten_scene
+    from pupiloptixlab_tpu.render.integrator import render_frame
+    from pupiloptixlab_tpu.render.restir import restir_frame
+    from pupiloptixlab_tpu.scene import load_scene
+
+    scene = load_scene("/root/reference/data/static/restir_test.xml")
+    scene.sensor.film.w, scene.sensor.film.h = width, height
+    data, config = flatten_scene(scene)
+    config = dataclasses.replace(config, max_depth=2, accumulate=True)
+    camera = camera_block_from_scene(scene)
+    n = config.width * config.height
+
+    def pt_run(frames):
+        accum = jnp.zeros((n, 3), jnp.float32)
+        for i in range(frames):
+            accum, bufs = render_frame(
+                data, camera, jnp.uint32(i), jnp.int32(i), accum, config
+            )
+        jax.block_until_ready(accum)
+        return accum
+
+    def restir_run(frames):
+        prev = jnp.zeros((n, 19), jnp.float32)
+        accum = jnp.zeros((n, 3), jnp.float32)
+        for i in range(frames):
+            accum, prev, _ = restir_frame(
+                data, camera, jnp.uint32(i), prev, accum, jnp.int32(i),
+                config,
+            )
+        jax.block_until_ready(accum)
+        return accum
+
+    # compile both programs, then time one frame of each (best of 3)
+    pt_run(1), restir_run(1)
+    pt_ms = min(_timeit(lambda: pt_run(1)) for _ in range(3)) * 1e3
+    restir_ms = min(_timeit(lambda: restir_run(1)) for _ in range(3)) * 1e3
+
+    truth = np.asarray(pt_run(truth_frames))
+    denom = float(np.mean(truth**2)) + 1e-12
+
+    pt_frames = max(1, round(restir_frames * restir_ms / max(pt_ms, 1e-6)))
+    img_restir = np.asarray(restir_run(restir_frames))
+    img_pt = np.asarray(pt_run(pt_frames))
+    mse_restir = float(np.mean((img_restir - truth) ** 2)) / denom
+    mse_pt = float(np.mean((img_pt - truth) ** 2)) / denom
+    return mse_pt / max(mse_restir, 1e-12), restir_ms, pt_ms
+
+
+def _timeit(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def _bench_interactive(width=1920, height=1080, frames=20, stride=1):
     """Sustained interactive rate on cornell 1080p THROUGH the display
     path: each frame = render + on-device ACES/gamma/uint8 quantize +
     device->host fetch (the DisplayClient pump, display/client.py:76-96;
@@ -206,7 +275,10 @@ def _bench_interactive(width=1920, height=1080, frames=20):
         accum, bufs = render_frame(
             data, camera, jnp.uint32(i), jnp.int32(i), accum, config
         )
-        return accum, to_display_u8(bufs["frame"])
+        frame = bufs["frame"]
+        if stride > 1:  # motion-preview fetch (display/client.py)
+            frame = frame.reshape(height, width, 3)
+        return accum, to_display_u8(frame, stride=stride)
 
     accum, u8 = one(0, accum)  # compile
     np.asarray(u8)
@@ -254,9 +326,24 @@ def main() -> None:
     except Exception as exc:
         extra["restir_gi_error"] = str(exc)[:120]
     try:
+        q, rq_ms, pt_ms = _bench_restir_quality()
+        # >1 = ReSTIR beats equal-time PT on the many-light scene
+        extra["restir_quality_vs_pt"] = round(q, 2)
+        extra["restir_quality_ms"] = round(rq_ms, 2)
+        extra["restir_quality_pt_ms"] = round(pt_ms, 2)
+    except Exception as exc:
+        extra["restir_quality_error"] = str(exc)[:120]
+    try:
         extra["interactive_fps"] = round(_bench_interactive(), 2)
     except Exception as exc:
         extra["interactive_error"] = str(exc)[:120]
+    try:
+        # camera-drag motion preview: quarter-size u8 fetch (stride 2)
+        extra["interactive_preview_fps"] = round(
+            _bench_interactive(stride=2), 2
+        )
+    except Exception as exc:
+        extra["interactive_preview_error"] = str(exc)[:120]
 
     print(
         json.dumps(

@@ -61,7 +61,23 @@ class DisplayClient:
         self._images = [None, None]
         self._ready_index = 0
         self._flip_lock = threading.Lock()
+        # motion preview: camera input switches the fetch to a quarter-
+        # size frame (stride 2) for ``preview_hold_s`` after the last
+        # input, keeping interaction fetch-rate bound at ~1/4 the bytes;
+        # the browser <img> scales it up (web.py css max-width/height)
+        self.preview = True
+        self.preview_hold_s = 0.4
+        self._preview_until = 0.0
         system.events.bind(FRAME_FINISHED, self._on_frame_finished)
+        for ev in (MOUSE_DRAGGING, MOUSE_WHEEL, CAMERA_MOVE):
+            system.events.bind(ev, self._touch_preview)
+
+    def _touch_preview(self, _payload=None) -> None:
+        self._preview_until = time.monotonic() + self.preview_hold_s
+
+    @property
+    def previewing(self) -> bool:
+        return self.preview and time.monotonic() < self._preview_until
 
     # -- frame path --------------------------------------------------------
     def _select_buffer(self):
@@ -81,7 +97,8 @@ class DisplayClient:
             return
         rgba = expand_to_rgba(buf.array, buf.desc.width, buf.desc.height)
         shown = to_display_u8(
-            rgba[..., :3], self.tone_mapping, self.gamma
+            rgba[..., :3], self.tone_mapping, self.gamma,
+            stride=2 if self.previewing else 1,
         )
         img = np.asarray(shown)  # device -> host (uint8: 4x fewer bytes)
         with self._flip_lock:

@@ -29,16 +29,27 @@ def aces_gamma_to_display(
     return jnp.clip(out, 0.0, 1.0)
 
 
-@partial(jax.jit, static_argnames=("tone_mapping", "gamma"))
+@partial(jax.jit, static_argnames=("tone_mapping", "gamma", "stride"))
 def to_display_u8(
-    rgb: jnp.ndarray, tone_mapping: bool = True, gamma: bool = True
+    rgb: jnp.ndarray, tone_mapping: bool = True, gamma: bool = True,
+    stride: int = 1,
 ) -> jnp.ndarray:
     """(..., 3) linear radiance -> display uint8, quantized ON DEVICE.
 
     The display pump fetches this instead of the float image: the
     device->host link moves 4x fewer bytes per frame (measured 21-26
     MB/s through the axon tunnel, where a 1080p f32 frame alone costs
-    ~950 ms — the whole interactive budget)."""
+    ~950 ms — the whole interactive budget).
+
+    ``stride`` > 1 additionally subsamples (h, w, 3) input ON DEVICE
+    before the fetch — the motion-preview path: during camera drag the
+    display pump fetches a quarter-size frame (stride=2: 1.5 MB at
+    1080p, ~13 fps through the same tunnel) and the browser scales it
+    up; full resolution resumes on idle. The universal interactive-
+    renderer pattern (the reference's flip path always pays full res
+    over PCIe, gui.cpp:358-365; this link is ~100x slower)."""
+    if stride > 1:
+        rgb = rgb[::stride, ::stride]
     out = aces_gamma_to_display(rgb, tone_mapping, gamma)
     return (out * 255.0 + 0.5).astype(jnp.uint8)
 

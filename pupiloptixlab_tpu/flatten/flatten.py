@@ -22,6 +22,8 @@ the flattened emitter list:
 
 from __future__ import annotations
 
+import os as _os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -692,7 +694,10 @@ def flatten_scene(
     # whichever is larger.
     from pupiloptixlab_tpu.accel.bvh import build_bvh, pick_leaf_size
 
-    use_bvh = tri_count > 1024
+    # PUPIL_NO_BVH: debug knob forcing the brute-force chunk sweep on
+    # BVH-scale scenes — with the pixel-id-keyed RNG, a BVH-vs-sweep
+    # render pair isolates traversal bugs at identical sample sequences
+    use_bvh = tri_count > 1024 and not _os.environ.get("PUPIL_NO_BVH")
     if use_bvh:
         # streamed tables (> the VMEM residency cutoff) fetch one leaf
         # per DMA: bigger leaves amortize the fixed DMA latency; the

@@ -526,18 +526,18 @@ def render(
     spp: int,
     seed0: int = 0,
 ):
-    """Render ``spp`` progressive samples; returns (h, w, 3) radiance."""
+    """Render ``spp`` progressive samples; returns (h, w, 3) radiance.
+
+    All samples run in ONE dispatch (render_frame_batch's fori_loop):
+    per-sample seeds and the progressive blend are identical to a host
+    loop of render_frame calls, but a 512-spp offline render costs one
+    launch instead of 512 (the axon tunnel charges ~31 ms per dispatch,
+    and a CPU-contended host can stretch that to seconds)."""
     n = config.width * config.height
     accum = jnp.zeros((n, 3), jnp.float32)
-    for s in range(spp):
-        accum, _ = render_frame(
-            scene,
-            camera,
-            jnp.uint32(seed0 + s),
-            jnp.int32(s),
-            accum,
-            config,
-        )
+    accum, _ = render_frame_batch(
+        scene, camera, jnp.uint32(seed0), jnp.int32(0), accum, config, spp
+    )
     return accum.reshape(config.height, config.width, 3)
 
 

@@ -87,6 +87,58 @@ def test_veach_matches_brute_force_oracle(reference_scene_dir):
     assert box_rel < 2e-3, box_rel
 
 
+ORACLE_MESH_ENV = Path(__file__).parent / "data" / "oracle_mesh_env_64.exr"
+
+
+@pytest.mark.slow
+def test_mesh_env_matches_brute_force_oracle():
+    """data/mesh_env.xml (BASELINE config 4's scene): 20k-triangle
+    icosphere under an equirect environment map — the first oracle gate
+    that exercises the BVH traversal kernels (Pallas sweep + gather) and
+    the env joint-CDF NEE/MIS path end-to-end against brute force.
+    Oracle: 4096 spp pure-BSDF sampling at 64x64, tools/oracle_pt.py.
+
+    Calibration (r5, real TPU, 512 spp): rel_mse 8.9e-3, ratio 0.991,
+    box_rel 2.9e-3. The residual is NOT a traversal bug: a
+    PUPIL_NO_BVH=1 brute-force-sweep render at identical seeds is
+    BIT-IDENTICAL to the BVH render (rel MSE 0.0, 1024 spp), so the
+    whole production intersection stack agrees with exhaustive testing.
+    The remaining regional +-10% (sphere darker / its env-shadow zone
+    brighter) traces to the oracle's shading-normal treatment:
+    oracle_pt.py shades with FACE-AVERAGED vertex normals (one normal
+    per face) while production interpolates barycentrically (the
+    reference's behavior, optix_util.h closesthit geometry) — on a
+    smooth-shaded sphere the faceted GGX lobes redistribute env energy.
+    Gates below bound today's agreement; tighten to the 1e-3 BASELINE
+    row after regenerating the oracle with barycentric normals
+    (ROADMAP)."""
+    from pupiloptixlab_tpu.flatten import camera_block_from_scene, flatten_scene
+    from pupiloptixlab_tpu.render.integrator import render
+    from pupiloptixlab_tpu.scene import load_scene
+    from pupiloptixlab_tpu.utils.image import read_exr
+
+    scene = load_scene(Path(__file__).parent.parent / "data" / "mesh_env.xml")
+    scene.sensor.film.w = scene.sensor.film.h = 64
+    data, config = flatten_scene(scene)
+    cam = camera_block_from_scene(scene)
+    img = np.asarray(render(data, cam, config, spp=512))
+    oracle = read_exr(ORACLE_MESH_ENV)[::-1][..., :3]
+
+    mean_ratio = float(img.mean() / oracle.mean())
+    assert abs(mean_ratio - 1.0) < 0.02, mean_ratio
+
+    rel_mse = float(np.mean((img - oracle) ** 2) / np.mean(oracle**2))
+    assert rel_mse < 1.5e-2, rel_mse
+
+    def box(a):
+        return a.reshape(16, 4, 16, 4, 3).mean((1, 3))
+
+    box_rel = float(
+        np.mean((box(img) - box(oracle)) ** 2) / np.mean(box(oracle) ** 2)
+    )
+    assert box_rel < 5e-3, box_rel
+
+
 ORACLE_MAT = Path(__file__).parent / "data" / "oracle_mat_64.exr"
 
 
