@@ -180,23 +180,26 @@ def _bench_restir(width=1920, height=1080, iters=4, gi=False):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def _bench_restir_quality(width=960, height=540, restir_frames=4,
+def _bench_restir_quality(width=960, height=540, warm_frames=8,
                           truth_frames=192):
-    """Equal-time quality: ReSTIR-DI vs plain PT on the many-light scene
-    (the comparison ReSTIR exists to win; reference scene
-    /root/reference/data/static/restir_test.xml). Both estimators target
-    DIRECT lighting (PT at max_depth=2 = emission + NEE/MIS direct, the
-    integral ReSTIR-DI computes); truth is a long PT accumulation.
-    ReSTIR runs `restir_frames` frames from scratch; PT gets the same
-    wall-clock budget (round(restir_frames * restir_ms / pt_ms) frames).
-    Returns (mse_ratio, restir_ms, pt_ms): mse_ratio = PT_relMSE /
-    ReSTIR_relMSE at equal time — >1 means ReSTIR is ahead."""
+    """Equal-time STREAMING quality: ReSTIR-DI vs plain PT on the
+    many-light scene (the comparison ReSTIR exists to win; reference
+    scene /root/reference/data/static/restir_test.xml). Both estimators
+    target DIRECT lighting (PT at max_depth=2 = emission + NEE/MIS
+    direct, the integral ReSTIR-DI computes); truth is a long PT
+    accumulation. The protocol is the interactive one ReSTIR is built
+    for: each renderer shows a fresh PER-FRAME estimate every frame
+    (accumulate off); ReSTIR's reservoirs warm up over ``warm_frames``
+    and its steady-state frame is compared against a PT frame of
+    round(restir_ms / pt_ms) independent samples — equal per-frame
+    wall-clock. Returns (mse_ratio, restir_ms, pt_ms): mse_ratio =
+    PT_relMSE / ReSTIR_relMSE — >1 means ReSTIR is ahead."""
     import dataclasses
 
     import numpy as np
 
     from pupiloptixlab_tpu.flatten import camera_block_from_scene, flatten_scene
-    from pupiloptixlab_tpu.render.integrator import render_frame
+    from pupiloptixlab_tpu.render.integrator import render, render_frame
     from pupiloptixlab_tpu.render.restir import restir_frame
     from pupiloptixlab_tpu.scene import load_scene
 
@@ -206,6 +209,7 @@ def _bench_restir_quality(width=960, height=540, restir_frames=4,
     config = dataclasses.replace(config, max_depth=2, accumulate=True)
     camera = camera_block_from_scene(scene)
     n = config.width * config.height
+    cfg_stream = dataclasses.replace(config, accumulate=False)
 
     def pt_run(frames):
         accum = jnp.zeros((n, 3), jnp.float32)
@@ -216,28 +220,34 @@ def _bench_restir_quality(width=960, height=540, restir_frames=4,
         jax.block_until_ready(accum)
         return accum
 
-    def restir_run(frames):
+    def restir_stream(frames):
+        # per-frame estimates: reservoir history carries across frames,
+        # the radiance shown each frame is that frame's alone
         prev = jnp.zeros((n, 19), jnp.float32)
-        accum = jnp.zeros((n, 3), jnp.float32)
+        frame = jnp.zeros((n, 3), jnp.float32)
         for i in range(frames):
-            accum, prev, _ = restir_frame(
-                data, camera, jnp.uint32(i), prev, accum, jnp.int32(i),
-                config,
+            frame, prev, _ = restir_frame(
+                data, camera, jnp.uint32(i), prev, frame, jnp.int32(i),
+                cfg_stream,
             )
-        jax.block_until_ready(accum)
-        return accum
+        jax.block_until_ready(frame)
+        return frame
 
     # compile both programs, then time one frame of each (best of 3)
-    pt_run(1), restir_run(1)
+    pt_run(1), restir_stream(1)
     pt_ms = min(_timeit(lambda: pt_run(1)) for _ in range(3)) * 1e3
-    restir_ms = min(_timeit(lambda: restir_run(1)) for _ in range(3)) * 1e3
+    restir_ms = min(_timeit(lambda: restir_stream(1)) for _ in range(3)) * 1e3
 
     truth = np.asarray(pt_run(truth_frames))
     denom = float(np.mean(truth**2)) + 1e-12
 
-    pt_frames = max(1, round(restir_frames * restir_ms / max(pt_ms, 1e-6)))
-    img_restir = np.asarray(restir_run(restir_frames))
-    img_pt = np.asarray(pt_run(pt_frames))
+    # PT's equal-time frame: k independent samples in one frame budget
+    # (seeds disjoint from the truth run)
+    k = max(1, round(restir_ms / max(pt_ms, 1e-6)))
+    img_pt = np.asarray(
+        render(data, camera, config, spp=k, seed0=5000)
+    ).reshape(n, 3)
+    img_restir = np.asarray(restir_stream(warm_frames))
     mse_restir = float(np.mean((img_restir - truth) ** 2)) / denom
     mse_pt = float(np.mean((img_pt - truth) ** 2)) / denom
     return mse_pt / max(mse_restir, 1e-12), restir_ms, pt_ms
