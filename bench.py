@@ -193,7 +193,12 @@ def _bench_restir_quality(width=960, height=540, warm_frames=8,
     and its steady-state frame is compared against a PT frame of
     round(restir_ms / pt_ms) independent samples — equal per-frame
     wall-clock. Returns (mse_ratio, restir_ms, pt_ms): mse_ratio =
-    PT_relMSE / ReSTIR_relMSE — >1 means ReSTIR is ahead."""
+    PT_relMSE / ReSTIR_relMSE — >1 means ReSTIR is ahead.
+
+    Measured r5 on TPU: 0.64 steady-state (and 0.47 under the harsher
+    from-scratch equal-time accumulation protocol) — PT depth-2 is
+    cheap enough here that ~2 fresh NEE+MIS samples beat one warmed
+    reservoir; see ROADMAP's ReSTIR cost levers."""
     import dataclasses
 
     import numpy as np
