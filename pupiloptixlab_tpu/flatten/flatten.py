@@ -678,7 +678,19 @@ def flatten_scene(
             np.float32
         )
         env_joint_cdf[-1] = 1.0
-        env_norm = float(1.0 / (row_sum * (2.0 * np.pi / w) * (np.pi / h)))
+        # The CDF tables are built from UNSCALED pixel luminance, but
+        # both pdf sites (emitter.py:_env_sample_direct / eval_env)
+        # multiply luminance(radiance * env_scale) by this factor — so
+        # fold 1/scale in here to report the TRUE sampling density.
+        # Without it, env NEE under-contributes and BSDF-side MIS
+        # underweights by exactly `scale` (r5: big_env scale=2.5 read
+        # 0.73x the brute-force oracle on every lit surface while the
+        # escape path matched 1.000; scale=1 scenes were unaffected,
+        # which is why mesh_env's gate never saw it).
+        env_norm = float(
+            1.0 / (row_sum * (2.0 * np.pi / w) * (np.pi / h))
+            / max(env_scale, 1e-30)
+        )
 
     # -- pad + pack ----------------------------------------------------------
     def cat3(key):

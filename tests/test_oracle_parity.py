@@ -139,6 +139,59 @@ def test_mesh_env_matches_brute_force_oracle():
     assert box_rel < 5e-3, box_rel
 
 
+ORACLE_BIG_ENV = Path(__file__).parent / "data" / "oracle_big_env_48.exr"
+
+
+@pytest.mark.slow
+@pytest.mark.heavy
+def test_big_env_matches_brute_force_oracle(tmp_path):
+    """The 405k-triangle STREAMED scene (generated displaced grid under
+    a 2.5x-scaled sky, tools/make_big_scene.py) against a 1168-spp
+    pure-BSDF oracle at 48x48 — the first oracle coverage of the
+    HBM-streamed DMA-ring traversal AND of a scaled envmap.
+
+    This gate exists because its calibration run caught a real
+    estimator bug: the env NEE/MIS pdf used the SCALED radiance
+    luminance against a normalization built from unscaled pixels, so
+    every surface lit by a scale!=1 envmap under-collected by exactly
+    `scale` (production read 0.73x the oracle terrain-wide while the
+    escape path matched 1.000). Fixed in flatten's env_norm; scale=1
+    scenes were never affected. Gates reflect the oracle's noise floor
+    (pure BSDF under an HDR sun at 1168 spp)."""
+    import subprocess
+    import sys
+
+    from pupiloptixlab_tpu.flatten import camera_block_from_scene, flatten_scene
+    from pupiloptixlab_tpu.render.integrator import render
+    from pupiloptixlab_tpu.scene import load_scene
+    from pupiloptixlab_tpu.utils.image import read_exr
+
+    xml = Path("/tmp/pupil_big_env/big_env.xml")
+    if not xml.exists():
+        subprocess.run(
+            [sys.executable, "tools/make_big_scene.py", str(xml.parent), "450"],
+            check=True, capture_output=True, timeout=300,
+            cwd=Path(__file__).parent.parent,
+        )
+    scene = load_scene(xml)
+    scene.sensor.film.w = scene.sensor.film.h = 48
+    data, config = flatten_scene(scene)
+    cam = camera_block_from_scene(scene)
+    img = np.asarray(render(data, cam, config, spp=128))
+    oracle = read_exr(ORACLE_BIG_ENV)[::-1][..., :3]
+
+    mean_ratio = float(img.mean() / oracle.mean())
+    assert abs(mean_ratio - 1.0) < 0.03, mean_ratio
+
+    def box(a):
+        return a.reshape(12, 4, 12, 4, 3).mean((1, 3))
+
+    box_rel = float(
+        np.mean((box(img) - box(oracle)) ** 2) / np.mean(box(oracle) ** 2)
+    )
+    assert box_rel < 2e-2, box_rel
+
+
 ORACLE_MAT = Path(__file__).parent / "data" / "oracle_mat_64.exr"
 
 
